@@ -1,0 +1,89 @@
+"""Politeness budget: min-delay per host + max in-flight per domain.
+
+Reference analogue: per-query latency-budget thresholds
+(/root/reference/src/multiwordSearch.py:242-263) and heap-based priority
+ordering (src/multiwordSearch.py:148-151, src/barrel.py:88-90). Here the
+budget is enforced as declarative DataFrame ops so Catalyst plans them:
+
+* eligibility — an equi-join against the small ``host_state`` dimension
+  (broadcast; hosts ≪ URLs even at 10^10 scale) + a round-delta filter;
+* per-host cap — ``row_number`` over ``Window.partitionBy(host)
+  .orderBy(desc(priority), url)`` ≤ ``max_in_flight``.
+
+CRITICAL ordering note (SURVEY.md §7 hard-problem 3): the per-host window
+runs on the UNsalted host key — the budget is a per-host semantic, so skew
+salting (skew.py) is applied only to the downstream heavy shuffles
+(dedup/extract), never to this window. Every orderBy carries a total order
+(priority desc, url asc) so crawl order is reproducible at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def default_host_state(hosts: DataFrame, min_delay: int = 2, max_in_flight: int = 3) -> DataFrame:
+    """host_state dimension from a hosts DF (one row per host)."""
+    return (
+        hosts.select("host")
+        .distinct()
+        .withColumn("min_delay_rounds", F.lit(min_delay))
+        .withColumn("max_in_flight", F.lit(max_in_flight))
+        .withColumn("last_scheduled_round", F.lit(None).cast("int"))
+    )
+
+
+def eligible_urls(pending: DataFrame, host_state: DataFrame, current_round: int) -> DataFrame:
+    """Pending frontier rows whose host is allowed to be scheduled now."""
+    hs = F.broadcast(
+        host_state.select(
+            "host", "min_delay_rounds", "max_in_flight", "last_scheduled_round"
+        )
+    )
+    joined = pending.join(hs, "host", "left")
+    return joined.filter(
+        F.col("last_scheduled_round").isNull()
+        | (
+            (F.lit(current_round) - F.col("last_scheduled_round"))
+            >= F.coalesce(F.col("min_delay_rounds"), F.lit(0))
+        )
+    )
+
+
+def per_host_topk(eligible: DataFrame) -> DataFrame:
+    """Per-host priority queue honoring max_in_flight.
+
+    Window.partitionBy(host).orderBy(desc(priority), url) — deterministic
+    total order (url is unique), row_number ≤ max_in_flight.
+    """
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
+    return (
+        eligible.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= F.coalesce(F.col("max_in_flight"), F.lit(1)))
+        .drop("host_rank", "min_delay_rounds", "max_in_flight", "last_scheduled_round")
+    )
+
+
+def global_batch(ranked: DataFrame, batch_size: int) -> DataFrame:
+    """Round fetch batch: global top-N by (priority desc, url) with a dense
+    deterministic ``seq``. Spark plans limit as TakeOrderedAndProject —
+    no full sort materialization."""
+    batch = ranked.orderBy(F.desc("priority"), F.asc("url")).limit(batch_size)
+    w = Window.orderBy(F.desc("priority"), F.asc("url"))
+    return batch.withColumn("seq", F.row_number().over(w))
+
+
+def advance_host_state(host_state: DataFrame, scheduled: DataFrame, current_round: int) -> DataFrame:
+    """Set last_scheduled_round = r for hosts that got work this round."""
+    touched = scheduled.select("host").distinct().withColumn("_touched", F.lit(1))
+    return (
+        host_state.join(touched, "host", "left")
+        .withColumn(
+            "last_scheduled_round",
+            F.when(F.col("_touched") == 1, F.lit(current_round)).otherwise(
+                F.col("last_scheduled_round")
+            ),
+        )
+        .drop("_touched")
+    )

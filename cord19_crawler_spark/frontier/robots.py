@@ -1,0 +1,72 @@
+"""robots.txt rule matching, vectorized.
+
+Rules live in the small ``robots_rules`` dimension:
+``(host string, rules array<struct<allow boolean, path_prefix string>>)``.
+Semantics (classic longest-match wins, Google-style simplification):
+the matching rule with the longest path_prefix decides; allow on tie;
+no matching rule → allow.
+
+The dimension is broadcast-joined onto candidates (hosts ≪ URLs), then a
+single Arrow-batched pandas UDF evaluates longest-prefix-match per row —
+there is no per-row Python UDF and no shuffle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+RULES_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("allow", T.BooleanType()),
+            T.StructField("path_prefix", T.StringType()),
+        ]
+    )
+)
+
+
+def _path_of(url: str) -> str:
+    # canonical URLs: scheme://host[:port]/path[?q]
+    rest = url.split("://", 1)[-1]
+    slash = rest.find("/")
+    if slash < 0:
+        return "/"
+    return rest[slash:].split("?", 1)[0]
+
+
+@pandas_udf(T.BooleanType())
+def robots_allowed(urls: pd.Series, rules: pd.Series) -> pd.Series:
+    """Longest-prefix-match allow/deny; vectorized over the Arrow batch."""
+
+    def _one(url: str | None, rls) -> bool:
+        if url is None:
+            return False
+        if rls is None or len(rls) == 0:
+            return True
+        path = _path_of(url)
+        best_len, best_allow = -1, True
+        for r in rls:
+            pref = r["path_prefix"]
+            if pref is not None and path.startswith(pref):
+                plen = len(pref)
+                if plen > best_len or (plen == best_len and r["allow"]):
+                    best_len, best_allow = plen, bool(r["allow"])
+        return best_allow
+
+    return pd.Series([_one(u, r) for u, r in zip(urls, rules)])
+
+
+def filter_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Drop candidates denied by their host's robots rules."""
+    if robots is None:
+        return candidates
+    joined = candidates.join(F.broadcast(robots), "host", "left")
+    return (
+        joined.withColumn("_allowed", robots_allowed(F.col("url"), F.col("rules")))
+        .filter(F.col("_allowed"))
+        .drop("_allowed", "rules")
+    )

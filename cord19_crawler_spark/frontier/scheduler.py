@@ -1,0 +1,302 @@
+"""Round-based crawl scheduler: the north-star pipeline.
+
+Each scheduling round is ONE deterministic DataFrame job chain (the
+reference is likewise batch-per-round: src/crawler.py:130-150 micro-batch
+ingest; src/index.py:41-116 incremental fold):
+
+  frontier scan → politeness eligibility (broadcast host_state join)
+  → robots filter (broadcast rules + Arrow UDF)
+  → per-host priority queue (window, UNsalted — budget is per-host)
+  → global top-N fetch batch (TakeOrderedAndProject)
+  → "fetch" = join batch→documents (broadcast the small batch side)
+  → posexplode spans (≤ cap) → URL extract + canonicalize (Arrow UDFs)
+  → salted-repartition dedup (hot-host split plan) → distinct
+  → bloom probe (co-grouped bitsets) → exact anti-join backstop
+  → MERGE new URLs into frontier, mark batch done
+  → commit checkpoint (frontier, url_seen, filter_state, host_state,
+    crawl_log, counters + per-partition lineage) atomically.
+
+Determinism: every ordering carries the total order (priority DESC, url ASC)
+— url is unique — so crawl order is identical at local[8] and local[32] and
+bit-identical across kill/resume (state lives only in committed tables,
+never in executor memory across rounds).
+
+Scale notes (10^10 URLs, 1000 executors): frontier/url_seen are
+hash-partitioned tables; the per-round batch is small relative to the
+frontier, so the fetch join broadcasts the batch, not the corpus; the bloom
+prefilter keeps the exact anti-join probe volume near zero for new URLs;
+hot hosts are salted before the dedup shuffle per the per-round split plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.urls import canonicalize_url, extract_urls, url_host
+from ..storage import CheckpointStore
+from . import politeness, skew
+from .robots import filter_robots
+from .seen import BloomSeenFilter, exact_new, with_partition
+
+FRONTIER_COLS = ["url", "url_id", "host", "partition", "priority", "discovered_round", "state"]
+
+
+@dataclass
+class SchedulerConfig:
+    batch_size: int = 50
+    seen_partitions: int = 8
+    bloom_bits: int = 1 << 20
+    bloom_k: int = 5
+    min_delay_rounds: int = 2
+    max_in_flight: int = 3
+    span_cap: int = 50  # reference: src/crawler.py:80
+    hot_host_threshold: int = 100_000
+    extra: dict = field(default_factory=dict)
+
+
+class CrawlScheduler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        documents: DataFrame,
+        checkpoint_dir: str,
+        config: SchedulerConfig | None = None,
+        robots: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.cfg = config or SchedulerConfig()
+        self.documents = documents
+        self.store = CheckpointStore(checkpoint_dir)
+        self.robots = robots
+        self.bloom = BloomSeenFilter(
+            n_partitions=self.cfg.seen_partitions,
+            m_bits=self.cfg.bloom_bits,
+            k=self.cfg.bloom_k,
+        )
+
+    # -- state helpers ------------------------------------------------------
+
+    def _annotate(self, urls: DataFrame) -> DataFrame:
+        """url → (url, url_id, host, partition). url must be canonical."""
+        out = urls.withColumn("host", url_host(F.col("url"))).withColumn(
+            "url_id", F.xxhash64(F.col("url"))
+        )
+        return with_partition(out, self.cfg.seen_partitions)
+
+    def init_from_seeds(self, seeds: DataFrame) -> None:
+        """Round 0: canonicalize + dedup seeds, seed all state tables."""
+        canon = (
+            seeds.withColumn("url", canonicalize_url(F.col("url")))
+            .filter(F.col("url").isNotNull())
+            .groupBy("url")
+            .agg(F.max("priority").alias("priority"))
+        )
+        frontier = (
+            self._annotate(canon)
+            .withColumn("discovered_round", F.lit(0))
+            .withColumn("state", F.lit("pending"))
+            .select(*FRONTIER_COLS)
+        )
+        url_seen = frontier.select("partition", "url_id", "url")
+        filter_state = self.bloom.insert(
+            frontier, self.bloom.empty_state(self.spark)
+        )
+        host_state = politeness.default_host_state(
+            frontier, self.cfg.min_delay_rounds, self.cfg.max_in_flight
+        )
+        crawl_log = self.spark.createDataFrame(
+            [], "round int, seq int, url string, host string, priority double"
+        )
+        n_seeds = frontier.count()
+        self.store.commit_round(
+            0,
+            {
+                "frontier": frontier,
+                "url_seen": url_seen,
+                "filter_state": filter_state,
+                "host_state": host_state,
+                "crawl_log": crawl_log,
+            },
+            {"seeds": n_seeds, "scheduled": 0, "discovered_new": 0},
+        )
+
+    def _read(self, rnd: int, name: str) -> DataFrame:
+        return self.store.read_table(self.spark, rnd, name)
+
+    # -- the round ----------------------------------------------------------
+
+    def run_round(self, rnd: int) -> dict:
+        """Execute round ``rnd`` on top of committed round ``rnd - 1``."""
+        prev = rnd - 1
+        frontier = self._read(prev, "frontier")
+        url_seen = self._read(prev, "url_seen")
+        filter_state = self._read(prev, "filter_state")
+        host_state = self._read(prev, "host_state")
+
+        pending = frontier.filter(F.col("state") == "pending")
+
+        # 1. politeness + robots eligibility
+        eligible = politeness.eligible_urls(pending, host_state, rnd)
+        eligible = filter_robots(eligible, self.robots)
+
+        # 2. per-host priority queue → global fetch batch
+        ranked = politeness.per_host_topk(eligible)
+        batch = politeness.global_batch(ranked, self.cfg.batch_size)
+        batch = batch.select("url", "url_id", "host", "priority", "seq").cache()
+        n_scheduled = batch.count()
+
+        # 3. "fetch": canonical URL path /doc/<id> → document; broadcast the
+        #    small batch side against the big corpus scan.
+        batch_docs = batch.withColumn(
+            "doc_id", F.regexp_extract(F.col("url"), r"/doc/(\d+)$", 1)
+        ).select("doc_id")
+        fetched = self.documents.join(F.broadcast(batch_docs), "doc_id", "inner")
+
+        # 4. link extraction: ordered spans (≤ cap), text spans only,
+        #    Arrow-batched extract + canonicalize, exact dedup.
+        spans = fetched.select(
+            F.explode(F.slice(F.col("spans"), 1, self.cfg.span_cap)).alias("span")
+        )
+        raw_links = spans.select(
+            F.explode(extract_urls(F.col("span.text"))).alias("raw_url")
+        )
+        canon_links = (
+            raw_links.withColumn("url", canonicalize_url(F.col("raw_url")))
+            .filter(F.col("url").isNotNull())
+            .select("url")
+        )
+        discovered = self._annotate(canon_links)
+        # hot-host split plan (from pending counts) → salted repartition
+        # ahead of the dedup shuffle, then exact distinct.
+        plan = skew.hot_host_plan(pending, self.cfg.hot_host_threshold)
+        discovered = skew.repartition_salted(discovered, plan).dropDuplicates(["url"])
+
+        # 5. URL-seen: bloom prefilter → exact backstop
+        flagged = self.bloom.probe(discovered, filter_state)
+        new_urls = exact_new(flagged, url_seen).cache()
+        n_new = new_urls.count()
+
+        # 6. frontier merge (Iceberg MERGE INTO equivalent):
+        #    batch → done; new URLs appended as pending.
+        done_marks = batch.select("url").withColumn("_done", F.lit(1))
+        frontier_next = (
+            frontier.join(done_marks, "url", "left")
+            .withColumn(
+                "state",
+                F.when(F.col("_done") == 1, F.lit("done")).otherwise(F.col("state")),
+            )
+            .drop("_done")
+        )
+        new_rows = (
+            new_urls.withColumn("priority", F.lit(1.0) / F.lit(float(1 + rnd)))
+            .withColumn("discovered_round", F.lit(rnd))
+            .withColumn("state", F.lit("pending"))
+            .select(*FRONTIER_COLS)
+        )
+        frontier_next = frontier_next.select(*FRONTIER_COLS).unionByName(new_rows)
+
+        url_seen_next = url_seen.unionByName(
+            new_urls.select("partition", "url_id", "url")
+        )
+        filter_state_next = self.bloom.insert(new_urls, filter_state)
+        host_state_next = self._advance_hosts(host_state, batch, new_urls, rnd)
+        crawl_log = batch.select(
+            F.lit(rnd).alias("round"), "seq", "url", "host", "priority"
+        )
+
+        # per-partition lineage: how many new URLs each seen-partition gained
+        lineage = {
+            str(r["partition"]): r["cnt"]
+            for r in new_urls.groupBy("partition")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        counters = {
+            "scheduled": n_scheduled,
+            "discovered_new": n_new,
+            "partition_lineage": lineage,
+        }
+        self.store.commit_round(
+            rnd,
+            {
+                "frontier": frontier_next,
+                "url_seen": url_seen_next,
+                "filter_state": filter_state_next,
+                "host_state": host_state_next,
+                "crawl_log": crawl_log,
+            },
+            counters,
+        )
+        batch.unpersist()
+        new_urls.unpersist()
+        return counters
+
+    def _advance_hosts(
+        self, host_state: DataFrame, batch: DataFrame, new_urls: DataFrame, rnd: int
+    ) -> DataFrame:
+        """Update last_scheduled_round; add default rows for new hosts."""
+        known = host_state.select("host")
+        fresh_hosts = (
+            new_urls.select("host").distinct().join(known, "host", "left_anti")
+        )
+        fresh_state = politeness.default_host_state(
+            fresh_hosts, self.cfg.min_delay_rounds, self.cfg.max_in_flight
+        )
+        merged = host_state.unionByName(fresh_state)
+        return politeness.advance_host_state(merged, batch, rnd)
+
+    # -- driver loop --------------------------------------------------------
+
+    def run(self, rounds: int, seeds: DataFrame | None = None) -> list[dict]:
+        """Run (or resume) up to ``rounds`` scheduling rounds.
+
+        Resume = read the latest committed round and continue — nothing is
+        re-derived, which is what makes kill/resume bit-identical.
+        """
+        latest = self.store.latest_round()
+        if latest is None:
+            if seeds is None:
+                raise ValueError("no checkpoint found and no seeds given")
+            self.init_from_seeds(seeds)
+            latest = 0
+        out = []
+        for rnd in range(latest + 1, rounds + 1):
+            out.append(self.run_round(rnd))
+        return out
+
+    def crawl_order(self, upto_round: int | None = None) -> list[tuple[int, int, str]]:
+        """Full deterministic crawl order [(round, seq, url), ...]."""
+        last = self.store.latest_round()
+        if last is None:
+            return []
+        if upto_round is not None:
+            last = min(last, upto_round)
+        rows = []
+        for rnd in range(1, last + 1):
+            log = self._read(rnd, "crawl_log")
+            rows.extend(
+                (r["round"], r["seq"], r["url"])
+                for r in log.orderBy("seq").collect()
+            )
+        return rows
+
+    def seen_set(self) -> set[str]:
+        last = self.store.latest_round()
+        if last is None:
+            return set()
+        return {
+            r["url"] for r in self._read(last, "url_seen").select("url").collect()
+        }
+
+    def re_emitted_documents(self, rnd: int) -> DataFrame:
+        """Documents fetched in round ``rnd``, re-emitted with their original
+        span sequence — used to verify the span-sequence-equality invariant
+        (kind, text, media_ref, order) per input_hint."""
+        log = self._read(rnd, "crawl_log")
+        ids = log.withColumn(
+            "doc_id", F.regexp_extract(F.col("url"), r"/doc/(\d+)$", 1)
+        ).select("doc_id")
+        return self.documents.join(F.broadcast(ids), "doc_id", "inner")

@@ -1,0 +1,140 @@
+"""Partitioned bloom-filter URL-seen set.
+
+Reference analogue: the duplicate-doc membership check
+``if doc_id in forward_index: continue`` (/root/reference/src/index.py:62-63)
+— a driver-side dict. At 10^10 URLs that set cannot live on one machine, so:
+
+* ``url_seen`` — the *exact*, authoritative seen set: rows
+  ``(partition int, url_id long, url string)`` hash-partitioned by
+  ``pmod(xxhash64(url), P)``. Stored sorted within partition.
+* ``filter_state`` — one bloom bitset per partition:
+  ``(partition int, bitset binary)``, built/probed with NumPy bit ops inside
+  ``applyInPandas`` (Arrow-batched; Spark's own df.stat bloom filter is
+  driver-side and unusable as 10^10-row partitioned state).
+
+Probe protocol (keeps the seen check EXACT, which the north_rule requires —
+a bloom alone cannot): bloom-negative rows are *definitely new* and skip the
+expensive path entirely; only bloom-positive rows are confirmed against
+``url_seen`` with a co-partitioned ``left_anti`` join. At scale the bloom
+eliminates ~all of the anti-join probe volume for genuinely-new URLs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MIX = 0x9E3779B97F4A7C15  # splitmix64 odd constant
+_GOLD = 0xBF58476D1CE4E5B9
+
+
+def with_partition(df: DataFrame, n_partitions: int, url_col: str = "url") -> DataFrame:
+    """Add the seen-set partition column (same formula everywhere)."""
+    return df.withColumn(
+        "partition", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_partitions)).cast("int")
+    )
+
+
+def _bit_positions(url_ids: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions per url_id; double hashing h1 + i*h2 (Kirsch-
+    Mitzenmacher), pure uint64 NumPy — vectorized over the Arrow batch."""
+    u = url_ids.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = (u * np.uint64(_MIX)) % np.uint64(m_bits)
+        h2 = ((u ^ (u >> np.uint64(27))) * np.uint64(_GOLD)) % np.uint64(m_bits) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return (h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)
+
+
+class BloomSeenFilter:
+    """Per-partition bloom bitsets manipulated in applyInPandas."""
+
+    def __init__(self, n_partitions: int = 8, m_bits: int = 1 << 20, k: int = 5):
+        self.n_partitions = n_partitions
+        self.m_bits = m_bits
+        self.k = k
+
+    def empty_state(self, spark: SparkSession) -> DataFrame:
+        n_bytes = self.m_bits // 8
+        rows = [(p, bytearray(n_bytes)) for p in range(self.n_partitions)]
+        return spark.createDataFrame(rows, "partition int, bitset binary")
+
+    def probe(self, candidates: DataFrame, state: DataFrame) -> DataFrame:
+        """candidates(partition, url, url_id, ...) → + maybe_seen boolean.
+
+        Co-grouped per partition: each task touches exactly one bitset —
+        the probe never shuffles the bitsets to more than one task each.
+        """
+        m_bits, k = self.m_bits, self.k
+        # copy — StructType.add mutates in place, which would corrupt the
+        # candidates DataFrame's cached schema
+        out_schema = T.StructType(list(candidates.schema.fields)).add(
+            "maybe_seen", T.BooleanType()
+        )
+
+        def _probe(cand: pd.DataFrame, st: pd.DataFrame) -> pd.DataFrame:
+            if cand.empty or st.empty:
+                return cand.assign(maybe_seen=np.zeros(len(cand), dtype=bool))
+            bits = np.unpackbits(
+                np.frombuffer(bytes(st["bitset"].iloc[0]), dtype=np.uint8)
+            )
+            pos = _bit_positions(cand["url_id"].to_numpy(), m_bits, k)
+            return cand.assign(maybe_seen=bits[pos].all(axis=1))
+
+        return (
+            candidates.groupBy("partition")
+            .cogroup(state.groupBy("partition"))
+            .applyInPandas(_probe, schema=out_schema)
+        )
+
+    def insert(self, new_urls: DataFrame, state: DataFrame) -> DataFrame:
+        """Return the updated filter_state with new url_ids OR'd in.
+
+        Partitions with no new rows pass their bitset through untouched, so
+        the output is a complete state table (checkpointable as-is).
+        """
+        m_bits, k = self.m_bits, self.k
+        n_bytes = m_bits // 8
+
+        def _insert(cand: pd.DataFrame, st: pd.DataFrame) -> pd.DataFrame:
+            if st.empty:
+                part = int(cand["partition"].iloc[0])
+                packed = np.zeros(n_bytes, dtype=np.uint8)
+            else:
+                part = int(st["partition"].iloc[0])
+                packed = np.frombuffer(bytes(st["bitset"].iloc[0]), dtype=np.uint8)
+            if cand.empty:
+                return pd.DataFrame({"partition": [part], "bitset": [packed.tobytes()]})
+            bits = np.unpackbits(packed)
+            pos = _bit_positions(cand["url_id"].to_numpy(), m_bits, k)
+            bits[pos.ravel()] = 1
+            return pd.DataFrame(
+                {"partition": [part], "bitset": [np.packbits(bits).tobytes()]}
+            )
+
+        return (
+            new_urls.select("partition", "url_id")
+            .groupBy("partition")
+            .cogroup(state.groupBy("partition"))
+            .applyInPandas(_insert, schema="partition int, bitset binary")
+        )
+
+
+def exact_new(
+    candidates_flagged: DataFrame, url_seen: DataFrame
+) -> DataFrame:
+    """Resolve bloom 'maybe_seen' to exact newness.
+
+    bloom-negative → new without touching url_seen; bloom-positive →
+    co-partitioned left_anti against the exact set. Result: exactly the
+    candidates not in the seen set.
+    """
+    definite_new = candidates_flagged.filter(~F.col("maybe_seen"))
+    maybe = candidates_flagged.filter(F.col("maybe_seen"))
+    confirmed_new = maybe.join(
+        url_seen.select("url_id"), on="url_id", how="left_anti"
+    )
+    return definite_new.unionByName(confirmed_new).drop("maybe_seen")

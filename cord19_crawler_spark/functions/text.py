@@ -1,0 +1,161 @@
+"""Text kernels: canonicalization, tokenization, filters, language-ID,
+quality scoring, token counting, fingerprinting.
+
+Reference semantics reproduced (cited per function); implementation is
+Spark-first — pure ``pyspark.sql.functions`` (JVM-side, whole-stage codegen)
+wherever expressible, Arrow-batched pandas UDFs only for the lemmatizer
+black box.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# The reference's 86-entry stopword set (data, not code):
+# /root/reference/src/multiwordSearch.py:25-32
+STOPWORDS = (
+    "the a an and or but in on at to for of with by is are was were "
+    "be been being have has had do does did will would shall should can could "
+    "may might must about above after before between from into through during since "
+    "under over again further then once here there when where why how all any "
+    "both each few more most other some such no nor not only own same so "
+    "than too very s t just now"
+).split()
+
+# English function words used by the n-gram-free language-ID heuristic.
+_EN_MARKERS = set(STOPWORDS)
+
+# Punct class stripped by the reference's clean_text:
+# /root/reference/src/crawler.py:13 — '"#$%&*+/<=>@[\]^_`{|}~'
+_PUNCT_CLASS = r'["#$%&*+/<=>@\[\\\]^_`{|}~]'
+
+
+def clean_text(col: Column) -> Column:
+    """Reference ``clean_text`` (src/crawler.py:51-57): lowercase → collapse
+    whitespace → strip punct class → drop standalone digit tokens → trim.
+    Pure Catalyst expressions (codegen'd), same operation order as reference.
+    """
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, _PUNCT_CLASS, "")
+    c = F.regexp_replace(c, r"\b\d+\b", "")
+    return F.trim(c)
+
+
+def tokenize(col: Column) -> Column:
+    """Query tokenizer (src/multiwordSearch.py:46-52): lowercase then
+    ``\\b[a-z0-9]{2,}\\b``. Returns array<string>, order preserved."""
+    return F.expr(
+        f"regexp_extract_all(lower({_sql(col)}), '[a-z0-9]{{2,}}', 0)"
+    )
+
+
+def _sql(col: Column) -> str:
+    # Columns built from a plain name stringify cleanly; callers pass names.
+    return str(col._jc.toString()) if hasattr(col, "_jc") else str(col)
+
+
+def tokenize_name(colname: str) -> Column:
+    """tokenize() for a plain column name (safe SQL splice)."""
+    return F.expr(f"regexp_extract_all(lower({colname}), '[a-z0-9]{{2,}}', 0)")
+
+
+def remove_stopwords(tokens: Column) -> Column:
+    """Token filter P3/P8 (src/crawler.py:190-193)."""
+    return F.array_except(tokens, F.array(*[F.lit(w) for w in STOPWORDS]))
+
+
+def token_count(colname: str) -> Column:
+    """Whitespace token count (training-data pipeline op)."""
+    return F.size(F.split(F.trim(F.col(colname)), r"\s+"))
+
+
+def quality_score(colname: str) -> Column:
+    """Heuristic document quality in [0,1]: length factor, alpha ratio,
+    stopword ratio. Pure Catalyst — no UDF."""
+    text = F.col(colname)
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^a-z A-Z]", ""))
+    toks = tokenize_name(colname)
+    stop_ratio = F.when(
+        F.size(toks) > 0,
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS])))
+        / F.size(toks),
+    ).otherwise(F.lit(0.0))
+    len_factor = F.least(n / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    return F.round(
+        0.4 * len_factor + 0.4 * alpha_ratio + 0.2 * stop_ratio, 6
+    )
+
+
+def lang_id(colname: str) -> Column:
+    """Language-ID heuristic: English-stopword hit-ratio over tokens.
+    >= 0.05 → 'en' else 'other'. (n-gram-free, shufflle-free, codegen'd)."""
+    toks = tokenize_name(colname)
+    hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in _EN_MARKERS])))
+    ratio = F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+    return F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other"))
+
+
+def fingerprint(colname: str) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized
+    lowercase text. Used for exact dedup at scale (hash-groupBy)."""
+    return F.md5(F.regexp_replace(F.lower(F.col(colname)), r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# Lemmatizer black box (reference F1, src/crawler.py:152-212 uses spaCy).
+# spaCy is not in this environment; the Spark-side plumbing (Arrow batching,
+# array<struct> return type) is real, the linguistic model is a deterministic
+# fake: strip common English suffixes. Swap `_lemma_one` for a spaCy call in
+# production — the UDF signature/batching is unchanged.
+# ---------------------------------------------------------------------------
+
+_SUFFIXES = ("ations", "ation", "ings", "ing", "ies", "ers", "er", "ed", "es", "s")
+_TOKEN_RE = re.compile(r"[a-z0-9]{2,}")
+
+
+def _lemma_one(tok: str) -> str:
+    for suf in _SUFFIXES:
+        if tok.endswith(suf) and len(tok) - len(suf) >= 3:
+            base = tok[: -len(suf)]
+            if suf == "ies":
+                base += "y"
+            return base
+    return tok
+
+
+_TOKENS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("lemma", T.StringType()),
+            T.StructField("pos", T.StringType()),
+        ]
+    )
+)
+
+
+@pandas_udf(_TOKENS_TYPE)
+def lemmatize_tokens(texts: pd.Series) -> pd.Series:
+    """Arrow-batched tokenize+lemmatize (reference F1 shape: per-doc ordered
+    token structs, src/crawler.py:196-200 keeps only lemma; we add a cheap
+    POS guess to carry the reference's pos_counts shape, src/index.py:86)."""
+
+    def _run(text: str | None) -> list[dict]:
+        if not text:
+            return []
+        out = []
+        for tok in _TOKEN_RE.findall(text.lower()):
+            lemma = _lemma_one(tok)
+            pos = "NUM" if tok.isdigit() else ("VERB" if tok.endswith("ing") else "NOUN")
+            out.append({"lemma": lemma, "pos": pos})
+        return out
+
+    return texts.map(_run)

@@ -1,0 +1,114 @@
+"""End-to-end frontier determinism tests (SURVEY.md §5.3-5.4, FIXTURES.md §5).
+
+* two-run equality: identical crawl order + URL-seen set
+* parallelism invariance: local[1]-style repartitioned input vs default
+* kill-resume: rounds k+1..R bit-identical to the uninterrupted run
+* span-sequence equality for every re-emitted document
+* politeness budget actually enforced
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cord19_crawler_spark.datagen import generate_documents, seed_urls
+from cord19_crawler_spark.frontier import CrawlScheduler, SchedulerConfig
+
+N_DOCS = 300
+ROUNDS = 4
+
+
+def make_cfg():
+    return SchedulerConfig(
+        batch_size=20,
+        seen_partitions=4,
+        bloom_bits=1 << 16,
+        min_delay_rounds=2,
+        max_in_flight=3,
+        hot_host_threshold=1_000_000,
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return generate_documents(spark, N_DOCS, partitions=4).cache()
+
+
+def run_crawl(spark, docs, tmpdir, rounds=ROUNDS, partitions=4):
+    sched = CrawlScheduler(spark, docs, str(tmpdir), make_cfg())
+    seeds = seed_urls(spark, 10, N_DOCS)
+    sched.run(rounds, seeds=seeds)
+    return sched
+
+
+def test_two_run_equality(spark, docs, tmp_path):
+    s1 = run_crawl(spark, docs, tmp_path / "a")
+    s2 = run_crawl(spark, docs, tmp_path / "b")
+    assert s1.crawl_order() == s2.crawl_order()
+    assert s1.seen_set() == s2.seen_set()
+    assert len(s1.crawl_order()) > 0
+
+
+def test_parallelism_invariance(spark, docs, tmp_path):
+    """Same input, different physical partitioning → identical outputs."""
+    s1 = run_crawl(spark, docs, tmp_path / "p4")
+    docs32 = docs.repartition(32)
+    s2 = CrawlScheduler(spark, docs32, str(tmp_path / "p32"), make_cfg())
+    s2.run(ROUNDS, seeds=seed_urls(spark, 10, N_DOCS))
+    assert s1.crawl_order() == s2.crawl_order()
+    assert s1.seen_set() == s2.seen_set()
+
+
+def test_kill_resume_bit_identical(spark, docs, tmp_path):
+    full = run_crawl(spark, docs, tmp_path / "full", rounds=ROUNDS)
+    # "killed" run: stop after round 2, then resume with a FRESH scheduler
+    partial = run_crawl(spark, docs, tmp_path / "part", rounds=2)
+    resumed = CrawlScheduler(spark, docs, str(tmp_path / "part"), make_cfg())
+    resumed.run(ROUNDS)  # picks up from committed round 2; no seeds needed
+    assert resumed.crawl_order() == full.crawl_order()
+    assert resumed.seen_set() == full.seen_set()
+    # counters for the resumed rounds match too
+    for rnd in range(3, ROUNDS + 1):
+        c_full = full.store.read_counters(rnd)
+        c_res = resumed.store.read_counters(rnd)
+        assert c_full == c_res
+
+
+def test_span_sequence_equality(spark, docs, tmp_path):
+    """Every re-emitted document preserves (kind, text, media_ref, order)."""
+    sched = run_crawl(spark, docs, tmp_path / "spans")
+    emitted = sched.re_emitted_documents(1)
+    orig = docs.withColumnRenamed("spans", "orig_spans")
+    cmp = emitted.join(orig, "doc_id")
+    bad = cmp.filter(F.col("spans") != F.col("orig_spans")).count()
+    assert bad == 0
+    assert cmp.count() > 0
+
+
+def test_politeness_budget_enforced(spark, docs, tmp_path):
+    sched = run_crawl(spark, docs, tmp_path / "polite")
+    cfg = make_cfg()
+    last = sched.store.latest_round()
+    seen_host_rounds = {}
+    for rnd in range(1, last + 1):
+        log = sched.store.read_table(spark, rnd, "crawl_log")
+        per_host = log.groupBy("host").count().collect()
+        for r in per_host:
+            # max_in_flight per host per round
+            assert r["count"] <= cfg.max_in_flight, (rnd, r)
+            prev = seen_host_rounds.get(r["host"])
+            if prev is not None:
+                # min-delay between consecutive schedules of one host
+                assert rnd - prev >= cfg.min_delay_rounds, (r["host"], prev, rnd)
+            seen_host_rounds[r["host"]] = rnd
+
+
+def test_url_seen_is_exact_and_grows(spark, docs, tmp_path):
+    sched = run_crawl(spark, docs, tmp_path / "seen")
+    last = sched.store.latest_round()
+    seen = sched.store.read_table(spark, last, "url_seen")
+    # exact: no duplicate canonical URLs ever enter the seen set
+    assert seen.count() == seen.select("url").distinct().count()
+    # frontier ⊆ seen (every enqueued URL was recorded as seen)
+    frontier = sched.store.read_table(spark, last, "frontier")
+    missing = frontier.join(seen.select("url"), "url", "left_anti").count()
+    assert missing == 0

@@ -1,0 +1,75 @@
+"""URL kernel tests — canonicalization table-driven cases (SURVEY.md §5.1)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cord19_crawler_spark.functions.urls import (
+    canonicalize_one,
+    canonicalize_url,
+    extract_urls,
+    url_host,
+)
+
+CASES = [
+    # (raw, canonical)
+    ("http://Example.COM/a", "http://example.com/a"),
+    ("HTTPS://Host1.EXAMPLE.com/doc/3#sec", "https://host1.example.com/doc/3"),
+    ("https://example.com:443/x", "https://example.com/x"),
+    ("http://example.com:80/x", "http://example.com/x"),
+    ("http://example.com:8080/x", "http://example.com:8080/x"),
+    ("https://example.com./doc/9#frag", "https://example.com/doc/9"),
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com/p?b=2&a=1", "http://example.com/p?a=1&b=2"),
+    ("http://example.com/p?b=2&a=1&a=0", "http://example.com/p?a=0&a=1&b=2"),
+    ("http://example.com/p?", "http://example.com/p"),
+    ("ftp://example.com/x", None),
+    ("not a url", None),
+    ("", None),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CASES)
+def test_canonicalize_one(raw, expected):
+    assert canonicalize_one(raw) == expected
+
+
+def test_canonicalize_udf_matches_python(spark):
+    df = spark.createDataFrame([(r,) for r, _ in CASES], "url string")
+    got = [r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    assert got == [e for _, e in CASES]
+
+
+def test_duplicate_variants_collapse(spark):
+    variants = [
+        "https://host1.example.com/doc/3",
+        "HTTPS://Host1.EXAMPLE.com/doc/3#x",
+        "https://host1.example.com:443/doc/3",
+        "https://host1.example.com./doc/3",
+        "https://host1.example.com/doc/3?",
+    ]
+    df = spark.createDataFrame([(v,) for v in variants], "url string")
+    out = df.select(canonicalize_url("url").alias("c")).distinct().collect()
+    assert len(out) == 1
+    assert out[0]["c"] == "https://host1.example.com/doc/3"
+
+
+def test_extract_urls_order_and_trailing_punct(spark):
+    df = spark.createDataFrame(
+        [("see http://a.com/x. then https://B.com/y?q=1, end", ), (None,), ("no links",)],
+        "text string",
+    )
+    rows = df.select(extract_urls("text").alias("u")).collect()
+    assert rows[0]["u"] == ["http://a.com/x", "https://B.com/y?q=1"]
+    assert rows[1]["u"] == []
+    assert rows[2]["u"] == []
+
+
+def test_url_host(spark):
+    df = spark.createDataFrame([("https://host3.example.com/doc/1",)], "url string")
+    assert df.select(url_host("url").alias("h")).first()["h"] == "host3.example.com"
+
+
+def test_url_id_stable(spark):
+    df = spark.createDataFrame([("https://a.com/1",), ("https://a.com/1",)], "url string")
+    ids = [r["i"] for r in df.select(F.xxhash64("url").alias("i")).collect()]
+    assert ids[0] == ids[1]
