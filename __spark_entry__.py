@@ -1,38 +1,1265 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator inventory (SURVEY.md §2 + the
+training-data-pipeline operators) over the driver's testdata tables;
+``oracle_sql()`` provides the DuckDB ground truth for each. Every computed
+column is aliased identically on both sides. Queries are pure-Catalyst
+DataFrame plans except where a vectorized pandas UDF is the point of the
+operator (URL canonicalization), in which case the package zip is shipped to
+executors via addPyFile.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from cord19_crawler_spark.functions.hashes import (  # noqa: E402
+    MINHASH_PRIME,
+    md5_long56,
+    md5_long56_sql,
+    minhash_expr,
+    minhash_expr_sql,
+    minhash_params,
+)
+
+_PKG_ZIP = None
+
+
+def _ensure_workers(spark: SparkSession) -> None:
+    """Ship the package to executor Python workers (addPyFile), so pandas
+    UDFs defined in the package deserialize there. Equivalent of
+    ``spark-submit --py-files`` for a driver that didn't pass it."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        zpath = os.path.join("/tmp", "cord19_crawler_spark_pkg.zip")
+        with zipfile.ZipFile(zpath, "w") as zf:
+            pkg = os.path.join(REPO, "cord19_crawler_spark")
+            for root, _dirs, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        zf.write(full, os.path.relpath(full, REPO))
+        _PKG_ZIP = zpath
+    spark.sparkContext.addPyFile(_PKG_ZIP)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# 1. Relational coverage (scans, joins, aggs, windows, sorts, sets)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape — flagship scan+agg (A1/A11 analogue). Catalyst does
+    partial+final hash agg; filter + 7-column projection push into the
+    parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)       AS sum_qty,
+       round(sum(l_extendedprice), 2)  AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 2)       AS avg_qty,
+       count(*)                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark, sf_dir):
+    """Customer×orders×lineitem join chain + agg + top-k (J1/A9-shape/O3)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_revenue_by_nation(spark, sf_dir):
+    """Five-table join chain: region→nation→customer→orders→lineitem."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+_Q5_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def broadcast_dim_join(spark, sf_dir):
+    """J1: fact×small-dim broadcast hash join, agg by brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_BROADCAST_SQL = """
+SELECT p_brand, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def anti_join_no_orders(spark, sf_dir):
+    """J2 (the URL-seen operator shape): left_anti — customers without any
+    urgent order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_ANTI_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def semi_join_big_spenders(spark, sf_dir):
+    """J6: left_semi — customers having at least one big order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_SEMI_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def window_topk_orders_per_customer(spark, sf_dir):
+    """W3/O3: top-3 orders per customer (custkey<100) by totalprice."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rank")
+    )
+
+
+_WTOPK_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rank
+  FROM orders WHERE o_custkey < 100
+) WHERE rank <= 3
+"""
+
+
+def global_rank_suppliers(spark, sf_dir):
+    """W1: global rank by acctbal desc (barrel W1 analogue), top 50."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("rank", "s_suppkey", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+_GRANK_SQL = """
+SELECT rank, s_suppkey, round(s_acctbal, 2) AS acctbal FROM (
+  SELECT CAST(row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) AS INTEGER) AS rank,
+         s_suppkey, s_acctbal
+  FROM supplier
+) WHERE rank <= 50
+"""
+
+
+def minmax_per_nation(spark, sf_dir):
+    """O7: min/max per group through a join."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.min("s_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("s_acctbal"), 2).alias("max_bal"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_MINMAX_SQL = """
+SELECT n_name, round(min(s_acctbal), 2) AS min_bal,
+       round(max(s_acctbal), 2) AS max_bal, count(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def union_order_classes(spark, sf_dir):
+    """U1: unionByName of two tagged slices + agg."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 150000).withColumn("class", F.lit("high"))
+    lo = o.filter(F.col("o_totalprice") < 20000).withColumn("class", F.lit("low"))
+    return (
+        hi.unionByName(lo)
+        .groupBy("class", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("class", "o_orderpriority")
+    )
+
+
+_UNION_SQL = """
+SELECT class, o_orderpriority, count(*) AS n_orders FROM (
+  SELECT 'high' AS class, o_orderpriority FROM orders WHERE o_totalprice > 150000
+  UNION ALL
+  SELECT 'low'  AS class, o_orderpriority FROM orders WHERE o_totalprice < 20000
+) GROUP BY class, o_orderpriority ORDER BY class, o_orderpriority
+"""
+
+
+def split_explode_types(spark, sf_dir):
+    """P6: multi-value split + explode (sha ';' split analogue)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split(F.col("p_type"), " ")).alias("type_word"))
+        .filter(F.col("type_word") != "")
+        .groupBy("type_word")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("type_word")
+    )
+
+
+_SPLIT_SQL = """
+SELECT type_word, count(*) AS n_parts
+FROM (SELECT unnest(string_split(p_type, ' ')) AS type_word FROM part)
+WHERE type_word <> ''
+GROUP BY type_word ORDER BY type_word
+"""
+
+
+def coalesce_fallback(spark, sf_dir):
+    """P10: coalesce chain (pdf→pmc→abstract analogue)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.coalesce(
+                F.nullif(F.col("o_orderstatus"), F.lit("O")),
+                F.col("o_orderpriority"),
+            ).alias("status_or_priority")
+        )
+        .groupBy("status_or_priority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status_or_priority")
+    )
+
+
+_COALESCE_SQL = """
+SELECT coalesce(nullif(o_orderstatus, 'O'), o_orderpriority) AS status_or_priority,
+       count(*) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_hourly_rollup(spark, sf_dir):
+    """Event-time rollup: truncate to hour, agg per type."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min idle gap): lag + cumulative sum —
+    the window-in-disguise pattern (W-class) on the events stream table."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    with_gap = e.withColumn(
+        "new_session",
+        (F.coalesce(epoch - F.lag(epoch).over(w), F.lit(10**9)) > 1800).cast("int"),
+    )
+    sessions = with_gap.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SESSION_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL THEN 1
+              WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+def running_total_per_customer(spark, sf_dir):
+    """C6 shape: prefix-sum window (running revenue per customer <50)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2)
+       AS running_total
+FROM orders WHERE o_custkey < 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Search-engine family (documents table): lexicon, postings, TF-IDF, ...
+# ---------------------------------------------------------------------------
+
+_TOKENS_CTE = """
+tokens AS (
+  SELECT doc_id, CAST(t.pos - 1 AS INTEGER) AS pos, t.word
+  FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word,
+           generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+    FROM documents
+  ) t(doc_id, word, pos)
+  WHERE length(t.word) >= 2 AND NOT regexp_matches(t.word, '^[0-9]+$')
+)
+"""
+
+
+def _tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "word"),
+    )
+    return ex.filter((F.length("word") >= 2) & ~F.col("word").rlike(r"^\d+$"))
+
+
+def lexicon_first_encounter(spark, sf_dir):
+    """A2: deterministic first-encounter word ids (reference arrival-order
+    ids made parallelism-proof via min-first-position rank)."""
+    toks = _tokens(spark, sf_dir)
+    stats = toks.groupBy("word").agg(
+        F.min(F.col("doc_id") * 100000 + F.col("pos")).alias("first_key"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("total_count"),
+    )
+    w = Window.orderBy("first_key", "word")
+    return stats.withColumn("word_id", F.row_number().over(w)).select(
+        "word", "word_id", "doc_freq", "total_count"
+    )
+
+
+_LEXICON_SQL = f"""
+WITH {_TOKENS_CTE},
+stats AS (
+  SELECT word, min(doc_id * 100000 + pos) AS first_key,
+         count(DISTINCT doc_id) AS doc_freq, count(*) AS total_count
+  FROM tokens GROUP BY word
+)
+SELECT word, CAST(row_number() OVER (ORDER BY first_key, word) AS INTEGER) AS word_id,
+       doc_freq, total_count
+FROM stats
+"""
+
+
+def postings_tf(spark, sf_dir):
+    """A1: term-frequency postings (word, doc_id, tf)."""
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+_POSTINGS_SQL = f"""
+WITH {_TOKENS_CTE}
+SELECT word, doc_id, count(*) AS tf FROM tokens GROUP BY word, doc_id
+"""
+
+
+def word_stats_query(spark, sf_dir):
+    """A5: per-word doc_freq + total_freq over postings."""
+    p = postings_tf(spark, sf_dir)
+    return p.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.sum("tf").alias("total_freq"),
+    )
+
+
+_WORD_STATS_SQL = f"""
+WITH {_TOKENS_CTE},
+postings AS (SELECT word, doc_id, count(*) AS tf FROM tokens GROUP BY word, doc_id)
+SELECT word, count(DISTINCT doc_id) AS doc_freq, sum(tf) AS total_freq
+FROM postings GROUP BY word
+"""
+
+_QUERY_TERMS = ["spark", "window", "fast"]
+
+
+def tfidf_multiword_search(spark, sf_dir):
+    """A9+A10+O3: the reference's multi-word TF-IDF ranking formula
+    (src/multiwordSearch.py:115-131) over the documents table, top-20."""
+    from cord19_crawler_spark.operators.search import tfidf_search
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    p = postings_tf(spark, sf_dir)
+    return tfidf_search(p, _QUERY_TERMS, n, k=20)
+
+
+_TFIDF_SQL = f"""
+WITH {_TOKENS_CTE},
+postings AS (SELECT word, doc_id, count(*) AS tf FROM tokens GROUP BY word, doc_id),
+total AS (SELECT count(*) AS n FROM documents),
+terms AS (SELECT unnest(['spark','window','fast']) AS word),
+hits AS (
+  SELECT p.word AS term, p.doc_id, max(p.tf) AS f
+  FROM postings p JOIN terms t ON p.word = t.word
+  GROUP BY p.word, p.doc_id
+),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS term_df FROM hits GROUP BY term),
+scored AS (
+  SELECT h.doc_id,
+         (CASE WHEN h.f > 1 THEN 1.0 + ln(h.f) ELSE 1.0 END) *
+         (ln((total.n + 1.0) / (d.term_df + 1.0)) + 1.0) AS tfidf
+  FROM hits h JOIN dfs d USING (term) CROSS JOIN total
+),
+combined AS (
+  SELECT doc_id, sum(tfidf) AS base, count(*) AS matched_terms
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       round(base * (CASE WHEN matched_terms > 1
+                          THEN 1.0 + 0.1 * (matched_terms - 1) ELSE 1.0 END), 6) AS score,
+       CAST(matched_terms AS INTEGER) AS matched_terms
+FROM combined
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+def autocomplete_top3(spark, sf_dir):
+    """W3: top-3 words per 2-char prefix by total_count (trie replacement)."""
+    from cord19_crawler_spark.operators.search import autocomplete_topk
+
+    lex = lexicon_first_encounter(spark, sf_dir)
+    return autocomplete_topk(lex, prefix_len=2, k=3)
+
+
+_AUTOCOMPLETE_SQL = f"""
+WITH {_TOKENS_CTE},
+lex AS (
+  SELECT word, count(*) AS total_count FROM tokens GROUP BY word
+),
+pref AS (
+  SELECT substr(word, 1, 2) AS prefix, word, total_count,
+         CAST(row_number() OVER (PARTITION BY substr(word, 1, 2)
+                        ORDER BY total_count DESC, word ASC) AS INTEGER) AS rank
+  FROM lex WHERE length(word) >= 2
+)
+SELECT prefix, word, total_count, rank FROM pref WHERE rank <= 3
+"""
+
+
+def round_robin_barrel_head(spark, sf_dir):
+    """W1+W2: frequency-ranked round-robin partition assignment of the top-30
+    words over 4 barrels (src/barrel.py:104-112 analogue)."""
+    stats = word_stats_query(spark, sf_dir)
+    w = Window.orderBy(F.desc("doc_freq"), F.asc("word"))
+    return (
+        stats.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 30)
+        .withColumn("barrel_id", ((F.col("rank") - 1) % 4).cast("int"))
+        .select("word", "doc_freq", "rank", "barrel_id")
+    )
+
+
+_RR_BARREL_SQL = f"""
+WITH {_TOKENS_CTE},
+postings AS (SELECT word, doc_id, count(*) AS tf FROM tokens GROUP BY word, doc_id),
+stats AS (SELECT word, count(DISTINCT doc_id) AS doc_freq FROM postings GROUP BY word),
+ranked AS (
+  SELECT word, doc_freq,
+         CAST(row_number() OVER (ORDER BY doc_freq DESC, word ASC) AS INTEGER) AS rank
+  FROM stats
+)
+SELECT word, doc_freq, rank, CAST((rank - 1) % 4 AS INTEGER) AS barrel_id
+FROM ranked WHERE rank <= 30
+"""
+
+
+def doc_id_dense_mapping(spark, sf_dir):
+    """O8: dense int ids by sorted doc id (src/barreled_index.py:139-156)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    return d.select("doc_id").distinct().withColumn(
+        "int_id", F.row_number().over(w)
+    )
+
+
+_DOCMAP_SQL = """
+SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS INTEGER) AS int_id
+FROM (SELECT DISTINCT doc_id FROM documents)
+"""
+
+
+def gap_encode_postings(spark, sf_dir):
+    """C3 as SQL: per-word doc-id gap encoding via lag (words 'spark','agg')."""
+    p = postings_tf(spark, sf_dir).filter(F.col("word").isin("spark", "agg"))
+    w = Window.partitionBy("word").orderBy("doc_id")
+    return p.select(
+        "word",
+        "doc_id",
+        (F.col("doc_id") - F.coalesce(F.lag("doc_id").over(w), F.lit(0))).alias("gap"),
+    )
+
+
+_GAP_SQL = f"""
+WITH {_TOKENS_CTE},
+postings AS (SELECT word, doc_id, count(*) AS tf FROM tokens GROUP BY word, doc_id)
+SELECT word, doc_id,
+       doc_id - coalesce(lag(doc_id) OVER (PARTITION BY word ORDER BY doc_id), 0) AS gap
+FROM postings WHERE word IN ('spark', 'agg')
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Frontier family — the north-star pipeline over oracle-constructible URLs
+# ---------------------------------------------------------------------------
+# URLs are deterministically constructed from orders rows; the DuckDB oracle
+# constructs the *canonical* form directly, so these queries validate the
+# Arrow-UDF canonicalizer and the scheduling operators against ground truth.
+
+
+def _messy_urls(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    host = F.concat(F.lit("host"), (F.col("o_custkey") % 7).cast("string"), F.lit(".example.com"))
+    base = F.concat(F.lit("/doc/"), F.col("o_orderkey").cast("string"))
+    v = F.col("o_orderkey") % 4
+    messy = (
+        F.when(v == 0, F.concat(F.lit("HTTPS://"), F.upper(host), base, F.lit("#frag")))
+        .when(v == 1, F.concat(F.lit("https://"), host, F.lit(":443"), base))
+        .when(v == 2, F.concat(F.lit("https://"), host, base, F.lit("?b=2&a=1")))
+        .otherwise(F.concat(F.lit("https://"), host, base))
+    )
+    return o.select(
+        messy.alias("raw_url"),
+        host.alias("host"),
+        F.round(F.col("o_totalprice"), 2).alias("priority"),
+        F.col("o_orderkey"),
+    )
+
+
+_CANON_URL_SQL_EXPR = """
+  'https://host' || (o_custkey % 7) || '.example.com/doc/' || o_orderkey ||
+  CASE WHEN o_orderkey % 4 = 2 THEN '?a=1&b=2' ELSE '' END
+"""
+
+
+def frontier_canonicalize(spark, sf_dir):
+    """P1 analogue (THE canonicalization kernel): messy URL variants →
+    canonical form via the vectorized pandas UDF; oracle constructs the
+    canonical string directly."""
+    _ensure_workers(spark)
+    from cord19_crawler_spark.functions.urls import canonicalize_url
+
+    m = _messy_urls(spark, sf_dir)
+    return (
+        m.select(canonicalize_url(F.col("raw_url")).alias("url"))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_raw"))
+        .orderBy("url")
+    )
+
+
+_CANON_SQL = f"""
+SELECT url, count(*) AS n_raw FROM (
+  SELECT {_CANON_URL_SQL_EXPR} AS url FROM orders
+) GROUP BY url ORDER BY url
+"""
+
+
+def frontier_seen_antijoin(spark, sf_dir):
+    """J2/URL-seen: candidates minus seen set (exact anti-join), counted per
+    host. Seen = URLs of orders with o_orderkey % 3 = 0."""
+    _ensure_workers(spark)
+    from cord19_crawler_spark.functions.urls import canonicalize_url
+
+    m = _messy_urls(spark, sf_dir)
+    canon = m.select(
+        canonicalize_url(F.col("raw_url")).alias("url"),
+        "host",
+        (F.col("o_orderkey") % 3 == 0).alias("is_seen"),
+    )
+    seen = canon.filter(F.col("is_seen")).select("url")
+    return (
+        canon.join(seen, "url", "left_anti")
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+        .orderBy("host")
+    )
+
+
+_SEEN_ANTI_SQL = f"""
+WITH canon AS (
+  SELECT {_CANON_URL_SQL_EXPR} AS url,
+         'host' || (o_custkey % 7) || '.example.com' AS host,
+         (o_orderkey % 3 = 0) AS is_seen
+  FROM orders
+)
+SELECT host, count(*) AS n_new
+FROM canon c
+WHERE NOT EXISTS (SELECT 1 FROM canon s WHERE s.is_seen AND s.url = c.url)
+GROUP BY host ORDER BY host
+"""
+
+
+def frontier_per_host_topk(spark, sf_dir):
+    """The per-host priority queue (politeness max-in-flight = 3):
+    Window.partitionBy(host).orderBy(priority desc, url) ≤ 3."""
+    _ensure_workers(spark)
+    from cord19_crawler_spark.functions.urls import canonicalize_url
+
+    m = _messy_urls(spark, sf_dir)
+    canon = m.select(
+        canonicalize_url(F.col("raw_url")).alias("url"), "host", "priority"
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
+    return (
+        canon.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("host", "url", "priority", "rank")
+    )
+
+
+_HOST_TOPK_SQL = f"""
+WITH canon AS (
+  SELECT {_CANON_URL_SQL_EXPR} AS url,
+         'host' || (o_custkey % 7) || '.example.com' AS host,
+         round(o_totalprice, 2) AS priority
+  FROM orders
+)
+SELECT host, url, priority, rank FROM (
+  SELECT host, url, priority,
+         CAST(row_number() OVER (PARTITION BY host
+                        ORDER BY priority DESC, url ASC) AS INTEGER) AS rank
+  FROM canon
+) WHERE rank <= 3
+"""
+
+
+def frontier_fetch_batch(spark, sf_dir):
+    """Global fetch-batch order: top-40 by (priority desc, url) with seq —
+    the deterministic crawl-order statement (O3 + total-order tie-break)."""
+    _ensure_workers(spark)
+    from cord19_crawler_spark.functions.urls import canonicalize_url
+
+    m = _messy_urls(spark, sf_dir)
+    canon = m.select(canonicalize_url(F.col("raw_url")).alias("url"), "priority")
+    batch = canon.orderBy(F.desc("priority"), F.asc("url")).limit(40)
+    w = Window.orderBy(F.desc("priority"), F.asc("url"))
+    return batch.withColumn("seq", F.row_number().over(w))
+
+
+_FETCH_BATCH_SQL = f"""
+WITH canon AS (
+  SELECT {_CANON_URL_SQL_EXPR} AS url, round(o_totalprice, 2) AS priority
+  FROM orders
+)
+SELECT url, priority,
+       CAST(row_number() OVER (ORDER BY priority DESC, url ASC) AS INTEGER) AS seq
+FROM canon ORDER BY priority DESC, url ASC LIMIT 40
+"""
+
+
+def hot_host_split_plan_q(spark, sf_dir):
+    """Skew-splitting plan: n_salt = ceil(pending/threshold) per host
+    (barrel.py:104-122 analogue as a per-round plan)."""
+    m = _messy_urls(spark, sf_dir)
+    return (
+        m.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("pending_cnt"))
+        .withColumn(
+            "n_salt",
+            F.greatest(F.lit(1), F.ceil(F.col("pending_cnt") / F.lit(500)).cast("int")),
+        )
+        .orderBy("host")
+    )
+
+
+_HOT_SPLIT_SQL = """
+SELECT host, pending_cnt,
+       CAST(greatest(1, ceil(pending_cnt / 500.0)) AS INTEGER) AS n_salt
+FROM (
+  SELECT 'host' || (o_custkey % 7) || '.example.com' AS host, count(*) AS pending_cnt
+  FROM orders GROUP BY 1
+) ORDER BY host
+"""
+
+
+def politeness_eligibility_q(spark, sf_dir):
+    """Politeness min-delay filter: hosts last scheduled within min_delay
+    rounds are ineligible. host_state derived deterministically from the
+    host index; current round = 10."""
+    m = _messy_urls(spark, sf_dir)
+    hs = m.select("host").distinct().withColumn(
+        "last_scheduled_round",
+        F.when(F.substring("host", 5, 1).cast("int") % 3 == 0, F.lit(9)).otherwise(F.lit(5)),
+    ).withColumn("min_delay_rounds", F.lit(2))
+    eligible = (
+        m.join(hs, "host")
+        .filter((F.lit(10) - F.col("last_scheduled_round")) >= F.col("min_delay_rounds"))
+    )
+    return (
+        eligible.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_eligible"))
+        .orderBy("host")
+    )
+
+
+_POLITE_SQL = """
+WITH m AS (
+  SELECT 'host' || (o_custkey % 7) || '.example.com' AS host FROM orders
+), hs AS (
+  SELECT host,
+         CASE WHEN CAST(substr(host, 5, 1) AS INTEGER) % 3 = 0 THEN 9 ELSE 5 END
+           AS last_scheduled_round,
+         2 AS min_delay_rounds
+  FROM (SELECT DISTINCT host FROM m)
+)
+SELECT m.host, count(*) AS n_eligible
+FROM m JOIN hs ON m.host = hs.host
+WHERE (10 - last_scheduled_round) >= min_delay_rounds
+GROUP BY m.host ORDER BY m.host
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Training-data pipeline: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_prefix(spark, sf_dir):
+    """Exact dedup by md5 fingerprint of the first 40 chars (hash-groupBy)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", F.md5(F.substring(F.col("text"), 1, 40)).alias("fp")
+    )
+    return (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fp")
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper
+FROM (SELECT doc_id, md5(substr(text, 1, 40)) AS fp FROM documents)
+GROUP BY fp HAVING count(*) > 1 ORDER BY fp
+"""
+
+_SHINGLE_CTE = """
+words AS (
+  SELECT doc_id, w.word, w.pos
+  FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word,
+           generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+    FROM documents WHERE doc_id < 60
+  ) w(doc_id, word, pos)
+),
+shingles AS (
+  SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS shingle
+  FROM words a
+  JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+)
+"""
+
+
+def _shingles_df(spark, sf_dir):
+    from cord19_crawler_spark.operators.dedup import shingles
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return shingles(d, "doc_id", "text", 3)
+
+
+def dedup_minhash_signatures_q(spark, sf_dir):
+    """MinHash signatures (8 perms) over word-3-gram shingles, docs < 60."""
+    sh = _shingles_df(spark, sf_dir)
+    params = minhash_params(8)
+    h = md5_long56(F.col("shingle"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_expr(h, a, b)).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+
+
+def _minhash_sql() -> str:
+    params = minhash_params(8)
+    h = md5_long56_sql("shingle")
+    mins = ",\n  ".join(
+        f"min({minhash_expr_sql(h, a, b)}) AS mh_{i}" for i, (a, b) in enumerate(params)
+    )
+    return f"WITH {_SHINGLE_CTE}\nSELECT doc_id,\n  {mins}\nFROM shingles GROUP BY doc_id"
+
+
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (docs < 60, word-level grams,
+    threshold 0.7 — the synthetic corpus shares a small vocabulary, so
+    unigram Jaccard is the non-degenerate choice at this scale; the 3-gram
+    variant is exercised by minhash/LSH)."""
+    from cord19_crawler_spark.operators.dedup import shingles as _sh
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    sh = _sh(d, "doc_id", "text", 1)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+_NGRAM_JACCARD_SQL = """
+WITH shingles AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS shingle
+  FROM documents WHERE doc_id < 60
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(common / (sa.n + sb.n - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(common / (sa.n + sb.n - common), 6) >= 0.7
+"""
+
+
+def dedup_simhash_q(spark, sf_dir):
+    """SimHash fingerprints (16 bits) per doc (docs < 60)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    h = md5_long56(F.col("word")) % F.lit(MINHASH_PRIME)
+    bits = 16
+    sums = toks.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    return sums.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+            for i in range(bits)
+        ).cast("long").alias("simhash"),
+    )
+
+
+def _simhash_sql() -> str:
+    h = f"({md5_long56_sql('word')} % {MINHASH_PRIME})"
+    bits = 16
+    sums = ", ".join(
+        f"sum(CASE WHEN ({h} >> {i}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents WHERE doc_id < 60
+), sums AS (
+  SELECT doc_id, {sums} FROM toks WHERE word <> '' GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+"""
+
+
+def similarity_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding (JVM-side
+    higher-order-function dot product, TakeOrderedAndProject top-k)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "qv", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_v = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    norm_q = F.sqrt(
+        F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return (
+        joined.select(
+            "vec_id", F.round(dot / (norm_v * norm_q), 6).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+_COSINE_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+             (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[]))) *
+              sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def similarity_sign_buckets(spark, sf_dir):
+    """ANN bucket histogram: sign-projection bucket (first 6 dims) → count.
+    At scale the table is partitioned by this bucket → partition pruning."""
+    from cord19_crawler_spark.operators.similarity import sign_bucket_expr
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select(sign_bucket_expr("embedding", 6).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+_SIGN_BUCKET_SQL = """
+SELECT CAST(
+         (CASE WHEN embedding[1] >= 0 THEN 1  ELSE 0 END) +
+         (CASE WHEN embedding[2] >= 0 THEN 2  ELSE 0 END) +
+         (CASE WHEN embedding[3] >= 0 THEN 4  ELSE 0 END) +
+         (CASE WHEN embedding[4] >= 0 THEN 8  ELSE 0 END) +
+         (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) +
+         (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) AS INTEGER) AS bucket,
+       count(*) AS n_vectors
+FROM embeddings GROUP BY 1 ORDER BY 1
+"""
+
+
+def text_token_stats(spark, sf_dir):
+    """Language/token analytics: per lang, doc count + avg whitespace-token
+    count + avg chars (training-data quality rollup)."""
+    d = _t(spark, sf_dir, "documents")
+    tc = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        d.select("lang", tc.alias("tc"), F.col("n_chars"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("tc"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TOKEN_STATS_SQL = """
+SELECT lang, count(*) AS n_docs,
+       round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def text_fingerprints(spark, sf_dir):
+    """Document fingerprinting: md5 of normalized text + 56-bit int form."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        md5_long56(norm).alias("fp56"),
+    )
+
+
+_NORM_EXPR = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5({_NORM_EXPR}) AS fp,
+       {md5_long56_sql(_NORM_EXPR)} AS fp56
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-Q1-shaped pricing summary at sf0.001."""
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational coverage
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_revenue_by_nation": q5_revenue_by_nation,
+        "broadcast_dim_join": broadcast_dim_join,
+        "anti_join_no_orders": anti_join_no_orders,
+        "semi_join_big_spenders": semi_join_big_spenders,
+        "window_topk_orders_per_customer": window_topk_orders_per_customer,
+        "global_rank_suppliers": global_rank_suppliers,
+        "minmax_per_nation": minmax_per_nation,
+        "union_order_classes": union_order_classes,
+        "split_explode_types": split_explode_types,
+        "coalesce_fallback": coalesce_fallback,
+        "events_hourly_rollup": events_hourly_rollup,
+        "events_sessionize": events_sessionize,
+        "running_total_per_customer": running_total_per_customer,
+        # search-engine family
+        "lexicon_first_encounter": lexicon_first_encounter,
+        "postings_tf": postings_tf,
+        "word_stats": word_stats_query,
+        "tfidf_multiword_search": tfidf_multiword_search,
+        "autocomplete_top3": autocomplete_top3,
+        "round_robin_barrel_head": round_robin_barrel_head,
+        "doc_id_dense_mapping": doc_id_dense_mapping,
+        "gap_encode_postings": gap_encode_postings,
+        # frontier family
+        "frontier_canonicalize": frontier_canonicalize,
+        "frontier_seen_antijoin": frontier_seen_antijoin,
+        "frontier_per_host_topk": frontier_per_host_topk,
+        "frontier_fetch_batch": frontier_fetch_batch,
+        "hot_host_split_plan": hot_host_split_plan_q,
+        "politeness_eligibility": politeness_eligibility_q,
+        # training-data pipeline
+        "dedup_exact_prefix": dedup_exact_prefix,
+        "dedup_minhash_signatures": dedup_minhash_signatures_q,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+        "dedup_simhash": dedup_simhash_q,
+        "similarity_cosine_topk": similarity_cosine_topk,
+        "similarity_sign_buckets": similarity_sign_buckets,
+        "text_token_stats": text_token_stats,
+        "text_fingerprints": text_fingerprints,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_top_orders": _Q3_SQL,
+        "q5_revenue_by_nation": _Q5_SQL,
+        "broadcast_dim_join": _BROADCAST_SQL,
+        "anti_join_no_orders": _ANTI_SQL,
+        "semi_join_big_spenders": _SEMI_SQL,
+        "window_topk_orders_per_customer": _WTOPK_SQL,
+        "global_rank_suppliers": _GRANK_SQL,
+        "minmax_per_nation": _MINMAX_SQL,
+        "union_order_classes": _UNION_SQL,
+        "split_explode_types": _SPLIT_SQL,
+        "coalesce_fallback": _COALESCE_SQL,
+        "events_hourly_rollup": _EVENTS_HOURLY_SQL,
+        "events_sessionize": _SESSION_SQL,
+        "running_total_per_customer": _RUNNING_SQL,
+        "lexicon_first_encounter": _LEXICON_SQL,
+        "postings_tf": _POSTINGS_SQL,
+        "word_stats": _WORD_STATS_SQL,
+        "tfidf_multiword_search": _TFIDF_SQL,
+        "autocomplete_top3": _AUTOCOMPLETE_SQL,
+        "round_robin_barrel_head": _RR_BARREL_SQL,
+        "doc_id_dense_mapping": _DOCMAP_SQL,
+        "gap_encode_postings": _GAP_SQL,
+        "frontier_canonicalize": _CANON_SQL,
+        "frontier_seen_antijoin": _SEEN_ANTI_SQL,
+        "frontier_per_host_topk": _HOST_TOPK_SQL,
+        "frontier_fetch_batch": _FETCH_BATCH_SQL,
+        "hot_host_split_plan": _HOT_SPLIT_SQL,
+        "politeness_eligibility": _POLITE_SQL,
+        "dedup_exact_prefix": _DEDUP_EXACT_SQL,
+        "dedup_minhash_signatures": _minhash_sql(),
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_simhash": _simhash_sql(),
+        "similarity_cosine_topk": _COSINE_SQL,
+        "similarity_sign_buckets": _SIGN_BUCKET_SQL,
+        "text_token_stats": _TOKEN_STATS_SQL,
+        "text_fingerprints": _FINGERPRINT_SQL,
+    }

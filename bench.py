@@ -1,0 +1,119 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS or 32], plus the flagship frontier-scheduler
+throughput benchmark (the north-star metric: URLs scheduled/sec), and prints
+ONE JSON line:
+
+  {"metric": "frontier_urls_scheduled_per_sec", "value": <urls/sec>,
+   "unit": "urls/sec", "queries": {"<name>": <sec>, ...}, "sf": <sf>,
+   "total_query_sec": <sec>, "crawl": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from cord19_crawler_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_revenue_by_nation",
+    "events_sessionize",
+    "window_topk_orders_per_customer",
+    "lexicon_first_encounter",
+    "tfidf_multiword_search",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "similarity_cosine_topk",
+    "text_fingerprints",
+    "frontier_canonicalize",
+    "frontier_per_host_topk",
+    "frontier_fetch_batch",
+]
+
+
+def crawl_benchmark(spark, n_docs: int = 20000, rounds: int = 3, batch: int = 2000) -> dict:
+    """North-star throughput: run the full scheduler (politeness, bloom seen,
+    skew plan, checkpointing) and report URLs scheduled/sec."""
+    from cord19_crawler_spark.datagen import generate_documents, seed_urls
+    from cord19_crawler_spark.frontier import CrawlScheduler, SchedulerConfig
+
+    ckpt = "/tmp/bench_frontier_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    docs = generate_documents(spark, n_docs, partitions=CPUS * 2).cache()
+    docs.count()  # materialize corpus outside the timed section
+    cfg = SchedulerConfig(
+        batch_size=batch,
+        seen_partitions=16,
+        bloom_bits=1 << 22,
+        min_delay_rounds=1,
+        max_in_flight=batch,
+        hot_host_threshold=50_000,
+    )
+    sched = CrawlScheduler(spark, docs, ckpt, cfg)
+    t0 = time.time()
+    counters = sched.run(rounds, seeds=seed_urls(spark, 500, n_docs))
+    elapsed = time.time() - t0
+    scheduled = sum(c["scheduled"] for c in counters)
+    discovered = sum(c["discovered_new"] for c in counters)
+    docs.unpersist()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "n_docs": n_docs,
+        "rounds": rounds,
+        "scheduled": scheduled,
+        "discovered_new": discovered,
+        "elapsed_sec": round(elapsed, 3),
+        "urls_scheduled_per_sec": round(scheduled / elapsed, 2) if elapsed > 0 else 0.0,
+    }
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")},
+    )
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+    crawl = crawl_benchmark(spark)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "frontier_urls_scheduled_per_sec",
+        "value": crawl["urls_scheduled_per_sec"],
+        "unit": "urls/sec",
+        "queries": timings,
+        "sf": sf_val,
+        "total_query_sec": round(sum(timings.values()), 3),
+        "crawl": crawl,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -51,15 +51,38 @@ def eligible_urls(pending: DataFrame, host_state: DataFrame, current_round: int)
     )
 
 
-def per_host_topk(eligible: DataFrame) -> DataFrame:
+def per_host_topk(eligible: DataFrame, split_plan: DataFrame | None = None) -> DataFrame:
     """Per-host priority queue honoring max_in_flight.
 
     Window.partitionBy(host).orderBy(desc(priority), url) — deterministic
     total order (url is unique), row_number ≤ max_in_flight.
+
+    Skew handling (the north_rule's "explicit skew-splitting of hot
+    domains"): a host with 10^8 pending URLs would pin one reducer. With a
+    ``split_plan`` (host → n_salt from skew.hot_host_plan), a PRE-phase
+    window over (host, salt) keeps only the per-salt top-k, shrinking a hot
+    host to n_salt·k rows before the exact per-host window runs. Two-phase
+    top-k is order-preserving: the true per-host top-k is a subset of the
+    union of per-salt top-ks, so results are identical to the unsalted
+    window.
     """
+    work = eligible
+    if split_plan is not None:
+        work = work.join(F.broadcast(split_plan), "host", "left").withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("url")), F.coalesce(F.col("n_salt"), F.lit(1))),
+        )
+        w_pre = Window.partitionBy("host", "_salt").orderBy(
+            F.desc("priority"), F.asc("url")
+        )
+        work = (
+            work.withColumn("_pre_rank", F.row_number().over(w_pre))
+            .filter(F.col("_pre_rank") <= F.coalesce(F.col("max_in_flight"), F.lit(1)))
+            .drop("_pre_rank", "_salt", "n_salt")
+        )
     w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
     return (
-        eligible.withColumn("host_rank", F.row_number().over(w))
+        work.withColumn("host_rank", F.row_number().over(w))
         .filter(F.col("host_rank") <= F.coalesce(F.col("max_in_flight"), F.lit(1)))
         .drop("host_rank", "min_delay_rounds", "max_in_flight", "last_scheduled_round")
     )

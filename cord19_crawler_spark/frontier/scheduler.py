@@ -35,7 +35,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.urls import canonicalize_url, extract_urls, url_host
+from ..functions.urls import (
+    canonicalize_url,
+    extract_canonical_urls,
+    host_from_canonical,
+)
 from ..storage import CheckpointStore
 from . import politeness, skew
 from .robots import filter_robots
@@ -80,8 +84,9 @@ class CrawlScheduler:
     # -- state helpers ------------------------------------------------------
 
     def _annotate(self, urls: DataFrame) -> DataFrame:
-        """url → (url, url_id, host, partition). url must be canonical."""
-        out = urls.withColumn("host", url_host(F.col("url"))).withColumn(
+        """url → (url, url_id, host, partition). url must be canonical —
+        host/id/partition are pure Catalyst expressions (no Python)."""
+        out = urls.withColumn("host", host_from_canonical(F.col("url"))).withColumn(
             "url_id", F.xxhash64(F.col("url"))
         )
         return with_partition(out, self.cfg.seen_partitions)
@@ -99,6 +104,7 @@ class CrawlScheduler:
             .withColumn("discovered_round", F.lit(0))
             .withColumn("state", F.lit("pending"))
             .select(*FRONTIER_COLS)
+            .cache()  # four state tables derive from it — compute once
         )
         url_seen = frontier.select("partition", "url_id", "url")
         filter_state = self.bloom.insert(
@@ -122,6 +128,7 @@ class CrawlScheduler:
             },
             {"seeds": n_seeds, "scheduled": 0, "discovered_new": 0},
         )
+        frontier.unpersist()
 
     def _read(self, rnd: int, name: str) -> DataFrame:
         return self.store.read_table(self.spark, rnd, name)
@@ -138,12 +145,16 @@ class CrawlScheduler:
 
         pending = frontier.filter(F.col("state") == "pending")
 
+        # hot-host split plan (one small agg; broadcast) — used to split the
+        # skewed per-host window two-phase
+        plan = skew.hot_host_plan(pending, self.cfg.hot_host_threshold)
+
         # 1. politeness + robots eligibility
         eligible = politeness.eligible_urls(pending, host_state, rnd)
         eligible = filter_robots(eligible, self.robots)
 
-        # 2. per-host priority queue → global fetch batch
-        ranked = politeness.per_host_topk(eligible)
+        # 2. per-host priority queue (skew-split two-phase) → fetch batch
+        ranked = politeness.per_host_topk(eligible, split_plan=plan)
         batch = politeness.global_batch(ranked, self.cfg.batch_size)
         batch = batch.select("url", "url_id", "host", "priority", "seq").cache()
         n_scheduled = batch.count()
@@ -160,19 +171,13 @@ class CrawlScheduler:
         spans = fetched.select(
             F.explode(F.slice(F.col("spans"), 1, self.cfg.span_cap)).alias("span")
         )
-        raw_links = spans.select(
-            F.explode(extract_urls(F.col("span.text"))).alias("raw_url")
+        # fused extract+canonicalize: ONE Arrow/Python stage per round
+        canon_links = spans.select(
+            F.explode(extract_canonical_urls(F.col("span.text"))).alias("url")
         )
-        canon_links = (
-            raw_links.withColumn("url", canonicalize_url(F.col("raw_url")))
-            .filter(F.col("url").isNotNull())
-            .select("url")
-        )
-        discovered = self._annotate(canon_links)
-        # hot-host split plan (from pending counts) → salted repartition
-        # ahead of the dedup shuffle, then exact distinct.
-        plan = skew.hot_host_plan(pending, self.cfg.hot_host_threshold)
-        discovered = skew.repartition_salted(discovered, plan).dropDuplicates(["url"])
+        # dedup shuffles on url — uniform hash key, no host skew, so no
+        # salting needed here (salting guards HOST-keyed shuffles only)
+        discovered = self._annotate(canon_links).dropDuplicates(["url"])
 
         # 5. URL-seen: bloom prefilter → exact backstop
         flagged = self.bloom.probe(discovered, filter_state)

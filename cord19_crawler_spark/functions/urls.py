@@ -73,6 +73,30 @@ def extract_urls(texts: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(T.ArrayType(T.StringType()))
+def extract_canonical_urls(texts: pd.Series) -> pd.Series:
+    """Fused extract+canonicalize in ONE Arrow stage (one Python exchange per
+    round instead of two — the hot-path kernel the scheduler uses)."""
+
+    def _run(t: str | None) -> list[str]:
+        if not t:
+            return []
+        out = []
+        for m in URL_RE.findall(t):
+            c = canonicalize_one(m.rstrip(_TRAIL_PUNCT))
+            if c is not None:
+                out.append(c)
+        return out
+
+    return texts.map(_run)
+
+
+def host_from_canonical(col: Column) -> Column:
+    """Host of an already-canonical URL — pure Catalyst (codegen'd), since
+    canonical form guarantees ``scheme://host[:port]/...``."""
+    return F.regexp_extract(col, r"^https?://([^/:]+)", 1)
+
+
 @pandas_udf(T.StringType())
 def url_host(urls: pd.Series) -> pd.Series:
     """Host component of an (already canonical) URL."""

@@ -1,0 +1,242 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup. All hash math is md5-based 56-bit → mod-P
+arithmetic (functions/hashes.py) so every stage is reproducible in a DuckDB
+oracle; everything is JVM-side Catalyst expressions — no Python UDFs.
+
+Scale notes: MinHash signatures are one hash-agg over exploded shingles
+(partial aggregation map-side); LSH banding turns the O(n²) pair space into
+per-bucket self-joins — at 100 TB the band join is THE shuffle, so band keys
+include the band index (bucket skew stays bounded) and candidate
+verification happens after an early ``dropDuplicates`` on pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashes import MINHASH_PRIME, md5_long56, minhash_expr, minhash_params
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via content fingerprint: groups with >1 doc, keeper = min id.
+    (A12/J2 as dedup; one hash-agg, no join.)"""
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")).alias("fp"),
+    )
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("w"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - n),
+                lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
+            )
+        ).alias("shingle"),
+    )
+    return grams.filter(F.size(F.split(F.col("shingle"), " ")) == n).distinct()
+
+
+def minhash_signatures(sh: DataFrame, num_perm: int = 16, seed: int = 42) -> DataFrame:
+    """(doc_id, mh_0..mh_{P-1}): min over permuted shingle hashes.
+
+    One exploded scan + one hash-agg with num_perm min() aggregates —
+    Catalyst runs partial mins map-side, so the shuffle carries one row per
+    doc, not one per shingle."""
+    params = minhash_params(num_perm, seed)
+    h = md5_long56(F.col("shingle"))
+    aggs = [
+        F.min(minhash_expr(h, a, b)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """Band the signature columns; docs sharing any band bucket are
+    candidates. Returns (doc_a, doc_b) with doc_a < doc_b, distinct."""
+    mh_cols = [c for c in signatures.columns if c.startswith("mh_")]
+    rows_per_band = len(mh_cols) // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[F.col(mh_cols[b * rows_per_band + r]).alias(f"r{r}") for r in range(rows_per_band)],
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bucket")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, on="bucket")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    ngram: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle → sign → band → candidate pairs →
+    EXACT Jaccard verification ≥ threshold. Returns
+    (doc_a, doc_b, jaccard)."""
+    sh = shingles(docs, id_col, text_col, ngram).cache()
+    sig = minhash_signatures(sh, num_perm)
+    cand = lsh_candidate_pairs(sig, bands)
+    return verify_jaccard(cand, sh, threshold)
+
+
+def verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate pairs via two semi-joins + size agg."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    common = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    with_sizes = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+    )
+    return (
+        with_sizes.withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Direct n-gram Jaccard near-dup (no LSH): gram-equi-join builds the
+    candidate pairs; exact at small scale, the LSH variant is the scale
+    path."""
+    sh = shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    with_sizes = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+    )
+    return (
+        with_sizes.withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash over token hashes: bit i of the fingerprint is the
+    sign of Σ_tokens (±1 by token-hash bit i), tf-weighted.
+
+    JVM-side: one explode + one groupBy with ``bits`` conditional sums —
+    partial aggregation keeps the shuffle at one row per doc."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    h = md5_long56(F.col("word")) % F.lit(MINHASH_PRIME)
+    with_h = toks.select("doc_id", h.alias("h"))
+    sums = with_h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fingerprint = sums.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+            for i in range(bits)
+        ).cast("long").alias("simhash"),
+    )
+    return fingerprint
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bucket_dims: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup: sign-projection bucketing on the first
+    ``bucket_dims`` dimensions (deterministic hyperplanes = coordinate axes)
+    → per-bucket pair join → exact cosine ≥ threshold."""
+    sig = sum(
+        F.when(F.element_at(F.col(vec_col), d + 1) >= 0, F.lit(1 << d)).otherwise(F.lit(0))
+        for d in range(bucket_dims)
+    )
+    b = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), sig.alias("bucket"))
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(r, "bucket").filter(F.col("l.vid") < F.col("r.vid"))
+    dot = F.aggregate(
+        F.zip_with(F.col("l.v"), F.col("r.v"), lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.col(f"{side}.v"), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x
+        )
+    )
+    return (
+        pairs.select(
+            F.col("l.vid").alias("vec_a"),
+            F.col("r.vid").alias("vec_b"),
+            F.round(dot / (norm("l") * norm("r")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

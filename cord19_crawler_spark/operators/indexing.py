@@ -1,0 +1,86 @@
+"""Index-construction operators: tokens → lexicon / postings / forward index.
+
+Reference: the driver-side fold at /root/reference/src/index.py:48-116 builds
+lexicon (arrival-order ids), forward index (ordered word-id lists) and
+inverted index (word→doc→tf) as mutable dicts. Here each is ONE declarative
+DataFrame job — Catalyst does partial/final hash aggregation, and ids are
+assigned by rank over a *deterministic first-encounter order* (the reference's
+arrival-order ids are nondeterministic under its unordered worker pool,
+src/index.py:46; we fix that — SURVEY.md §7 determinism rules).
+
+All functions take a ``tokens`` DF of (doc_id, pos, word) produced by
+:func:`tokens_from_text` — pure JVM expressions, no Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokens_from_text(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, word): lowercase split on whitespace, empty dropped,
+    min-length 2 + standalone digits dropped (reference token filter,
+    src/crawler.py:190-193)."""
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "word"),
+    )
+    return exploded.filter(
+        (F.length("word") >= 2) & ~F.col("word").rlike(r"^\d+$")
+    )
+
+
+def lexicon(tokens: DataFrame) -> DataFrame:
+    """word → (word_id, doc_freq, total_count) with deterministic ids.
+
+    id order = first encounter in (doc_id, pos) scan order, ties broken by
+    word — reproducing the reference's first-encounter semantics
+    (src/index.py:78-87) but parallelism-proof.
+    """
+    stats = tokens.groupBy("word").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("first_at"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("total_count"),
+    )
+    w = Window.orderBy(F.col("first_at"), F.col("word"))
+    return stats.withColumn("word_id", F.row_number().over(w)).select(
+        "word", "word_id", "doc_freq", "total_count"
+    )
+
+
+def postings(tokens: DataFrame) -> DataFrame:
+    """Inverted index in relational (exploded) form: (word, doc_id, tf).
+    Reference map-of-maps: src/index.py:96-99."""
+    return tokens.groupBy("word", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def forward_index(tokens: DataFrame) -> DataFrame:
+    """doc_id → ordered word list (src/index.py:89-93); order restored via
+    sort_array over (pos, word) structs — deterministic at any parallelism."""
+    return tokens.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "word"))),
+            lambda s: s["word"],
+        ).alias("words")
+    )
+
+
+def pos_distribution(tokens_with_pos: DataFrame, pos_col: str = "pos_tag") -> DataFrame:
+    """POS rollup (src/index.py:192-198): explode → groupBy → orderBy desc."""
+    return (
+        tokens_with_pos.groupBy(pos_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col(pos_col))
+    )
+
+
+def doc_id_mapping(postings_df: DataFrame) -> DataFrame:
+    """Dense int ids over sorted doc ids (src/barreled_index.py:139-156:
+    ``sorted(all_doc_ids)`` then enumerate) — determinism lever O8."""
+    w = Window.orderBy("doc_id")
+    return (
+        postings_df.select("doc_id")
+        .distinct()
+        .withColumn("int_id", F.row_number().over(w))
+    )

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the correctness baseline: one scan, a JVM-side
+  higher-order-function dot product (F.zip_with/F.aggregate — stays in
+  codegen, no Python), TakeOrderedAndProject for the top-k.
+* LSH-bucketed ANN — the scale path: deterministic sign-projection buckets;
+  the query probes only its own (optionally hamming-≤1-adjacent) buckets, so
+  a 10^10-vector table is pruned to a few buckets before any distance math.
+  (IVF with learned centroids is the next refinement; buckets here are
+  data-independent so results are exactly reproducible and oracle-checkable.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(v1, v2):
+    return F.aggregate(
+        F.zip_with(v1, v2, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(v):
+    return F.sqrt(
+        F.aggregate(v, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_expr(vec_col: str, query: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = F.col(vec_col)
+    return F.round(_dot(v, q) / (_norm(v) * _norm(q)), 6)
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: (vec_id, cosine), deterministic tie-break."""
+    return (
+        emb.select(F.col(id_col).alias("vec_id"), cosine_expr(vec_col, query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def sign_bucket_expr(vec_col: str, dims: int):
+    """Deterministic sign-projection bucket id from the first ``dims``
+    coordinates (hyperplanes = coordinate axes → fully reproducible)."""
+    return sum(
+        F.when(F.element_at(F.col(vec_col), d + 1) >= 0, F.lit(1 << d)).otherwise(F.lit(0))
+        for d in range(dims)
+    )
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_dims: int = 6,
+    probe_adjacent: bool = True,
+) -> DataFrame:
+    """ANN: restrict the scan to the query's sign bucket (plus hamming-1
+    neighbors for recall), then exact cosine within. At scale the table is
+    written partitioned by bucket → partition pruning makes the probe read
+    only ~ (dims+1)/2^dims of the data."""
+    q_bucket = 0
+    for d in range(bucket_dims):
+        if query[d] >= 0:
+            q_bucket |= 1 << d
+    buckets = [q_bucket]
+    if probe_adjacent:
+        buckets += [q_bucket ^ (1 << d) for d in range(bucket_dims)]
+    bucketed = emb.withColumn("bucket", sign_bucket_expr(vec_col, bucket_dims))
+    probed = bucketed.filter(F.col("bucket").isin(buckets))
+    return (
+        probed.select(F.col(id_col).alias("vec_id"), cosine_expr(vec_col, query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def pairwise_cosine_topk_per_label(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label all-pairs cosine top-k (co-partitioned self-join on label —
+    the grouped variant of brute force used for intra-class mining)."""
+    from pyspark.sql import Window
+
+    b = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), F.col(label_col).alias("lbl")
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (
+        l.join(r, "lbl")
+        .filter(F.col("l.vid") < F.col("r.vid"))
+        .select(
+            "lbl",
+            F.col("l.vid").alias("vec_a"),
+            F.col("r.vid").alias("vec_b"),
+            F.round(
+                _dot(F.col("l.v"), F.col("r.v")) / (_norm(F.col("l.v")) * _norm(F.col("r.v"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("lbl").orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

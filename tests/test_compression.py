@@ -1,0 +1,113 @@
+"""Round-trip tests for the compression kernels — WITH assertions, unlike the
+reference's print-only demo (src/barreled_index.py:252-269), and including the
+negative-delta cases the reference corrupts (bug C4)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cord19_crawler_spark.operators.compression import (
+    compress_posting_list,
+    decompress_posting_list,
+    gap_decode,
+    gap_encode,
+    varbyte_decode,
+    varbyte_encode,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+
+def test_reference_demo_case():
+    # the reference's own demo input (src/barreled_index.py:252-269)
+    ids, freqs = [1, 5, 10, 15, 20, 25], [3, 5, 2, 4, 1, 6]
+    blob = compress_posting_list(ids, freqs)
+    got_ids, got_freqs = decompress_posting_list(blob)
+    assert got_ids == ids
+    assert got_freqs == freqs
+    assert len(blob) < len(ids) * 8 + len(freqs) * 8  # actually compresses
+
+
+def test_below_mean_freqs_roundtrip():
+    """The reference bug: freqs below the mean decode wrong. We must not."""
+    ids = [2, 4, 6, 8, 100]
+    freqs = [1, 1, 1, 1, 1000]  # mean ≈ 200 → four negative deltas
+    got_ids, got_freqs = decompress_posting_list(compress_posting_list(ids, freqs))
+    assert got_ids == ids
+    assert got_freqs == freqs
+
+
+def test_gap_encode_decode():
+    ids = [3, 7, 8, 20, 21]
+    assert gap_encode(ids) == [3, 4, 1, 12, 1]
+    assert gap_decode(gap_encode(ids)) == ids
+    assert gap_encode([]) == []
+
+
+def test_zigzag():
+    vals = np.array([0, -1, 1, -2, 2, -(2**40), 2**40], dtype=np.int64)
+    assert list(zigzag_decode(zigzag_encode(vals))) == list(vals)
+
+
+@given(st.lists(st.integers(min_value=-(2**40), max_value=2**40), max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_varbyte_roundtrip_property(vals):
+    assert varbyte_decode(varbyte_encode(vals)) == vals
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**32), min_size=1, max_size=100, unique=True),
+    st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_posting_list_roundtrip_property(ids, data):
+    freqs = data.draw(
+        st.lists(
+            st.integers(min_value=1, max_value=10**6),
+            min_size=len(ids),
+            max_size=len(ids),
+        )
+    )
+    ids = sorted(ids)
+    got_ids, got_freqs = decompress_posting_list(compress_posting_list(ids, freqs))
+    assert got_ids == ids
+    assert got_freqs == freqs
+
+
+def test_compress_postings_df(spark):
+    from cord19_crawler_spark.operators.compression import compress_postings_df
+
+    pdf = spark.createDataFrame(
+        [("w1", 1, 3), ("w1", 5, 5), ("w1", 10, 2), ("w2", 7, 1)],
+        "word string, doc_int_id int, tf int",
+    )
+    rows = {r["word"]: r for r in compress_postings_df(pdf).collect()}
+    ids, freqs = decompress_posting_list(bytes(rows["w1"]["blob"]))
+    assert ids == [1, 5, 10]
+    assert freqs == [3, 5, 2]
+    assert rows["w2"]["n_docs"] == 1
+
+
+def test_gap_df_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from cord19_crawler_spark.operators.compression import (
+        gap_encode_df,
+        prefix_sum_decode_df,
+    )
+
+    postings = spark.createDataFrame(
+        [("w", 3), ("w", 7), ("w", 8), ("v", 5)], "word string, doc_id long"
+    )
+    gaps = gap_encode_df(postings)
+    # re-sequence for decode
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("word").orderBy("doc_id")
+    seq = gaps.withColumn("gap_seq", F.row_number().over(w)).select(
+        "word", "gap_seq", "gap"
+    )
+    decoded = prefix_sum_decode_df(seq)
+    got = sorted((r["word"], r["doc_id"]) for r in decoded.collect())
+    assert got == [("v", 5), ("w", 3), ("w", 7), ("w", 8)]

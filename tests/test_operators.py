@@ -1,0 +1,195 @@
+"""Unit tests for indexing / search / barrels / dedup / similarity / text /
+multimodal operators on tiny in-memory data."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cord19_crawler_spark.functions.text import clean_text, lang_id, lemmatize_tokens, quality_score, token_count
+from cord19_crawler_spark.operators import barrels, dedup, indexing, multimodal, search, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "virus vaccine virus protein"),
+        (2, "vaccine trial results"),
+        (3, "virus vaccine virus protein"),  # exact dup of 1
+        (4, "totally different content here"),
+        (5, "virus vaccine virus protein extra"),  # near dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tokens_and_lexicon(spark, docs):
+    toks = indexing.tokens_from_text(docs)
+    assert toks.filter(F.col("word") == "virus").count() == 6
+    lex = indexing.lexicon(toks).collect()
+    by_word = {r["word"]: r for r in lex}
+    # first-encounter order: doc1 pos0=virus → word_id 1, vaccine → 2, protein → 3
+    assert by_word["virus"]["word_id"] == 1
+    assert by_word["vaccine"]["word_id"] == 2
+    assert by_word["protein"]["word_id"] == 3
+    assert by_word["virus"]["doc_freq"] == 3
+    assert by_word["virus"]["total_count"] == 6
+
+
+def test_forward_index_order(spark, docs):
+    fwd = {r["doc_id"]: r["words"] for r in indexing.forward_index(
+        indexing.tokens_from_text(docs)).collect()}
+    assert fwd[1] == ["virus", "vaccine", "virus", "protein"]
+    assert fwd[2] == ["vaccine", "trial", "results"]
+
+
+def test_postings_tf(spark, docs):
+    p = indexing.postings(indexing.tokens_from_text(docs))
+    row = p.filter((F.col("word") == "virus") & (F.col("doc_id") == 1)).first()
+    assert row["tf"] == 2
+
+
+def test_tfidf_search_matches_reference_formula(spark, docs):
+    toks = indexing.tokens_from_text(docs)
+    p = indexing.postings(toks)
+    n = docs.count()
+    res = search.tfidf_search(p, ["virus", "vaccine"], n, k=10).collect()
+    scores = {r["doc_id"]: r["score"] for r in res}
+    # manual: doc1 virus f=2 df=3, vaccine f=1 df=4
+    tf_v = 1 + math.log(2)
+    idf_v = math.log((n + 1) / (3 + 1)) + 1
+    idf_vac = math.log((n + 1) / (4 + 1)) + 1
+    expected = (tf_v * idf_v + 1.0 * idf_vac) * 1.1  # 2 matched terms
+    assert abs(scores[1] - expected) < 1e-5
+    # doc ordering deterministic
+    assert [r["doc_id"] for r in res[:2]] == sorted(
+        [r["doc_id"] for r in res[:2]],
+        key=lambda d: (-scores[d], d),
+    )
+
+
+def test_autocomplete_topk(spark, docs):
+    lex = indexing.lexicon(indexing.tokens_from_text(docs))
+    ac = search.autocomplete_topk(lex, prefix_len=2, k=2)
+    vi = [r["word"] for r in ac.filter(F.col("prefix") == "vi").collect()]
+    assert vi == ["virus"]
+    got = search.prefix_match(lex, "v", k=5).collect()
+    assert {r["word"] for r in got} == {"virus", "vaccine"}
+
+
+def test_barrel_assignment_balance(spark):
+    rows = [(f"w{i}", 1000 // (i + 1) + 1, 2000 // (i + 1) + 1) for i in range(100)]
+    stats = spark.createDataFrame(rows, "word string, doc_freq long, total_freq long")
+    assigned = barrels.assign_barrels(stats, num_barrels=4, top_n=20)
+    st = barrels.barrel_stats(assigned).collect()
+    assert len(st) == 4
+    loads = [r["total_doc_freq"] for r in st]
+    # greedy least-loaded keeps barrels within ~2x of each other
+    assert max(loads) < 2.5 * min(loads)
+    assert assigned.count() == 100
+    # head is round-robin by rank
+    head = barrels.round_robin_head(stats, 4, 20).collect()
+    for r in head:
+        assert r["barrel_id"] == (r["rank"] - 1) % 4
+
+
+def test_exact_duplicates(spark, docs):
+    d = dedup.exact_duplicates(docs).collect()
+    assert len(d) == 1
+    assert d[0]["keeper"] == 1
+    assert d[0]["n_docs"] == 2
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = dedup.minhash_near_duplicates(
+        docs, num_perm=16, bands=8, threshold=0.3, ngram=2
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 3) in got  # exact dup always found
+    assert all(a < b for a, b in got)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 3)] == 1.0
+    assert (1, 5) in got  # near dup above 0.5
+
+
+def test_simhash_similarity(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, bits=32).collect()}
+    assert sh[1] == sh[3]  # identical docs → identical fingerprint
+    ham_near = bin(sh[1] ^ sh[5]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_cosine_topk_and_ann(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.0, 0.0, 0.0]
+    top = similarity.cosine_topk(emb, q, k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+    assert abs(top[0]["cosine"] - 1.0) < 1e-6
+    ann = similarity.ann_lsh_topk(emb, q, k=2, bucket_dims=2).collect()
+    assert [r["vec_id"] for r in ann] == [1, 2]
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.5]),
+        (2, [0.99, 0.01, 0.5]),
+        (3, [0.0, 1.0, -0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = dedup.embedding_near_duplicates(emb, threshold=0.95, bucket_dims=3).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_text_kernels(spark):
+    df = spark.createDataFrame(
+        [("The Virus+Study #42 was    GOOD",), ("het kleine huis aan de gracht",)],
+        "text string",
+    )
+    out = df.select(
+        clean_text(F.col("text")).alias("clean"),
+        token_count("text").alias("tc"),
+        lang_id("text").alias("lang"),
+        quality_score("text").alias("q"),
+    ).collect()
+    # double space: reference order collapses whitespace BEFORE digit removal
+    assert out[0]["clean"] == "the virusstudy  was good"
+    assert out[0]["tc"] == 5
+    assert out[0]["lang"] == "en"
+    assert out[1]["lang"] == "other"
+    assert 0.0 <= out[0]["q"] <= 1.0
+
+
+def test_lemmatizer_plumbing(spark):
+    df = spark.createDataFrame([("running trials tested",), (None,)], "text string")
+    rows = df.select(lemmatize_tokens(F.col("text")).alias("t")).collect()
+    lemmas = [t["lemma"] for t in rows[0]["t"]]
+    assert lemmas == ["runn", "trial", "test"]
+    assert rows[1]["t"] == []
+
+
+def test_multimodal_plumbing(spark):
+    from cord19_crawler_spark.datagen import generate_documents
+
+    docs = generate_documents(spark, 100, partitions=2)
+    media = multimodal.media_table_from_documents(docs)
+    assert media.count() > 0
+    feats = multimodal.decode_and_featurize(media, dim=8).collect()
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert all(r["decode_status"] == "ok-fake" for r in feats)
+    # deterministic: same media_ref → same feature
+    f1 = multimodal.decode_and_featurize(media, dim=8).collect()
+    assert {r["media_ref"]: r["feature"] for r in feats} == {
+        r["media_ref"]: r["feature"] for r in f1
+    }
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_and_featurize(media, dim=8, decode_mode="real")

@@ -1,0 +1,93 @@
+"""Local stand-in for the driver's CORRECTNESS gate: run each queries() entry
+on Spark and its oracle_sql() on DuckDB at sf0.01; compare row count, column
+names, and order-insensitive values (sorted by all columns)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from cord19_crawler_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main(only: list[str] | None = None):
+    spark = get_spark(master="local[8]", shuffle_partitions=8,
+                      extra_conf={"spark.driver.memory": "8g"})
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    qs, osql = entry.queries(), entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(norm(v) for v in r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            continue
+        sql = osql.get(name)
+        if sql is None:
+            print(f"SKIP-ORACLE {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(sql)
+            ocols = [d[0] for d in res.description]
+            orows = [tuple(norm(v) for v in r) for r in res.fetchall()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: DUCKDB ERROR {str(e)[:300]}")
+            continue
+        ok = True
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL {name}: columns spark={scols} duck={ocols}")
+            ok = False
+        elif len(srows) != len(orows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(orows)}")
+            ok = False
+        else:
+            # order-insensitive compare with column-name alignment
+            s_ix = [scols.index(c) for c in sorted(scols)]
+            o_ix = [ocols.index(c) for c in sorted(ocols)]
+            sset = sorted([tuple(r[i] for i in s_ix) for r in srows])
+            oset = sorted([tuple(r[i] for i in o_ix) for r in orows])
+            if sset != oset:
+                diff = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
+                print(f"FAIL {name}: values differ; first diffs {diff}")
+                ok = False
+        if ok:
+            print(f"OK   {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+        else:
+            failures.append(name)
+    print("\n==>", "ALL OK" if not failures else f"FAILURES: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:] or None))
