@@ -1,0 +1,81 @@
+"""CORD-19 ingest source tests with a synthetic tarball + metadata fixture
+(the reference ships no fixtures — FIXTURES.md §3 schemas)."""
+
+import io
+import json
+import tarfile
+
+from cord19_crawler_spark.sources.cord19 import ingest_cord19
+
+
+def _make_fixture(tmp_path):
+    docs = {
+        "shaA": {
+            "paper_id": "shaA",
+            "metadata": {"title": "Title A"},
+            "abstract": [{"text": "abs A1"}, {"text": "abs A2"}],
+            "body_text": [{"text": f"body A{i}"} for i in range(60)],  # > cap
+        },
+        "shaB": {
+            "paper_id": "shaB",
+            "metadata": {"title": None},
+            "abstract": [],
+            "body_text": [{"text": "body B0 http://X.com/b"}],
+        },
+        "shaZ": {  # not in metadata → dropped by the inner join
+            "paper_id": "shaZ",
+            "metadata": {"title": "orphan"},
+            "abstract": [],
+            "body_text": [],
+        },
+    }
+    tar_path = tmp_path / "parses.tar.gz"
+    with tarfile.open(tar_path, "w:gz") as tf:
+        for sha, payload in docs.items():
+            body = json.dumps(payload).encode()
+            info = tarfile.TarInfo(name=f"pdf_json/{sha}.json")
+            info.size = len(body)
+            tf.addfile(info, io.BytesIO(body))
+        # non-json member must be skipped
+        info = tarfile.TarInfo(name="README.txt")
+        info.size = 2
+        tf.addfile(info, io.BytesIO(b"hi"))
+    meta_path = tmp_path / "metadata.csv"
+    meta_path.write_text(
+        "cord_uid,sha,title,abstract,pdf_json_files,pmc_json_files\n"
+        "uidA,shaA; shaA2,Meta Title A,absA,pdf/a.json,\n"
+        "uidB,shaB,Meta Title B,absB,pdf/b.json,\n"
+    )
+    return str(tar_path), str(meta_path)
+
+
+def test_ingest_cord19_end_to_end(spark, tmp_path):
+    tar_path, meta_path = _make_fixture(tmp_path)
+    docs = ingest_cord19(spark, tar_path, meta_path, span_cap=50)
+    rows = {r["doc_id"]: r["spans"] for r in docs.collect()}
+    assert set(rows) == {"uidA", "uidB"}  # orphan sha dropped by join
+
+    a = rows["uidA"]
+    # span order: title → abstract → body; cap at 50 (reference
+    # src/crawler.py:59-82, cap at :80)
+    assert len(a) == 50
+    assert a[0]["kind"] == "title" and a[0]["text"] == "Title A"
+    assert [s["kind"] for s in a[:3]] == ["title", "abstract", "abstract"]
+    assert a[3]["kind"] == "body" and a[3]["text"] == "body A0"
+    assert [s["offset"] for s in a] == list(range(1, 51)) or [
+        s["offset"] for s in a
+    ] == list(range(50))
+
+    b = rows["uidB"]
+    # null JSON title falls back to metadata title (P10 coalesce)
+    assert b[0]["text"] == "Meta Title B"
+    assert b[1]["text"] == "body B0 http://X.com/b"
+
+
+def test_multi_sha_split(spark, tmp_path):
+    from cord19_crawler_spark.sources.cord19 import read_metadata_csv, sha_lookup
+
+    _, meta_path = _make_fixture(tmp_path)
+    lut = sha_lookup(read_metadata_csv(spark, meta_path)).collect()
+    shas = {r["sha"] for r in lut}
+    assert {"shaA", "shaA2", "shaB"} == shas  # ';' split + trim

@@ -1,0 +1,54 @@
+"""Structured Streaming ingest tests: availableNow drain, exactly-once
+incremental processing across restarts, streaming results match the batch
+pipeline."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from cord19_crawler_spark.datagen import generate_documents
+from cord19_crawler_spark.functions.urls import extract_canonical_urls
+from cord19_crawler_spark.streaming.ingest import run_ingest_available_now
+
+
+def _write_batch(spark, docs, path):
+    docs.write.mode("overwrite").parquet(path)
+
+
+def test_available_now_ingest_and_incremental(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs1 = generate_documents(spark, 50, partitions=2)
+    docs1.write.mode("append").parquet(in_dir)
+
+    run_ingest_available_now(spark, in_dir, out_dir, ckpt)
+    got1 = spark.read.parquet(out_dir)
+    n1 = got1.count()
+    assert n1 > 0
+    assert set(got1.columns) == {"url", "host", "url_id", "src_doc_id", "discovered_at"}
+
+    # batch-vs-stream parity on the discovered URL multiset
+    batch_links = (
+        spark.read.parquet(in_dir)
+        .select(F.explode(F.slice(F.col("spans"), 1, 50)).alias("span"))
+        .select(F.explode(extract_canonical_urls(F.col("span.text"))).alias("url"))
+    )
+    assert n1 == batch_links.count()
+    assert (
+        got1.select("url").exceptAll(batch_links).count() == 0
+        and batch_links.exceptAll(got1.select("url")).count() == 0
+    )
+
+    # incremental: add one new file; re-run processes ONLY the new docs
+    more = generate_documents(spark, 80, partitions=2).filter(F.col("doc_id") >= 50)
+    more.write.mode("append").parquet(in_dir)
+    run_ingest_available_now(spark, in_dir, out_dir, ckpt)
+    n2 = spark.read.parquet(out_dir).count()
+    expected_new = (
+        more.select(F.explode(F.slice(F.col("spans"), 1, 50)).alias("span"))
+        .select(F.explode(extract_canonical_urls(F.col("span.text"))).alias("url"))
+        .count()
+    )
+    assert n2 == n1 + expected_new
+    assert os.path.isdir(ckpt)
