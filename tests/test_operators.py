@@ -90,6 +90,16 @@ def test_barrel_assignment_balance(spark):
     head = barrels.round_robin_head(stats, 4, 20).collect()
     for r in head:
         assert r["barrel_id"] == (r["rank"] - 1) % 4
+    # parity vs an independent pure-Python reimplementation of the
+    # reference policy (src/barrel.py:104-122)
+    ordered = sorted(rows, key=lambda x: (-x[1], x[0]))
+    expect, loads = {}, [0] * 4
+    for i, (word, df_, _tf) in enumerate(ordered):
+        b = i % 4 if i < 20 else min(range(4), key=lambda j: loads[j])
+        expect[word] = b
+        loads[b] += df_
+    got = {r["word"]: r["barrel_id"] for r in assigned.collect()}
+    assert got == expect
 
 
 def test_exact_duplicates(spark, docs):

@@ -1,0 +1,67 @@
+"""Bloom + cuckoo URL-seen filter properties (SURVEY.md §5.1): zero false
+negatives always; FPR bounded; scheduler results identical under either
+filter (exactness comes from the anti-join backstop, not the sketch)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cord19_crawler_spark.frontier.cuckoo import CuckooSeenFilter
+from cord19_crawler_spark.frontier.seen import BloomSeenFilter, exact_new, with_partition
+
+
+def _urls_df(spark, start, n, parts=4):
+    df = spark.range(start, start + n).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 13).cast("string"),
+                 F.lit(".com/p/"), F.col("id").cast("string")).alias("url")
+    ).withColumn("url_id", F.xxhash64("url"))
+    return with_partition(df, parts)
+
+
+@pytest.mark.parametrize("flt", [
+    BloomSeenFilter(n_partitions=4, m_bits=1 << 16, k=5),
+    CuckooSeenFilter(n_partitions=4, n_buckets=1 << 12),
+])
+def test_no_false_negatives_and_bounded_fpr(spark, flt):
+    inserted = _urls_df(spark, 0, 3000)
+    state = flt.insert(inserted, flt.empty_state(spark))
+    # every inserted url must probe positive
+    flagged = flt.probe(inserted, state)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+    # unseen urls: false-positive rate bounded
+    fresh = _urls_df(spark, 1_000_000, 3000)
+    fp = flt.probe(fresh, state).filter(F.col("maybe_seen")).count()
+    assert fp / 3000 < 0.05, f"FPR too high: {fp / 3000}"
+
+
+def test_exact_new_resolves_fp(spark):
+    flt = BloomSeenFilter(n_partitions=4, m_bits=1 << 10, k=2)  # tiny → many FPs
+    seen = _urls_df(spark, 0, 2000)
+    state = flt.insert(seen, flt.empty_state(spark))
+    url_seen = seen.select("partition", "url_id", "url")
+    fresh = _urls_df(spark, 500_000, 2000)
+    flagged = flt.probe(fresh, state)
+    assert flagged.filter(F.col("maybe_seen")).count() > 0  # sketch lies
+    new = exact_new(flagged, url_seen)
+    assert new.count() == 2000  # backstop restores exactness
+    # and none of the already-seen sneak through
+    flagged_seen = flt.probe(seen, state)
+    assert exact_new(flagged_seen, url_seen).count() == 0
+
+
+def test_scheduler_identical_under_cuckoo(spark, tmp_path):
+    from cord19_crawler_spark.datagen import generate_documents, seed_urls
+    from cord19_crawler_spark.frontier import CrawlScheduler, SchedulerConfig
+
+    docs = generate_documents(spark, 200, partitions=2).cache()
+    base = dict(batch_size=15, seen_partitions=4, bloom_bits=1 << 16,
+                min_delay_rounds=2, max_in_flight=3)
+    s_bloom = CrawlScheduler(spark, docs, str(tmp_path / "b"), SchedulerConfig(**base))
+    s_bloom.run(3, seeds=seed_urls(spark, 8, 200))
+    s_cuckoo = CrawlScheduler(
+        spark, docs, str(tmp_path / "c"),
+        SchedulerConfig(**base, extra={"filter_kind": "cuckoo", "cuckoo_buckets": 1 << 12}),
+    )
+    s_cuckoo.run(3, seeds=seed_urls(spark, 8, 200))
+    assert s_bloom.crawl_order() == s_cuckoo.crawl_order()
+    assert s_bloom.seen_set() == s_cuckoo.seen_set()
