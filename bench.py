@@ -45,7 +45,7 @@ HEADLINE = [
 ]
 
 
-def crawl_benchmark(spark, n_docs: int = 20000, rounds: int = 3, batch: int = 2000) -> dict:
+def crawl_benchmark(spark, n_docs: int = 60000, rounds: int = 3, batch: int = 8000) -> dict:
     """North-star throughput: run the full scheduler (politeness, bloom seen,
     skew plan, checkpointing) and report URLs scheduled/sec."""
     from cord19_crawler_spark.datagen import generate_documents, seed_urls
@@ -65,7 +65,7 @@ def crawl_benchmark(spark, n_docs: int = 20000, rounds: int = 3, batch: int = 20
     )
     sched = CrawlScheduler(spark, docs, ckpt, cfg)
     t0 = time.time()
-    counters = sched.run(rounds, seeds=seed_urls(spark, 500, n_docs))
+    counters = sched.run(rounds, seeds=seed_urls(spark, 2000, n_docs))
     elapsed = time.time() - t0
     scheduled = sum(c["scheduled"] for c in counters)
     discovered = sum(c["discovered_new"] for c in counters)

@@ -117,7 +117,7 @@ class CrawlScheduler:
             .select(*FRONTIER_COLS)
             .cache()  # four state tables derive from it — compute once
         )
-        url_seen = frontier.select("partition", "url_id", "url")
+        url_seen_new = frontier.select("partition", "url_id", "url")
         filter_state = self.bloom.insert(
             frontier, self.bloom.empty_state(self.spark)
         )
@@ -132,7 +132,7 @@ class CrawlScheduler:
             0,
             {
                 "frontier": frontier,
-                "url_seen": url_seen,
+                "url_seen_new": url_seen_new,
                 "filter_state": filter_state,
                 "host_state": host_state,
                 "crawl_log": crawl_log,
@@ -144,13 +144,25 @@ class CrawlScheduler:
     def _read(self, rnd: int, name: str) -> DataFrame:
         return self.store.read_table(self.spark, rnd, name)
 
+    def _read_url_seen(self, upto_rnd: int) -> DataFrame:
+        """The exact seen set = union of per-round APPEND-ONLY deltas
+        (``url_seen_new``). Each round writes only its new URLs — O(new), not
+        O(total): at a 10^10-URL frontier a full rewrite per round would be
+        the dominant cost. This is exactly Iceberg's append-snapshot pattern
+        on plain parquet; with Iceberg, it's one ``append()`` per round and
+        this union is a single snapshot read."""
+        paths = [
+            self.store.table_path(r, "url_seen_new") for r in range(upto_rnd + 1)
+        ]
+        return self.spark.read.parquet(*paths)
+
     # -- the round ----------------------------------------------------------
 
     def run_round(self, rnd: int) -> dict:
         """Execute round ``rnd`` on top of committed round ``rnd - 1``."""
         prev = rnd - 1
         frontier = self._read(prev, "frontier")
-        url_seen = self._read(prev, "url_seen")
+        url_seen = self._read_url_seen(prev)
         filter_state = self._read(prev, "filter_state")
         host_state = self._read(prev, "host_state")
 
@@ -214,9 +226,7 @@ class CrawlScheduler:
         )
         frontier_next = frontier_next.select(*FRONTIER_COLS).unionByName(new_rows)
 
-        url_seen_next = url_seen.unionByName(
-            new_urls.select("partition", "url_id", "url")
-        )
+        url_seen_new = new_urls.select("partition", "url_id", "url")
         filter_state_next = self.bloom.insert(new_urls, filter_state)
         host_state_next = self._advance_hosts(host_state, batch, new_urls, rnd)
         crawl_log = batch.select(
@@ -239,7 +249,7 @@ class CrawlScheduler:
             rnd,
             {
                 "frontier": frontier_next,
-                "url_seen": url_seen_next,
+                "url_seen_new": url_seen_new,
                 "filter_state": filter_state_next,
                 "host_state": host_state_next,
                 "crawl_log": crawl_log,
@@ -304,7 +314,8 @@ class CrawlScheduler:
         if last is None:
             return set()
         return {
-            r["url"] for r in self._read(last, "url_seen").select("url").collect()
+            r["url"]
+            for r in self._read_url_seen(last).select("url").collect()
         }
 
     def re_emitted_documents(self, rnd: int) -> DataFrame:

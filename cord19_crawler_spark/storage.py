@@ -70,8 +70,11 @@ class CheckpointStore:
                 best = k if best is None else max(best, k)
         return best
 
+    def table_path(self, rnd: int, name: str) -> str:
+        return os.path.join(self._round_dir(rnd), name)
+
     def read_table(self, spark: SparkSession, rnd: int, name: str) -> DataFrame:
-        return spark.read.parquet(os.path.join(self._round_dir(rnd), name))
+        return spark.read.parquet(self.table_path(rnd, name))
 
     def read_counters(self, rnd: int) -> dict:
         with open(os.path.join(self._round_dir(rnd), "_COMMITTED.json")) as f:

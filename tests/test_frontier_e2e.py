@@ -105,7 +105,7 @@ def test_politeness_budget_enforced(spark, docs, tmp_path):
 def test_url_seen_is_exact_and_grows(spark, docs, tmp_path):
     sched = run_crawl(spark, docs, tmp_path / "seen")
     last = sched.store.latest_round()
-    seen = sched.store.read_table(spark, last, "url_seen")
+    seen = sched._read_url_seen(last)
     # exact: no duplicate canonical URLs ever enter the seen set
     assert seen.count() == seen.select("url").distinct().count()
     # frontier ⊆ seen (every enqueued URL was recorded as seen)
