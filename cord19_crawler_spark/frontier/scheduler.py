@@ -12,9 +12,11 @@ ingest; src/index.py:41-116 incremental fold):
   → posexplode spans (≤ cap) → URL extract + canonicalize (Arrow UDFs)
   → salted-repartition dedup (hot-host split plan) → distinct
   → bloom probe (co-grouped bitsets) → exact anti-join backstop
-  → MERGE new URLs into frontier, mark batch done
-  → commit checkpoint (frontier, url_seen, filter_state, host_state,
-    crawl_log, counters + per-partition lineage) atomically.
+  → append-only commit: frontier_new + url_seen_new + crawl_log deltas,
+    filter/host state, counters + per-partition lineage — atomically.
+    Pending is DERIVED (frontier deltas anti-join scheduled log), so no
+    O(frontier) rewrite ever happens; with Iceberg these are appends +
+    one MERGE-maintained view.
 
 Determinism: every ordering carries the total order (priority DESC, url ASC)
 — url is unique — so crawl order is identical at local[8] and local[32] and
@@ -45,7 +47,9 @@ from . import politeness, skew
 from .robots import filter_robots
 from .seen import BloomSeenFilter, exact_new, with_partition
 
-FRONTIER_COLS = ["url", "url_id", "host", "partition", "priority", "discovered_round", "state"]
+# per-round frontier DELTA columns: every committed row is append-only; the
+# pending set is DERIVED (deltas minus scheduled log), so no state rewrite.
+FRONTIER_COLS = ["url", "url_id", "host", "partition", "priority", "discovered_round"]
 
 
 @dataclass
@@ -113,7 +117,6 @@ class CrawlScheduler:
         frontier = (
             self._annotate(canon)
             .withColumn("discovered_round", F.lit(0))
-            .withColumn("state", F.lit("pending"))
             .select(*FRONTIER_COLS)
             .cache()  # four state tables derive from it — compute once
         )
@@ -131,7 +134,7 @@ class CrawlScheduler:
         self.store.commit_round(
             0,
             {
-                "frontier": frontier,
+                "frontier_new": frontier,
                 "url_seen_new": url_seen_new,
                 "filter_state": filter_state,
                 "host_state": host_state,
@@ -144,6 +147,32 @@ class CrawlScheduler:
     def _read(self, rnd: int, name: str) -> DataFrame:
         return self.store.read_table(self.spark, rnd, name)
 
+    def _read_deltas(self, upto_rnd: int, name: str) -> DataFrame:
+        """Union of a per-round append-only delta table across rounds."""
+        paths = [self.store.table_path(r, name) for r in range(upto_rnd + 1)]
+        return self.spark.read.parquet(*paths)
+
+    def _read_pending(self, upto_rnd: int) -> DataFrame:
+        """The pending frontier at the START of round upto_rnd+1, DERIVED
+        from append-only logs: all discovered URLs minus all scheduled URLs.
+
+        Every round writes only deltas (frontier_new, crawl_log,
+        url_seen_new) — O(new)+O(batch) write cost per round instead of
+        rewriting a 10^10-row frontier to flip 'state' flags. The anti-join
+        below is the read-time cost; with Iceberg this whole method is a
+        MERGE-maintained table read, and on parquet it is co-partitioned by
+        the uniform url hash (no skew)."""
+        frontier_all = self._read_deltas(upto_rnd, "frontier_new")
+        scheduled = self._read_deltas(upto_rnd, "crawl_log").select("url")
+        return frontier_all.join(scheduled, "url", "left_anti")
+
+    def pending_frontier(self) -> DataFrame:
+        """Public: current pending frontier (derived state)."""
+        last = self.store.latest_round()
+        if last is None:
+            raise ValueError("no committed rounds")
+        return self._read_pending(last)
+
     def _read_url_seen(self, upto_rnd: int) -> DataFrame:
         """The exact seen set = union of per-round APPEND-ONLY deltas
         (``url_seen_new``). Each round writes only its new URLs — O(new), not
@@ -151,22 +180,18 @@ class CrawlScheduler:
         the dominant cost. This is exactly Iceberg's append-snapshot pattern
         on plain parquet; with Iceberg, it's one ``append()`` per round and
         this union is a single snapshot read."""
-        paths = [
-            self.store.table_path(r, "url_seen_new") for r in range(upto_rnd + 1)
-        ]
-        return self.spark.read.parquet(*paths)
+        return self._read_deltas(upto_rnd, "url_seen_new")
 
     # -- the round ----------------------------------------------------------
 
     def run_round(self, rnd: int) -> dict:
         """Execute round ``rnd`` on top of committed round ``rnd - 1``."""
         prev = rnd - 1
-        frontier = self._read(prev, "frontier")
         url_seen = self._read_url_seen(prev)
         filter_state = self._read(prev, "filter_state")
         host_state = self._read(prev, "host_state")
 
-        pending = frontier.filter(F.col("state") == "pending")
+        pending = self._read_pending(prev)
 
         # hot-host split plan (one small agg; broadcast) — used to split the
         # skewed per-host window two-phase
@@ -207,24 +232,14 @@ class CrawlScheduler:
         new_urls = exact_new(flagged, url_seen).cache()
         n_new = new_urls.count()
 
-        # 6. frontier merge (Iceberg MERGE INTO equivalent):
-        #    batch → done; new URLs appended as pending.
-        done_marks = batch.select("url").withColumn("_done", F.lit(1))
-        frontier_next = (
-            frontier.join(done_marks, "url", "left")
-            .withColumn(
-                "state",
-                F.when(F.col("_done") == 1, F.lit("done")).otherwise(F.col("state")),
-            )
-            .drop("_done")
-        )
-        new_rows = (
+        # 6. frontier merge is append-only: the round's crawl_log IS the
+        #    done-marking (derived pending excludes it); only the newly
+        #    discovered URLs are written.
+        frontier_new = (
             new_urls.withColumn("priority", F.lit(1.0) / F.lit(float(1 + rnd)))
             .withColumn("discovered_round", F.lit(rnd))
-            .withColumn("state", F.lit("pending"))
             .select(*FRONTIER_COLS)
         )
-        frontier_next = frontier_next.select(*FRONTIER_COLS).unionByName(new_rows)
 
         url_seen_new = new_urls.select("partition", "url_id", "url")
         filter_state_next = self.bloom.insert(new_urls, filter_state)
@@ -248,7 +263,7 @@ class CrawlScheduler:
         self.store.commit_round(
             rnd,
             {
-                "frontier": frontier_next,
+                "frontier_new": frontier_new,
                 "url_seen_new": url_seen_new,
                 "filter_state": filter_state_next,
                 "host_state": host_state_next,

@@ -109,6 +109,12 @@ def test_url_seen_is_exact_and_grows(spark, docs, tmp_path):
     # exact: no duplicate canonical URLs ever enter the seen set
     assert seen.count() == seen.select("url").distinct().count()
     # frontier ⊆ seen (every enqueued URL was recorded as seen)
-    frontier = sched.store.read_table(spark, last, "frontier")
+    frontier = sched._read_deltas(last, "frontier_new")
     missing = frontier.join(seen.select("url"), "url", "left_anti").count()
     assert missing == 0
+    # append-only invariant: no URL discovered twice across rounds
+    assert frontier.count() == frontier.select("url").distinct().count()
+    # derived pending = discovered minus scheduled
+    pend = sched.pending_frontier()
+    n_sched = sched._read_deltas(last, "crawl_log").count()
+    assert pend.count() == frontier.count() - n_sched
