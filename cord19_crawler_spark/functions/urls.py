@@ -33,10 +33,16 @@ _TRAIL_PUNCT = ".,;:!?"
 
 
 def canonicalize_one(url: str) -> str | None:
-    """Canonicalize a single URL string; None if not a valid http(s) URL."""
+    """Canonicalize a single URL string; None if not a valid http(s) URL.
+
+    Idempotent: canonicalize(canonicalize(u)) == canonicalize(u) (property-
+    tested). Trailing-sentence-punctuation stripping is an EXTRACTION
+    heuristic, not a canonicalization step — it lives in the extract kernels
+    only, else a legitimate path ending in '.' would never be a fixed point.
+    """
     if not url:
         return None
-    url = url.strip().rstrip(_TRAIL_PUNCT)
+    url = url.strip()
     try:
         parts = urlsplit(url)
     except ValueError:

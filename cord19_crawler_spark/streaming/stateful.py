@@ -1,0 +1,74 @@
+"""Custom stateful streaming operator: first-seen URL dedup with
+``applyInPandasWithState``.
+
+The streaming twin of the batch URL-seen set (frontier/seen.py): state is
+partitioned by the same uniform url-hash partition key; each group's state
+holds the set of url_ids seen so far and only first occurrences are emitted.
+State lives in the streaming state store (checkpointed, restored across
+restarts) — the exactly-once streaming analogue of the batch engine's
+committed filter/url_seen tables.
+
+At 10^10 scale the per-group state is bounded by partition count × ids; the
+production design swaps the exact id list for the same bloom bitset used in
+batch (the state schema already carries bytes); exactness then comes from
+the downstream batch anti-join, as in the batch path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("url_id", T.LongType()),
+        T.StructField("host", T.StringType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [T.StructField("seen_ids", T.ArrayType(T.LongType()))]
+)
+
+
+def _dedup_group(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    seen: set[int] = set(state.get[0]) if state.exists else set()
+    for pdf in pdfs:
+        novel_rows = []
+        for _, row in pdf.iterrows():
+            uid = int(row["url_id"])
+            if uid not in seen:
+                seen.add(uid)
+                novel_rows.append(row)
+        if novel_rows:
+            out = pd.DataFrame(novel_rows)
+            yield out[["partition", "url", "url_id", "host"]]
+    state.update((sorted(seen),))
+
+
+def first_seen_urls(link_stream: DataFrame, n_partitions: int = 8) -> DataFrame:
+    """Streaming first-occurrence filter over (url, url_id, host) links.
+
+    Groups by the url-hash partition (same formula as the batch seen set) so
+    state shards evenly; emits each canonical URL exactly once across the
+    lifetime of the stream (state survives restarts via the checkpoint).
+    """
+    with_part = link_stream.withColumn(
+        "partition", F.pmod(F.col("url_id"), F.lit(n_partitions)).cast("int")
+    )
+    return with_part.groupBy("partition").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

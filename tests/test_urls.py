@@ -69,6 +69,30 @@ def test_url_host(spark):
     assert df.select(url_host("url").alias("h")).first()["h"] == "host3.example.com"
 
 
+def test_canonicalize_idempotent_property():
+    """canonicalize(canonicalize(u)) == canonicalize(u) — the frontier relies
+    on canonical forms being a fixed point (URLs re-extracted from fetched
+    pages must not re-canonicalize differently)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    host = st.from_regex(r"[A-Za-z][A-Za-z0-9.\-]{0,20}", fullmatch=True)
+    path = st.from_regex(r"(/[A-Za-z0-9._~\-]{0,8}){0,4}", fullmatch=True)
+    query = st.from_regex(r"(\?([a-z]=[0-9]&){0,3}([a-z]=[0-9])?)?", fullmatch=True)
+    frag = st.sampled_from(["", "#x", "#frag-1"])
+    scheme = st.sampled_from(["http://", "https://", "HTTP://", "hTTps://"])
+    url = st.builds(lambda s, h, p, q, f: s + h + p + q + f, scheme, host, path, query, frag)
+
+    @given(url)
+    @settings(max_examples=300, deadline=None)
+    def check(u):
+        c = canonicalize_one(u)
+        if c is not None:
+            assert canonicalize_one(c) == c
+
+    check()
+
+
 def test_url_id_stable(spark):
     df = spark.createDataFrame([("https://a.com/1",), ("https://a.com/1",)], "url string")
     ids = [r["i"] for r in df.select(F.xxhash64("url").alias("i")).collect()]
