@@ -1,0 +1,100 @@
+"""CLI driver — the spark-submit entry point.
+
+  # package the library for executors
+  python -m cord19_crawler_spark package --out dist/
+
+  # run a crawl locally
+  python -m cord19_crawler_spark crawl --docs 20000 --rounds 3 \
+      --batch 2000 --checkpoint /tmp/crawl_ckpt
+
+  # run on a cluster: ship the zip, use this module as the driver file
+  spark-submit --py-files dist/cord19_crawler_spark.zip \
+      cord19_crawler_spark/__main__.py crawl \
+      --documents s3://bucket/documents --rounds 10 \
+      --batch 1000000 --checkpoint s3://bucket/ckpt
+
+The crawl subcommand generates the deterministic synthetic corpus unless
+--documents points at an existing parquet of input_hint shape.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import zipfile
+
+
+def _cmd_package(args: argparse.Namespace) -> None:
+    os.makedirs(args.out, exist_ok=True)
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(args.out, "cord19_crawler_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    print(zpath)
+
+
+def _cmd_crawl(args: argparse.Namespace) -> None:
+    # absolute imports: this file doubles as a standalone spark-submit driver
+    # (no parent-package context there); the --py-files zip provides the pkg
+    from cord19_crawler_spark.datagen import generate_documents, seed_urls
+    from cord19_crawler_spark.frontier import CrawlScheduler, SchedulerConfig
+    from cord19_crawler_spark.session import get_spark
+
+    spark = get_spark(app_name="crawl", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    if args.documents:
+        docs = spark.read.parquet(args.documents)
+        n_docs = docs.count()
+    else:
+        n_docs = args.docs
+        docs = generate_documents(spark, n_docs, partitions=args.shuffle_partitions or 32)
+    docs = docs.cache()
+    cfg = SchedulerConfig(
+        batch_size=args.batch,
+        seen_partitions=args.seen_partitions,
+        min_delay_rounds=args.min_delay,
+        max_in_flight=args.max_in_flight,
+        extra={"filter_kind": args.filter},
+    )
+    sched = CrawlScheduler(spark, docs, args.checkpoint, cfg)
+    seeds = seed_urls(spark, args.seeds, n_docs) if sched.store.latest_round() is None else None
+    counters = sched.run(args.rounds, seeds=seeds)
+    print(json.dumps({"rounds": counters, "crawl_order_len": len(sched.crawl_order())}))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="cord19_crawler_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pk = sub.add_parser("package", help="build the --py-files zip")
+    pk.add_argument("--out", default="dist")
+    pk.set_defaults(fn=_cmd_package)
+
+    cr = sub.add_parser("crawl", help="run scheduling rounds")
+    cr.add_argument("--documents", help="parquet of input_hint documents", default=None)
+    cr.add_argument("--docs", type=int, default=20000, help="synthetic corpus size")
+    cr.add_argument("--rounds", type=int, default=3)
+    cr.add_argument("--batch", type=int, default=2000)
+    cr.add_argument("--seeds", type=int, default=500)
+    cr.add_argument("--checkpoint", required=True)
+    cr.add_argument("--master", default=None)
+    cr.add_argument("--shuffle-partitions", type=int, default=None)
+    cr.add_argument("--seen-partitions", type=int, default=16)
+    cr.add_argument("--min-delay", type=int, default=1)
+    cr.add_argument("--max-in-flight", type=int, default=1000)
+    cr.add_argument("--filter", choices=["bloom", "cuckoo"], default="bloom")
+    cr.set_defaults(fn=_cmd_crawl)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
