@@ -1172,6 +1172,69 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
+def frontier_robots_filter(spark, sf_dir):
+    """robots.txt longest-prefix matcher (broadcast rules + Arrow UDF) vs a
+    SQL oracle that encodes the same rule table directly: hosts 0/1 deny
+    /doc/1*, host 2 denies everything except /doc/2* (allow-override)."""
+    _ensure_workers(spark)
+    from pyspark.sql import Row
+
+    from cord19_crawler_spark.frontier.robots import filter_robots
+    from cord19_crawler_spark.functions.urls import canonicalize_url
+
+    m = _messy_urls(spark, sf_dir)
+    canon = m.select(canonicalize_url(F.col("raw_url")).alias("url"), "host")
+    robots = spark.createDataFrame(
+        [
+            Row(host="host0.example.com",
+                rules=[Row(allow=False, path_prefix="/doc/1")]),
+            Row(host="host1.example.com",
+                rules=[Row(allow=False, path_prefix="/doc/1")]),
+            Row(host="host2.example.com",
+                rules=[Row(allow=False, path_prefix="/"),
+                       Row(allow=True, path_prefix="/doc/2")]),
+        ]
+    )
+    allowed = filter_robots(canon, robots)
+    return (
+        allowed.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_allowed"))
+        .orderBy("host")
+    )
+
+
+_ROBOTS_SQL = f"""
+WITH canon AS (
+  SELECT {_CANON_URL_SQL_EXPR} AS url,
+         'host' || (o_custkey %% 7) || '.example.com' AS host,
+         '/doc/' || o_orderkey AS path
+  FROM orders
+)
+SELECT host, count(*) AS n_allowed FROM canon
+WHERE CASE
+  WHEN host IN ('host0.example.com', 'host1.example.com')
+    THEN NOT path LIKE '/doc/1%%'
+  WHEN host = 'host2.example.com'
+    THEN path LIKE '/doc/2%%'
+  ELSE TRUE END
+GROUP BY host ORDER BY host
+""".replace("%%", "%")
+
+
+def semantic_expansion(spark, sf_dir):
+    """Word2Vec synonym expansion (reference F2/F3) over the documents
+    corpus — training is iterative ML, not SQL-expressible → rows-only."""
+    _ensure_workers(spark)
+    from cord19_crawler_spark.operators.semantic import expand_query, train_word2vec
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("words"))
+    model = train_word2vec(toks, vector_size=16, min_count=10, seed=42)
+    expanded = expand_query(model, ["spark", "window", "fast"], top_n=3)
+    rows = [(t, i, v) for t, vs in expanded.items() for i, v in enumerate(vs)]
+    return spark.createDataFrame(rows, "term string, rank int, variant string")
+
+
 def barrel_assignment_greedy(spark, sf_dir):
     """Full barrel placement policy (round-robin head + greedy least-loaded
     tail, src/barrel.py:87-122). Greedy is inherently sequential → no SQL
@@ -1255,9 +1318,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_sign_buckets": similarity_sign_buckets,
         "text_token_stats": text_token_stats,
         "text_fingerprints": text_fingerprints,
+        "frontier_robots_filter": frontier_robots_filter,
         # non-SQL-expressible (rows-only driver check; see docstrings)
         "barrel_assignment_greedy": barrel_assignment_greedy,
         "multimodal_features": multimodal_features,
+        "semantic_expansion": semantic_expansion,
     }
 
 
@@ -1300,4 +1365,5 @@ def oracle_sql() -> dict[str, str]:
         "similarity_sign_buckets": _SIGN_BUCKET_SQL,
         "text_token_stats": _TOKEN_STATS_SQL,
         "text_fingerprints": _FINGERPRINT_SQL,
+        "frontier_robots_filter": _ROBOTS_SQL,
     }

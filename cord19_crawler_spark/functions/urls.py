@@ -137,9 +137,9 @@ def canonicalize_url_sql(col: Column) -> Column:
     no_frag = F.regexp_replace(col, r"#.*$", "")
     base = F.regexp_extract(no_frag, r"^([^?]*)", 1)
     query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
-    scheme = F.lower(F.regexp_extract(base, r"^(https?)://", 1))
-    hostpath = F.regexp_extract(base, r"^https?://([^/]*)(/.*)?$", 1)
-    path = F.regexp_extract(base, r"^https?://[^/]*(/.*)?$", 1)
+    scheme = F.lower(F.regexp_extract(base, r"(?i)^(https?)://", 1))
+    hostpath = F.regexp_extract(base, r"(?i)^https?://([^/]*)(/.*)?$", 1)
+    path = F.regexp_extract(base, r"(?i)^https?://[^/]*(/.*)?$", 1)
     sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
     return F.concat(
         scheme,

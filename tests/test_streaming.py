@@ -15,6 +15,28 @@ def _write_batch(spark, docs, path):
     docs.write.mode("overwrite").parquet(path)
 
 
+def test_discovery_rate_watermarked_agg(spark, tmp_path):
+    """Watermarked event-time windowed aggregation compiles into a streaming
+    plan and drains via availableNow into a complete-mode memory sink."""
+    from cord19_crawler_spark.streaming.ingest import discovery_rate
+
+    in_dir = str(tmp_path / "wm_in")
+    generate_documents(spark, 30, partitions=2).write.mode("append").parquet(in_dir)
+    agg = discovery_rate(spark, in_dir, window="10 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rate_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from rate_test").collect()
+    assert len(rows) > 0
+    assert {"window", "host", "n_urls"} <= {c for c in spark.table("rate_test").columns}
+    assert sum(r["n_urls"] for r in rows) > 0
+
+
 def test_available_now_ingest_and_incremental(spark, tmp_path):
     in_dir = str(tmp_path / "in")
     out_dir = str(tmp_path / "out")

@@ -69,6 +69,30 @@ def test_url_host(spark):
     assert df.select(url_host("url").alias("h")).first()["h"] == "host3.example.com"
 
 
+def test_catalyst_fast_path_matches_python_kernel(spark):
+    """canonicalize_url_sql (pure Catalyst, codegen'd) must agree with the
+    general pandas kernel on the simple URL grammar it supports (no ports,
+    no percent-encoding, no trailing host dots)."""
+    from pyspark.sql import functions as F
+
+    from cord19_crawler_spark.functions.urls import canonicalize_url_sql
+
+    simple = [
+        "http://Example.COM/a",
+        "HTTPS://Host1.EXAMPLE.com/doc/3#sec",
+        "http://example.com/p?b=2&a=1",
+        "http://example.com",
+        "https://x.org/a/b?z=9&y=8&a=1#frag",
+    ]
+    df = spark.createDataFrame([(u,) for u in simple], "url string")
+    both = df.select(
+        canonicalize_url("url").alias("py"),
+        canonicalize_url_sql(F.col("url")).alias("sql"),
+    ).collect()
+    for r in both:
+        assert r["py"] == r["sql"], (r["py"], r["sql"])
+
+
 def test_canonicalize_idempotent_property():
     """canonicalize(canonicalize(u)) == canonicalize(u) — the frontier relies
     on canonical forms being a fixed point (URLs re-extracted from fetched
