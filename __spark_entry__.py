@@ -429,6 +429,30 @@ FROM s GROUP BY user_id ORDER BY user_id
 """
 
 
+def events_json_props(spark, sf_dir):
+    """S3 JSON parse in relational form: extract props.k, agg per type."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_type, count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def running_total_per_customer(spark, sf_dir):
     """C6 shape: prefix-sum window (running revenue per customer <50)."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
@@ -1292,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coalesce_fallback": coalesce_fallback,
         "events_hourly_rollup": events_hourly_rollup,
         "events_sessionize": events_sessionize,
+        "events_json_props": events_json_props,
         "running_total_per_customer": running_total_per_customer,
         # search-engine family
         "lexicon_first_encounter": lexicon_first_encounter,
@@ -1342,6 +1367,7 @@ def oracle_sql() -> dict[str, str]:
         "coalesce_fallback": _COALESCE_SQL,
         "events_hourly_rollup": _EVENTS_HOURLY_SQL,
         "events_sessionize": _SESSION_SQL,
+        "events_json_props": _EVENTS_JSON_SQL,
         "running_total_per_customer": _RUNNING_SQL,
         "lexicon_first_encounter": _LEXICON_SQL,
         "postings_tf": _POSTINGS_SQL,

@@ -86,7 +86,14 @@ def main() -> None:
         app_name="bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
-        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")},
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            # sf0.1 tables are single small parquet files — split them so
+            # scans (and the Arrow UDF stages above them) use all cores; at
+            # production scale files are large and the 128m default is right
+            "spark.sql.files.maxPartitionBytes": "1m",
+            "spark.sql.files.openCostInBytes": "32k",
+        },
     )
     qs = entry_mod.queries()
     # warmup: session/codegen/file-listing one-time costs land here, not in
