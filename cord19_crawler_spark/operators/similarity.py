@@ -89,6 +89,60 @@ def ann_lsh_topk(
     )
 
 
+def ivf_index(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF (inverted-file) index: KMeans centroids + cluster-assigned table.
+
+    Returns (model, assigned_df). At scale the assigned table is written
+    partitioned by ``cluster`` so a probe reads only n_probe partitions —
+    the learned-centroid upgrade over the data-independent sign buckets.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="_features", predictionCol="cluster")
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("_features")
+    return model, assigned
+
+
+def ivf_topk(
+    model,
+    assigned: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the n_probe nearest centroids' clusters, exact cosine within.
+
+    Driver-side work is only the centroid ranking (n_centroids rows); the
+    cluster filter becomes partition pruning when the index is stored
+    partitioned by ``cluster``.
+    """
+    import numpy as np
+
+    q = np.asarray(query, dtype=np.float64)
+    cents = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    dists = ((cents - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(dists, kind="stable")[:n_probe]]
+    candidates = assigned.filter(F.col("cluster").isin(probe))
+    return (
+        candidates.select(
+            F.col(id_col).alias("vec_id"), cosine_expr(vec_col, query).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def pairwise_cosine_topk_per_label(
     emb: DataFrame,
     k: int = 3,

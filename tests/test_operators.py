@@ -149,6 +149,21 @@ def test_cosine_topk_and_ann(spark):
     assert [r["vec_id"] for r in ann] == [1, 2]
 
 
+def test_ivf_ann_recall(spark, sf_dir):
+    """IVF probe recall vs brute force on the real embeddings table."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    truth = [r["vec_id"] for r in similarity.cosine_topk(rest, query, k=10).collect()]
+    model, assigned = similarity.ivf_index(rest, n_centroids=8)
+    got = [r["vec_id"] for r in similarity.ivf_topk(model, assigned, query, k=10, n_probe=4).collect()]
+    recall = len(set(truth) & set(got)) / 10
+    assert recall >= 0.5, (recall, truth, got)
+    # probing ALL clusters must equal brute force exactly
+    full = [r["vec_id"] for r in similarity.ivf_topk(model, assigned, query, k=10, n_probe=8).collect()]
+    assert full == truth
+
+
 def test_embedding_near_duplicates(spark):
     rows = [
         (1, [1.0, 0.0, 0.5]),
