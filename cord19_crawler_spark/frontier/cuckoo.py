@@ -52,9 +52,14 @@ class CuckooSeenFilter:
 
     # serialized table: uint16 array (n_buckets * SLOTS)
     def empty_state(self, spark: SparkSession) -> DataFrame:
-        blob = np.zeros(self.n_buckets * self.SLOTS, dtype=np.uint16).tobytes()
-        rows = [(p, bytearray(blob)) for p in range(self.n_partitions)]
-        return spark.createDataFrame(rows, "partition int, bitset binary")
+        # zero tables built JVM-side (see BloomSeenFilter.empty_state)
+        from pyspark.sql import functions as F
+
+        n_bytes = self.n_buckets * self.SLOTS * 2
+        return spark.range(self.n_partitions).select(
+            F.col("id").cast("int").alias("partition"),
+            F.unhex(F.repeat(F.lit("00"), n_bytes)).alias("bitset"),
+        )
 
     def _table(self, blob: bytes) -> np.ndarray:
         return np.frombuffer(blob, dtype=np.uint16).reshape(

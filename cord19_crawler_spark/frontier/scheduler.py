@@ -130,7 +130,13 @@ class CrawlScheduler:
         crawl_log = self.spark.createDataFrame(
             [], "round int, seq int, url string, host string, priority double"
         )
-        n_seeds = frontier.count()
+
+        def _counters(tmp: str) -> dict:
+            import os
+
+            n = self.spark.read.parquet(os.path.join(tmp, "frontier_new")).count()
+            return {"seeds": n, "scheduled": 0, "discovered_new": 0}
+
         self.store.commit_round(
             0,
             {
@@ -140,7 +146,7 @@ class CrawlScheduler:
                 "host_state": host_state,
                 "crawl_log": crawl_log,
             },
-            {"seeds": n_seeds, "scheduled": 0, "discovered_new": 0},
+            counters_fn=_counters,
         )
         frontier.unpersist()
 
@@ -204,8 +210,10 @@ class CrawlScheduler:
         # 2. per-host priority queue (skew-split two-phase) → fetch batch
         ranked = politeness.per_host_topk(eligible, split_plan=plan)
         batch = politeness.global_batch(ranked, self.cfg.batch_size)
+        # cached: reused by the fetch join, crawl_log, and host_state update;
+        # counts come from the written parquet footers post-commit (no extra
+        # pre-write jobs)
         batch = batch.select("url", "url_id", "host", "priority", "seq").cache()
-        n_scheduled = batch.count()
 
         # 3. "fetch": canonical URL path /doc/<id> → document; broadcast the
         #    small batch side against the big corpus scan.
@@ -230,7 +238,6 @@ class CrawlScheduler:
         # 5. URL-seen: bloom prefilter → exact backstop
         flagged = self.bloom.probe(discovered, filter_state)
         new_urls = exact_new(flagged, url_seen).cache()
-        n_new = new_urls.count()
 
         # 6. frontier merge is append-only: the round's crawl_log IS the
         #    done-marking (derived pending excludes it); only the newly
@@ -248,19 +255,27 @@ class CrawlScheduler:
             F.lit(rnd).alias("round"), "seq", "url", "host", "priority"
         )
 
-        # per-partition lineage: how many new URLs each seen-partition gained
-        lineage = {
-            str(r["partition"]): r["cnt"]
-            for r in new_urls.groupBy("partition")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        }
-        counters = {
-            "scheduled": n_scheduled,
-            "discovered_new": n_new,
-            "partition_lineage": lineage,
-        }
-        self.store.commit_round(
+        def _counters(tmp: str) -> dict:
+            """Derived from the WRITTEN tables: row counts are parquet
+            footer metadata; lineage is one tiny agg over the round's
+            url_seen_new delta (per-partition lineage, north_rule)."""
+            import os
+
+            log = self.spark.read.parquet(os.path.join(tmp, "crawl_log"))
+            new = self.spark.read.parquet(os.path.join(tmp, "url_seen_new"))
+            lineage = {
+                str(r["partition"]): r["cnt"]
+                for r in new.groupBy("partition")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+            return {
+                "scheduled": log.count(),
+                "discovered_new": new.count(),
+                "partition_lineage": lineage,
+            }
+
+        counters = self.store.commit_round(
             rnd,
             {
                 "frontier_new": frontier_new,
@@ -269,7 +284,7 @@ class CrawlScheduler:
                 "host_state": host_state_next,
                 "crawl_log": crawl_log,
             },
-            counters,
+            counters_fn=_counters,
         )
         batch.unpersist()
         new_urls.unpersist()

@@ -58,9 +58,13 @@ class BloomSeenFilter:
         self.k = k
 
     def empty_state(self, spark: SparkSession) -> DataFrame:
+        # zero bitsets built JVM-side (unhex(repeat)) — shipping megabytes of
+        # zeros through py4j serialization is pure overhead
         n_bytes = self.m_bits // 8
-        rows = [(p, bytearray(n_bytes)) for p in range(self.n_partitions)]
-        return spark.createDataFrame(rows, "partition int, bitset binary")
+        return spark.range(self.n_partitions).select(
+            F.col("id").cast("int").alias("partition"),
+            F.unhex(F.repeat(F.lit("00"), n_bytes)).alias("bitset"),
+        )
 
     def probe(self, candidates: DataFrame, state: DataFrame) -> DataFrame:
         """candidates(partition, url, url_id, ...) → + maybe_seen boolean.

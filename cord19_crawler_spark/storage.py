@@ -41,21 +41,34 @@ class CheckpointStore:
         return os.path.join(self.root, f"_tmp_round={rnd}")
 
     def commit_round(
-        self, rnd: int, tables: dict[str, DataFrame], counters: dict
-    ) -> None:
-        """Write all state tables + counters, then atomically publish."""
+        self,
+        rnd: int,
+        tables: dict[str, DataFrame],
+        counters: dict | None = None,
+        counters_fn=None,
+    ) -> dict:
+        """Write all state tables + counters, then atomically publish.
+
+        ``counters_fn(tmp_dir) -> dict`` runs AFTER the table writes — it can
+        derive counts from the written parquet footers (metadata-only reads)
+        instead of forcing extra pre-write Spark jobs.
+        """
         tmp = self._tmp_dir(rnd)
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         os.makedirs(tmp)
         for name, df in tables.items():
             df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+        final_counters = dict(counters or {})
+        if counters_fn is not None:
+            final_counters.update(counters_fn(tmp))
         with open(os.path.join(tmp, "_COMMITTED.json"), "w") as f:
-            json.dump({"round": rnd, "counters": counters}, f, indent=2)
+            json.dump({"round": rnd, "counters": final_counters}, f, indent=2)
         final = self._round_dir(rnd)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
+        return final_counters
 
     def latest_round(self) -> int | None:
         best = None
