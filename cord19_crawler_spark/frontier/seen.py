@@ -138,7 +138,11 @@ def exact_new(
     """
     definite_new = candidates_flagged.filter(~F.col("maybe_seen"))
     maybe = candidates_flagged.filter(F.col("maybe_seen"))
+    # anti-join on the URL STRING, not url_id: a 64-bit hash collision at
+    # 10^10 URLs (birthday bound: a handful expected) would otherwise drop a
+    # genuinely-new URL forever. The join still hash-partitions on the
+    # string key; url_id remains the compact id for bloom/bookkeeping.
     confirmed_new = maybe.join(
-        url_seen.select("url_id"), on="url_id", how="left_anti"
+        url_seen.select("url"), on="url", how="left_anti"
     )
     return definite_new.unionByName(confirmed_new).drop("maybe_seen")
