@@ -153,10 +153,37 @@ class CrawlScheduler:
     def _read(self, rnd: int, name: str) -> DataFrame:
         return self.store.read_table(self.spark, rnd, name)
 
-    def _read_deltas(self, upto_rnd: int, name: str) -> DataFrame:
+    def _read_deltas(
+        self, upto_rnd: int, name: str, from_rnd: int = 0
+    ) -> DataFrame:
         """Union of a per-round append-only delta table across rounds."""
-        paths = [self.store.table_path(r, name) for r in range(upto_rnd + 1)]
+        paths = [
+            self.store.table_path(r, name) for r in range(from_rnd, upto_rnd + 1)
+        ]
         return self.spark.read.parquet(*paths)
+
+    def compact(self, rnd: int | None = None) -> int:
+        """Materialize url_seen + pending at a round boundary.
+
+        Pure READ optimization: after 10^4 rounds the delta unions touch 10^4
+        file groups; a compaction snapshot caps that at (rounds since last
+        compact). Crawl results are bit-identical with or without compaction
+        (tested) — the derived state definitions don't change, only where the
+        prefix of the union is read from. Iceberg equivalent: snapshot
+        expiration + data-file compaction.
+        """
+        if rnd is None:
+            rnd = self.store.latest_round()
+        if rnd is None:
+            raise ValueError("nothing to compact")
+        self.store.commit_compact(
+            rnd,
+            {
+                "url_seen": self._read_url_seen(rnd),
+                "pending": self._read_pending(rnd),
+            },
+        )
+        return rnd
 
     def _read_pending(self, upto_rnd: int) -> DataFrame:
         """The pending frontier at the START of round upto_rnd+1, DERIVED
@@ -168,9 +195,23 @@ class CrawlScheduler:
         below is the read-time cost; with Iceberg this whole method is a
         MERGE-maintained table read, and on parquet it is co-partitioned by
         the uniform url hash (no skew)."""
-        frontier_all = self._read_deltas(upto_rnd, "frontier_new")
-        scheduled = self._read_deltas(upto_rnd, "crawl_log").select("url")
-        return frontier_all.join(scheduled, "url", "left_anti")
+        base_rnd = self.store.latest_compact(upto=upto_rnd)
+        if base_rnd is None:
+            frontier_all = self._read_deltas(upto_rnd, "frontier_new")
+            scheduled = self._read_deltas(upto_rnd, "crawl_log").select("url")
+            return frontier_all.join(scheduled, "url", "left_anti")
+        base = self.spark.read.parquet(
+            self.store.compact_table_path(base_rnd, "pending")
+        )
+        if base_rnd == upto_rnd:
+            return base
+        # pending(r) = pending(K) ∪ new(K+1..r)  minus  scheduled(K+1..r)
+        # (valid because discovery is append-only and unique across rounds)
+        new = self._read_deltas(upto_rnd, "frontier_new", from_rnd=base_rnd + 1)
+        sched = self._read_deltas(
+            upto_rnd, "crawl_log", from_rnd=base_rnd + 1
+        ).select("url")
+        return base.unionByName(new).join(sched, "url", "left_anti")
 
     def pending_frontier(self) -> DataFrame:
         """Public: current pending frontier (derived state)."""
@@ -186,7 +227,17 @@ class CrawlScheduler:
         the dominant cost. This is exactly Iceberg's append-snapshot pattern
         on plain parquet; with Iceberg, it's one ``append()`` per round and
         this union is a single snapshot read."""
-        return self._read_deltas(upto_rnd, "url_seen_new")
+        base_rnd = self.store.latest_compact(upto=upto_rnd)
+        if base_rnd is None:
+            return self._read_deltas(upto_rnd, "url_seen_new")
+        base = self.spark.read.parquet(
+            self.store.compact_table_path(base_rnd, "url_seen")
+        )
+        if base_rnd == upto_rnd:
+            return base
+        return base.unionByName(
+            self._read_deltas(upto_rnd, "url_seen_new", from_rnd=base_rnd + 1)
+        )
 
     # -- the round ----------------------------------------------------------
 

@@ -83,6 +83,38 @@ class CheckpointStore:
                 best = k if best is None else max(best, k)
         return best
 
+    # -- compaction (read-optimization snapshots; see scheduler.compact) ----
+
+    def _compact_dir(self, rnd: int) -> str:
+        return os.path.join(self.root, f"compact={rnd}")
+
+    def commit_compact(self, rnd: int, tables: dict[str, DataFrame]) -> None:
+        tmp = os.path.join(self.root, f"_tmp_compact={rnd}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        for name, df in tables.items():
+            df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+        with open(os.path.join(tmp, "_COMMITTED.json"), "w") as f:
+            json.dump({"compact_round": rnd}, f)
+        final = self._compact_dir(rnd)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    def latest_compact(self, upto: int | None = None) -> int | None:
+        best = None
+        for name in os.listdir(self.root):
+            m = re.fullmatch(r"compact=(\d+)", name)
+            if m and os.path.exists(os.path.join(self.root, name, "_COMMITTED.json")):
+                k = int(m.group(1))
+                if upto is None or k <= upto:
+                    best = k if best is None else max(best, k)
+        return best
+
+    def compact_table_path(self, rnd: int, name: str) -> str:
+        return os.path.join(self._compact_dir(rnd), name)
+
     def table_path(self, rnd: int, name: str) -> str:
         return os.path.join(self._round_dir(rnd), name)
 
