@@ -8,10 +8,12 @@
       --batch 2000 --checkpoint /tmp/crawl_ckpt
 
   # run on a cluster: ship the zip, use this module as the driver file
+  # (--checkpoint must be a driver-visible posix path — e.g. a shared
+  # filesystem; object-store checkpoints are the Iceberg deployment)
   spark-submit --py-files dist/cord19_crawler_spark.zip \
       cord19_crawler_spark/__main__.py crawl \
-      --documents s3://bucket/documents --rounds 10 \
-      --batch 1000000 --checkpoint s3://bucket/ckpt
+      --documents hdfs:///data/documents --rounds 10 \
+      --batch 1000000 --checkpoint /sharedfs/crawl_ckpt
 
 The crawl subcommand generates the deterministic synthetic corpus unless
 --documents points at an existing parquet of input_hint shape.

@@ -46,6 +46,11 @@ class CuckooSeenFilter:
     SLOTS = 4
 
     def __init__(self, n_partitions: int = 8, n_buckets: int = 1 << 15, max_kicks: int = 500):
+        # XOR relocation (i2 = i1 ^ alt) is only an involution when the
+        # bucket count is a power of two; any other size makes evicted
+        # fingerprints unfindable (false negatives → exactness broken)
+        if n_buckets & (n_buckets - 1) != 0 or n_buckets <= 0:
+            raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
         self.n_partitions = n_partitions
         self.n_buckets = n_buckets
         self.max_kicks = max_kicks

@@ -62,6 +62,8 @@ class SchedulerConfig:
     max_in_flight: int = 3
     span_cap: int = 50  # reference: src/crawler.py:80
     hot_host_threshold: int = 100_000
+    # auto-compact every N committed rounds (None = manual compact() only)
+    compact_every: int | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -372,6 +374,8 @@ class CrawlScheduler:
         out = []
         for rnd in range(latest + 1, rounds + 1):
             out.append(self.run_round(rnd))
+            if self.cfg.compact_every and rnd % self.cfg.compact_every == 0:
+                self.compact(rnd)
         return out
 
     def crawl_order(self, upto_round: int | None = None) -> list[tuple[int, int, str]]:

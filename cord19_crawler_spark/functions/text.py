@@ -72,8 +72,10 @@ def remove_stopwords(tokens: Column) -> Column:
 
 
 def token_count(colname: str) -> Column:
-    """Whitespace token count (training-data pipeline op)."""
-    return F.size(F.split(F.trim(F.col(colname)), r"\s+"))
+    """Whitespace token count; 0 for empty/blank text (split('') yields
+    [''] which must not count as one token)."""
+    t = F.trim(F.col(colname))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
 def quality_score(colname: str) -> Column:
@@ -81,7 +83,7 @@ def quality_score(colname: str) -> Column:
     stopword ratio. Pure Catalyst — no UDF."""
     text = F.col(colname)
     n = F.length(text)
-    alpha = F.length(F.regexp_replace(text, r"[^a-z A-Z]", ""))
+    alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
     toks = tokenize_name(colname)
     stop_ratio = F.when(
         F.size(toks) > 0,

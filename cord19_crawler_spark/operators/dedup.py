@@ -17,15 +17,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashes import MINHASH_PRIME, md5_long56, minhash_expr, minhash_params
+from ..functions.hashes import md5_long56, minhash_expr, minhash_params
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup via content fingerprint: groups with >1 doc, keeper = min id.
     (A12/J2 as dedup; one hash-agg, no join.)"""
+    from ..functions.text import fingerprint
+
     fp = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")).alias("fp"),
+        F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fp")
     )
     return (
         fp.groupBy("fp")
@@ -43,7 +44,10 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
         F.col(id_col).alias("doc_id"),
         F.split(F.lower(F.col(text_col)), r"\s+").alias("w"),
     )
-    grams = toks.select(
+    # docs with fewer than n tokens contribute no shingles (guard: an
+    # unclamped sequence(0, size-n) would go negative and crash slice())
+    has_enough = toks.filter(F.size("w") >= n)
+    grams = has_enough.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -74,6 +78,11 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
     """Band the signature columns; docs sharing any band bucket are
     candidates. Returns (doc_a, doc_b) with doc_a < doc_b, distinct."""
     mh_cols = [c for c in signatures.columns if c.startswith("mh_")]
+    if len(mh_cols) % bands != 0:
+        raise ValueError(
+            f"num_perm={len(mh_cols)} not divisible by bands={bands}: "
+            "trailing permutations would be silently dropped (recall loss)"
+        )
     rows_per_band = len(mh_cols) // bands
     band_structs = [
         F.struct(
@@ -181,11 +190,15 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
 
     JVM-side: one explode + one groupBy with ``bits`` conditional sums —
     partial aggregation keeps the shuffle at one row per doc."""
+    if not 1 <= bits <= 56:
+        raise ValueError("bits must be in [1, 56] (md5_long56 is 56 bits)")
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
     ).filter(F.col("word") != "")
-    h = md5_long56(F.col("word")) % F.lit(MINHASH_PRIME)
+    # full 56-bit hash: reducing mod 2^31-1 here would zero every
+    # fingerprint bit >= 31
+    h = md5_long56(F.col("word"))
     with_h = toks.select("doc_id", h.alias("h"))
     sums = with_h.groupBy("doc_id").agg(
         *[
@@ -214,29 +227,28 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Embedding-cosine near-dup: sign-projection bucketing on the first
     ``bucket_dims`` dimensions (deterministic hyperplanes = coordinate axes)
-    → per-bucket pair join → exact cosine ≥ threshold."""
-    sig = sum(
-        F.when(F.element_at(F.col(vec_col), d + 1) >= 0, F.lit(1 << d)).otherwise(F.lit(0))
-        for d in range(bucket_dims)
+    → per-bucket pair join → exact cosine ≥ threshold.
+
+    Shares the dot/norm/bucket kernels with operators/similarity.py — one
+    implementation to validate."""
+    from .similarity import _dot, _norm, sign_bucket_expr
+
+    b = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        sign_bucket_expr(vec_col, bucket_dims).alias("bucket"),
     )
-    b = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), sig.alias("bucket"))
     l, r = b.alias("l"), b.alias("r")
     pairs = l.join(r, "bucket").filter(F.col("l.vid") < F.col("r.vid"))
-    dot = F.aggregate(
-        F.zip_with(F.col("l.v"), F.col("r.v"), lambda x, y: x * y),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.col(f"{side}.v"), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x
-        )
+    cosine = F.round(
+        _dot(F.col("l.v"), F.col("r.v")) / (_norm(F.col("l.v")) * _norm(F.col("r.v"))),
+        6,
     )
     return (
         pairs.select(
             F.col("l.vid").alias("vec_a"),
             F.col("r.vid").alias("vec_b"),
-            F.round(dot / (norm("l") * norm("r")), 6).alias("cosine"),
+            cosine.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

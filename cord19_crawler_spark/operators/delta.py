@@ -21,20 +21,31 @@ from .indexing import postings, tokens_from_text
 
 
 def upsert_documents(
-    delta_docs: DataFrame, new_docs: DataFrame, id_col: str = "doc_id"
+    delta_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    static_ids: DataFrame | None = None,
 ) -> DataFrame:
     """T2+T5: add docs not already present (duplicate guard = anti-join,
-    the reference's ``if doc_id in self.forward_index: return False``)."""
-    fresh = new_docs.join(
-        delta_docs.select(id_col).distinct(), id_col, "left_anti"
-    )
+    the reference's ``if doc_id in self.forward_index: return False`` —
+    which, like here by default, guards only the DELTA's own index,
+    src/dynamic_indexer.py:65-66). Pass ``static_ids`` (a DF with the id
+    column) to also reject ids already in the static index, preventing a
+    doc from being postings-indexed twice across static+delta."""
+    guard = delta_docs.select(id_col).distinct()
+    if static_ids is not None:
+        guard = guard.unionByName(
+            static_ids.select(F.col(static_ids.columns[0]).alias(id_col)).distinct()
+        )
+    fresh = new_docs.join(guard, id_col, "left_anti")
     return delta_docs.unionByName(fresh)
 
 
 def merged_postings(static_postings: DataFrame, delta_docs: DataFrame) -> DataFrame:
-    """T3/J9/U1: static ∪ delta postings at read time. Docs indexed in BOTH
-    resolve to the delta version (reference semantics: delta holds only
-    never-before-seen ids, enforced by upsert_documents)."""
+    """T3/J9/U1: static ∪ delta postings at read time. Correct only when
+    delta ids are disjoint from static ids — enforce by passing
+    ``static_ids`` to :func:`upsert_documents` (a doc in both would
+    contribute postings from BOTH versions)."""
     delta_p = postings(tokens_from_text(delta_docs))
     return static_postings.unionByName(delta_p)
 

@@ -31,8 +31,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 class CheckpointStore:
     def __init__(self, root: str):
-        self.root = root
-        os.makedirs(root, exist_ok=True)
+        # this adapter commits via driver-local rename; remote object-store
+        # checkpoints are the Iceberg deployment (snapshot commit replaces
+        # the rename) — fail loudly instead of stranding data
+        if "://" in root and not root.startswith("file://"):
+            raise NotImplementedError(
+                f"CheckpointStore requires a local/posix path, got {root!r}; "
+                "for object stores deploy with an Iceberg catalog (DESIGN.md)"
+            )
+        self.root = root.removeprefix("file://")
+        os.makedirs(self.root, exist_ok=True)
 
     def _round_dir(self, rnd: int) -> str:
         return os.path.join(self.root, f"round={rnd}")

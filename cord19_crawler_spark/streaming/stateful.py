@@ -33,21 +33,24 @@ OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+# state keys on URL STRINGS, not 64-bit hashes — a hash collision would
+# permanently suppress a distinct URL (same defect class the batch seen-set
+# anti-join fixed; see frontier/seen.py:exact_new)
 STATE_SCHEMA = T.StructType(
-    [T.StructField("seen_ids", T.ArrayType(T.LongType()))]
+    [T.StructField("seen_urls", T.ArrayType(T.StringType()))]
 )
 
 
 def _dedup_group(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    seen: set[int] = set(state.get[0]) if state.exists else set()
+    seen: set[str] = set(state.get[0]) if state.exists else set()
     for pdf in pdfs:
         novel_rows = []
         for _, row in pdf.iterrows():
-            uid = int(row["url_id"])
-            if uid not in seen:
-                seen.add(uid)
+            u = row["url"]
+            if u not in seen:
+                seen.add(u)
                 novel_rows.append(row)
         if novel_rows:
             out = pd.DataFrame(novel_rows)
