@@ -1259,6 +1259,20 @@ def semantic_expansion(spark, sf_dir):
     return spark.createDataFrame(rows, "term string, rank int, variant string")
 
 
+def pos_distribution_q(spark, sf_dir):
+    """A13 POS rollup through the Arrow lemmatizer black box (F1) — the
+    linguistic model is a deterministic stub, so rows-only driver check."""
+    _ensure_workers(spark)
+    from cord19_crawler_spark.functions.text import lemmatize_tokens
+    from cord19_crawler_spark.operators.indexing import pos_distribution
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = d.select(
+        F.explode(lemmatize_tokens(F.col("text"))).alias("tok")
+    ).select(F.col("tok.pos").alias("pos_tag"))
+    return pos_distribution(toks)
+
+
 def barrel_assignment_greedy(spark, sf_dir):
     """Full barrel placement policy (round-robin head + greedy least-loaded
     tail, src/barrel.py:87-122). Greedy is inherently sequential → no SQL
@@ -1348,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "barrel_assignment_greedy": barrel_assignment_greedy,
         "multimodal_features": multimodal_features,
         "semantic_expansion": semantic_expansion,
+        "pos_distribution": pos_distribution_q,
     }
 
 

@@ -19,8 +19,21 @@ salting (skew.py) is applied only to the downstream heavy shuffles
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def domain_of(host_col: Column) -> Column:
+    """Registrable domain = last two DNS labels (simplified public-suffix
+    rule; a real deployment broadcasts the PSL as a dimension). Lets the
+    budget bind at the DOMAIN level so sub1.example.com and
+    sub2.example.com share one in-flight allowance."""
+    parts = F.split(host_col, r"\.")
+    n = F.size(parts)
+    return F.when(
+        n >= 2,
+        F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1)),
+    ).otherwise(host_col)
 
 
 def default_host_state(hosts: DataFrame, min_delay: int = 2, max_in_flight: int = 3) -> DataFrame:
@@ -51,8 +64,14 @@ def eligible_urls(pending: DataFrame, host_state: DataFrame, current_round: int)
     )
 
 
-def per_host_topk(eligible: DataFrame, split_plan: DataFrame | None = None) -> DataFrame:
-    """Per-host priority queue honoring max_in_flight.
+def per_host_topk(
+    eligible: DataFrame,
+    split_plan: DataFrame | None = None,
+    budget_key: str = "host",
+) -> DataFrame:
+    """Per-host (or per-DOMAIN, budget_key="domain") priority queue honoring
+    max_in_flight — the north_rule's "max in-flight per domain": with the
+    domain key, all subdomains of one registrable domain share the budget.
 
     Window.partitionBy(host).orderBy(desc(priority), url) — deterministic
     total order (url is unique), row_number ≤ max_in_flight.
@@ -67,12 +86,16 @@ def per_host_topk(eligible: DataFrame, split_plan: DataFrame | None = None) -> D
     window.
     """
     work = eligible
+    if budget_key == "domain":
+        work = work.withColumn("_bkey", domain_of(F.col("host")))
+    else:
+        work = work.withColumn("_bkey", F.col("host"))
     if split_plan is not None:
         work = work.join(F.broadcast(split_plan), "host", "left").withColumn(
             "_salt",
             F.pmod(F.xxhash64(F.col("url")), F.coalesce(F.col("n_salt"), F.lit(1))),
         )
-        w_pre = Window.partitionBy("host", "_salt").orderBy(
+        w_pre = Window.partitionBy("_bkey", "_salt").orderBy(
             F.desc("priority"), F.asc("url")
         )
         work = (
@@ -80,11 +103,14 @@ def per_host_topk(eligible: DataFrame, split_plan: DataFrame | None = None) -> D
             .filter(F.col("_pre_rank") <= F.coalesce(F.col("max_in_flight"), F.lit(1)))
             .drop("_pre_rank", "_salt", "n_salt")
         )
-    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
+    w = Window.partitionBy("_bkey").orderBy(F.desc("priority"), F.asc("url"))
     return (
         work.withColumn("host_rank", F.row_number().over(w))
         .filter(F.col("host_rank") <= F.coalesce(F.col("max_in_flight"), F.lit(1)))
-        .drop("host_rank", "min_delay_rounds", "max_in_flight", "last_scheduled_round")
+        .drop(
+            "host_rank", "_bkey", "min_delay_rounds", "max_in_flight",
+            "last_scheduled_round",
+        )
     )
 
 

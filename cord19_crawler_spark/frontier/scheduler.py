@@ -260,8 +260,12 @@ class CrawlScheduler:
         eligible = politeness.eligible_urls(pending, host_state, rnd)
         eligible = filter_robots(eligible, self.robots)
 
-        # 2. per-host priority queue (skew-split two-phase) → fetch batch
-        ranked = politeness.per_host_topk(eligible, split_plan=plan)
+        # 2. per-host/domain priority queue (skew-split two-phase) → batch
+        ranked = politeness.per_host_topk(
+            eligible,
+            split_plan=plan,
+            budget_key=self.cfg.extra.get("budget_key", "host"),
+        )
         batch = politeness.global_batch(ranked, self.cfg.batch_size)
         # cached: reused by the fetch join, crawl_log, and host_state update;
         # counts come from the written parquet footers post-commit (no extra
