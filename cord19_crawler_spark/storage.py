@@ -65,8 +65,18 @@ class CheckpointStore:
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         os.makedirs(tmp)
-        for name, df in tables.items():
+        # the state tables are independent DataFrames (shared inputs are
+        # cached) — submit their write jobs concurrently; Spark's scheduler
+        # interleaves them across the executor pool. Atomicity is unchanged:
+        # nothing is visible until the rename below.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(item):
+            name, df = item
             df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+
+        with ThreadPoolExecutor(max_workers=min(4, len(tables))) as pool:
+            list(pool.map(_write, tables.items()))
         final_counters = dict(counters or {})
         if counters_fn is not None:
             final_counters.update(counters_fn(tmp))
