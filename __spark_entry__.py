@@ -168,6 +168,39 @@ ORDER BY r_name, n_name
 """
 
 
+def rollup_revenue(spark, sf_dir):
+    """ROLLUP grouping sets: revenue at (region, nation), (region), () —
+    beyond the reference's operator set; Catalyst Expand + hash agg."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name, n_name
+"""
+
+
 def broadcast_dim_join(spark, sf_dir):
     """J1: fact×small-dim broadcast hash join, agg by brand."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1319,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_revenue_by_nation": q5_revenue_by_nation,
+        "rollup_revenue": rollup_revenue,
         "broadcast_dim_join": broadcast_dim_join,
         "anti_join_no_orders": anti_join_no_orders,
         "semi_join_big_spenders": semi_join_big_spenders,
@@ -1371,6 +1405,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "q5_revenue_by_nation": _Q5_SQL,
+        "rollup_revenue": _ROLLUP_SQL,
         "broadcast_dim_join": _BROADCAST_SQL,
         "anti_join_no_orders": _ANTI_SQL,
         "semi_join_big_spenders": _SEMI_SQL,

@@ -347,6 +347,69 @@ class CrawlScheduler:
         new_urls.unpersist()
         return counters
 
+    def merge_discoveries(self, urls: DataFrame, priority: float = 0.5) -> dict:
+        """Merge externally-discovered URLs (e.g. the Structured-Streaming
+        ingest sink, streaming/ingest.py) into the frontier as a committed
+        zero-schedule round — the reference's incremental upload path
+        (/root/reference/src/dynamic_indexer.py:58-106): new URLs become
+        pending with NO rebuild, duplicates vs the seen set are dropped,
+        and the merge is checkpointed/resumable like any other round.
+
+        ``urls`` needs a ``url`` column (raw; canonicalized here).
+        """
+        prev = self.store.latest_round()
+        if prev is None:
+            raise ValueError("init_from_seeds first")
+        rnd = prev + 1
+        url_seen = self._read_url_seen(prev)
+        filter_state = self._read(prev, "filter_state")
+        host_state = self._read(prev, "host_state")
+
+        canon = (
+            urls.withColumn("url", canonicalize_url(F.col("url")))
+            .filter(F.col("url").isNotNull())
+            .select("url")
+            .dropDuplicates(["url"])
+        )
+        cand = self._annotate(canon)
+        flagged = self.bloom.probe(cand, filter_state)
+        new_urls = exact_new(flagged, url_seen).cache()
+
+        frontier_new = (
+            new_urls.withColumn("priority", F.lit(float(priority)))
+            .withColumn("discovered_round", F.lit(rnd))
+            .select(*FRONTIER_COLS)
+        )
+        crawl_log = self.spark.createDataFrame(
+            [], "round int, seq int, url string, host string, priority double"
+        )
+
+        def _counters(tmp: str) -> dict:
+            import os
+
+            new = self.spark.read.parquet(os.path.join(tmp, "url_seen_new"))
+            return {
+                "scheduled": 0,
+                "discovered_new": new.count(),
+                "merge_only": True,
+            }
+
+        counters = self.store.commit_round(
+            rnd,
+            {
+                "frontier_new": frontier_new,
+                "url_seen_new": new_urls.select("partition", "url_id", "url"),
+                "filter_state": self.bloom.insert(new_urls, filter_state),
+                "host_state": self._advance_hosts(
+                    host_state, crawl_log, new_urls, rnd
+                ),
+                "crawl_log": crawl_log,
+            },
+            counters_fn=_counters,
+        )
+        new_urls.unpersist()
+        return counters
+
     def _advance_hosts(
         self, host_state: DataFrame, batch: DataFrame, new_urls: DataFrame, rnd: int
     ) -> DataFrame:

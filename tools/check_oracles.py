@@ -75,8 +75,10 @@ def main(only: list[str] | None = None):
             # order-insensitive compare with column-name alignment
             s_ix = [scols.index(c) for c in sorted(scols)]
             o_ix = [ocols.index(c) for c in sorted(ocols)]
-            sset = sorted([tuple(r[i] for i in s_ix) for r in srows])
-            oset = sorted([tuple(r[i] for i in o_ix) for r in orows])
+            # repr-keyed sort: rollup/cube rows contain None group keys,
+            # which plain tuple ordering can't compare against strings
+            sset = sorted([tuple(r[i] for i in s_ix) for r in srows], key=repr)
+            oset = sorted([tuple(r[i] for i in o_ix) for r in orows], key=repr)
             if sset != oset:
                 diff = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
                 print(f"FAIL {name}: values differ; first diffs {diff}")
