@@ -218,6 +218,67 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     return fingerprint
 
 
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the fingerprint into ``bands`` chunks —
+    any pair within ``max_hamming < bands`` differs in at most
+    ``max_hamming`` chunks, so by pigeonhole it MUST agree on ≥1 chunk →
+    per-chunk equi-join generates all candidates (no O(n²) compare), then
+    exact Hamming distance (JVM bit_count) filters.
+
+    Returns (doc_a, doc_b, hamming)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            "pigeonhole requires max_hamming < bands (else recall is lost)"
+        )
+    chunk = bits // bands
+    fp = simhash(docs, id_col, text_col, bits)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col("simhash"), b * chunk)
+                            % F.lit(1 << chunk)
+                        ).alias("chunk_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, on="bucket")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("fp_a"),
+            F.col("r.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -133,6 +133,25 @@ def test_simhash_similarity(spark, docs):
     assert ham_near < ham_far
 
 
+def test_simhash_near_duplicates_pairs(spark, docs):
+    pairs = dedup.simhash_near_duplicates(docs, bits=32, max_hamming=4, bands=8)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 3)] == 0  # identical docs, zero distance
+    assert (1, 4) not in got  # unrelated docs excluded
+    # banding finds everything brute force would (pigeonhole completeness)
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, bits=32).collect()}
+    ids = sorted(fps)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 4
+    }
+    assert set(got) == brute
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_duplicates(docs, bits=32, max_hamming=8, bands=4)
+
+
 def test_cosine_topk_and_ann(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),
