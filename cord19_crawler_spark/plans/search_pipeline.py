@@ -1,0 +1,155 @@
+"""End-to-end search pipeline: the reference's two main entry points as two
+functions.
+
+``build_index``  ≙ reference entry point 1 + 3 (SURVEY.md §3.1/§3.3):
+``python src/index.py`` + barrel build — docs → lexicon + barrel-partitioned
+postings + doc titles, written as one partitioned dataset. The barrel
+subsystem collapses to a partition spec: postings land partitioned by
+``barrel_id`` so a query's term routing IS storage partition pruning (the
+trie's job, src/singlewordSearch.py:66-77).
+
+``search``  ≙ entry point 2 (§3.2): query → preprocess (P8) → lemma-variant
+expansion (P9, same suffix family as the tokenizer stub) → pruned postings
+join → TF-IDF + coverage scoring (A9/A10) → top-k → title join (J4).
+
+A doc uploaded after the build is searchable with no rebuild by passing
+``delta_docs`` (T2/T3, operators/delta.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import _lemma_one
+from ..operators import barrels, indexing
+from ..operators.search import preprocess_query, tfidf_search
+
+NUM_BARRELS = 10  # reference default, src/barrel.py:174
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    title_col: str | None = None,
+    num_barrels: int = NUM_BARRELS,
+    top_n_hot: int = 5000,
+) -> dict:
+    """One job chain, no driver fold (vs the reference's serial dict fold,
+    src/index.py:48-116). Writes:
+
+      <out>/lexicon/                 word, word_id, doc_freq, total_count
+      <out>/postings/barrel_id=N/    word, doc_id, tf   (pruned at query time)
+      <out>/titles/                  doc_id, title      (if title_col given)
+      <out>/_INDEX.json              stats (doc count, vocab size, barrels)
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).transform(lambda d: indexing.tokens_from_text(d))
+    postings = indexing.postings(toks).cache()
+    lexicon = indexing.lexicon(toks)
+    stats = barrels.word_stats(postings)
+    assignment = barrels.assign_barrels(stats, num_barrels, top_n_hot)
+    routed = postings.join(
+        F.broadcast(assignment.select("word", "barrel_id")), "word"
+    )
+    routed.write.partitionBy("barrel_id").mode("overwrite").parquet(
+        os.path.join(out_dir, "postings")
+    )
+    # word→barrel routing table (J5): tiny, read first at query time so the
+    # postings scan prunes to only the barrels holding the query words
+    assignment.select("word", "barrel_id").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "routing")
+    )
+    lexicon.write.mode("overwrite").parquet(os.path.join(out_dir, "lexicon"))
+    if title_col:
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(title_col).alias("title")
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "titles"))
+    n_docs = docs.count()
+    meta = {
+        "total_docs": n_docs,
+        "vocabulary": postings.select("word").distinct().count(),
+        "num_barrels": num_barrels,
+        "has_titles": bool(title_col),
+    }
+    postings.unpersist()
+    with open(os.path.join(out_dir, "_INDEX.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _expand_variants(terms: list[str]) -> dict[str, list[str]]:
+    """P9 lemma expansion — ALL variations like the reference's
+    ``return_all_variations=True`` (src/singlewordSearch.py:441-476): the
+    term itself plus every single-suffix strip in the stub's suffix family
+    ('vaccines' → vaccines, vaccine, vaccin), so raw-token indexes match
+    whichever inflection a document used. spaCy replaces this in prod."""
+    from ..functions.text import _SUFFIXES
+
+    out = {}
+    for t in terms:
+        variants = [t]
+        for suf in _SUFFIXES:
+            if t.endswith(suf) and len(t) - len(suf) >= 3:
+                base = t[: -len(suf)]
+                if suf == "ies":
+                    base += "y"
+                if base not in variants:
+                    variants.append(base)
+        lemma = _lemma_one(t)
+        if lemma not in variants:
+            variants.append(lemma)
+        out[t] = variants
+    return out
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 20,
+    delta_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Ranked search over a built index; optional read-time delta merge."""
+    with open(os.path.join(index_dir, "_INDEX.json")) as f:
+        meta = json.load(f)
+    terms = preprocess_query(query)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double, matched_terms int")
+    variants = _expand_variants(terms)
+    all_words = sorted({v for vs in variants.values() for v in vs})
+
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    # term routing = partition pruning (J5; replaces the trie): consult the
+    # TINY routing table, then scan only the matching barrel directories
+    routing = spark.read.parquet(os.path.join(index_dir, "routing"))
+    barrels_needed = [
+        r["barrel_id"]
+        for r in routing.filter(F.col("word").isin(all_words))
+        .select("barrel_id")
+        .distinct()
+        .collect()
+    ]
+    pruned = postings.filter(F.col("barrel_id").isin(barrels_needed)).drop(
+        "barrel_id"
+    )
+    total_docs = meta["total_docs"]
+    if delta_docs is not None:
+        from ..operators.delta import merged_postings
+
+        pruned = merged_postings(pruned, delta_docs)
+        total_docs += delta_docs.count()
+    results = tfidf_search(pruned, terms, total_docs, k, variants=variants)
+    if meta.get("has_titles"):
+        titles = spark.read.parquet(os.path.join(index_dir, "titles"))
+        results = results.join(F.broadcast(titles), "doc_id", "left").select(
+            "doc_id", "score", "matched_terms", "title"
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+    return results

@@ -1,0 +1,68 @@
+"""End-to-end index build + search serve — the reference's main UX
+(python src/index.py; GET /api/search) as two functions."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cord19_crawler_spark.plans.search_pipeline import build_index, search
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx"))
+    rows = [
+        (1, "covid vaccine study results covid", "Covid vaccine study"),
+        (2, "vaccine trials in europe", "Vaccine trials"),
+        (3, "weather patterns and climate", "Weather report"),
+        (4, "covid covid covid transmission", "Covid transmission"),
+        (5, "testing vaccines for covid variants", "Variant testing"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, title string")
+    meta = build_index(spark, docs, out, title_col="title", num_barrels=4)
+    assert meta["total_docs"] == 5 and meta["num_barrels"] == 4
+    return out
+
+
+def test_index_layout(index_dir):
+    assert os.path.isdir(f"{index_dir}/postings/barrel_id=0")
+    assert os.path.exists(f"{index_dir}/_INDEX.json")
+    meta = json.load(open(f"{index_dir}/_INDEX.json"))
+    assert meta["vocabulary"] > 5
+
+
+def test_single_word_search(spark, index_dir):
+    res = search(spark, index_dir, "covid", k=10).collect()
+    ids = [r["doc_id"] for r in res]
+    assert ids[0] == 4  # tf=3 wins
+    assert set(ids) == {1, 4, 5}
+    assert res[0]["title"] == "Covid transmission"
+
+
+def test_multi_word_coverage_boost(spark, index_dir):
+    res = search(spark, index_dir, "covid vaccine", k=10).collect()
+    by_id = {r["doc_id"]: r for r in res}
+    # doc 1 matches both terms → coverage boost beats doc 4's high single-term tf
+    assert by_id[1]["matched_terms"] == 2
+    assert res[0]["doc_id"] == 1
+
+
+def test_stopword_only_query_empty(spark, index_dir):
+    assert search(spark, index_dir, "the and of", k=5).count() == 0
+
+
+def test_lemma_variant_expansion(spark, index_dir):
+    # 'vaccines' expands to its lemma 'vaccine' → matches docs indexed
+    # under the shorter form too
+    res = search(spark, index_dir, "vaccines", k=10).collect()
+    assert {r["doc_id"] for r in res} >= {2, 5}
+
+
+def test_delta_merge_no_rebuild(spark, index_dir):
+    fresh = spark.createDataFrame(
+        [(99, "covid breakthrough covid covid covid")], "doc_id long, text string"
+    )
+    res = search(spark, index_dir, "covid", k=10, delta_docs=fresh).collect()
+    assert res[0]["doc_id"] == 99  # visible and top-ranked, no rebuild
