@@ -110,6 +110,23 @@ def _expand_variants(terms: list[str]) -> dict[str, list[str]]:
     return out
 
 
+def autocomplete(
+    spark: SparkSession, index_dir: str, prefix: str, k: int = 5
+) -> DataFrame:
+    """Prefix completions by corpus frequency (reference trie with per-node
+    top-5 caches, src/autocomplete.py:51-73 → filter + rank over the tiny
+    lexicon; prefixes shorter than 2 chars rejected like src/app.py:139)."""
+    if len(prefix) < 2:
+        raise ValueError("prefix must be >= 2 chars")
+    lex = spark.read.parquet(os.path.join(index_dir, "lexicon"))
+    return (
+        lex.filter(F.col("word").startswith(prefix))
+        .orderBy(F.desc("total_count"), F.asc("word"))
+        .limit(k)
+        .select("word", "total_count")
+    )
+
+
 def search(
     spark: SparkSession,
     index_dir: str,

@@ -60,6 +60,15 @@ def test_lemma_variant_expansion(spark, index_dir):
     assert {r["doc_id"] for r in res} >= {2, 5}
 
 
+def test_autocomplete(spark, index_dir):
+    from cord19_crawler_spark.plans.search_pipeline import autocomplete
+
+    got = autocomplete(spark, index_dir, "va", k=5).collect()
+    assert [r["word"] for r in got][:1] == ["vaccine"]
+    with pytest.raises(ValueError):
+        autocomplete(spark, index_dir, "v")
+
+
 def test_delta_merge_no_rebuild(spark, index_dir):
     fresh = spark.createDataFrame(
         [(99, "covid breakthrough covid covid covid")], "doc_id long, text string"
