@@ -39,6 +39,9 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_cosine_topk",
     "text_fingerprints",
+    "rollup_revenue",
+    "dedup_ngram_jaccard",
+    "frontier_seen_antijoin",
     "frontier_canonicalize",
     "frontier_per_host_topk",
     "frontier_fetch_batch",

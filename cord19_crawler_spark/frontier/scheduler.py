@@ -347,6 +347,27 @@ class CrawlScheduler:
         new_urls.unpersist()
         return counters
 
+    def frontier_metrics(self) -> DataFrame:
+        """Per-host frontier metrics with cheap cardinality sketches:
+        pending counts exact, seen-URL cardinality via approx_count_distinct
+        (HLL++) — at 10^10 rows the exact countDistinct shuffle is the cost
+        the sketch avoids (SURVEY §2.4: the reference uses exact len() at
+        toy scale; approx is the scale-path for METRICS only, never for the
+        seen-set itself)."""
+        last = self.store.latest_round()
+        if last is None:
+            raise ValueError("no committed rounds")
+        pending = self._read_pending(last)
+        seen = self._read_url_seen(last).withColumn(
+            "host", host_from_canonical(F.col("url"))
+        )
+        p = pending.groupBy("host").agg(F.count(F.lit(1)).alias("pending_exact"))
+        s = seen.groupBy("host").agg(
+            F.approx_count_distinct("url").alias("seen_approx"),
+            F.count(F.lit(1)).alias("seen_exact"),
+        )
+        return p.join(s, "host", "full").fillna(0).orderBy("host")
+
     def merge_discoveries(self, urls: DataFrame, priority: float = 0.5) -> dict:
         """Merge externally-discovered URLs (e.g. the Structured-Streaming
         ingest sink, streaming/ingest.py) into the frontier as a committed

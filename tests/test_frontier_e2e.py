@@ -102,6 +102,17 @@ def test_politeness_budget_enforced(spark, docs, tmp_path):
             seen_host_rounds[r["host"]] = rnd
 
 
+def test_frontier_metrics(spark, docs, tmp_path):
+    sched = run_crawl(spark, docs, tmp_path / "metrics")
+    m = {r["host"]: r for r in sched.frontier_metrics().collect()}
+    assert len(m) > 3
+    total_seen = sum(r["seen_exact"] for r in m.values())
+    assert total_seen == len(sched.seen_set())
+    for r in m.values():  # HLL++ within 10% of exact at this scale
+        if r["seen_exact"] > 10:
+            assert abs(r["seen_approx"] - r["seen_exact"]) / r["seen_exact"] < 0.1
+
+
 def test_url_seen_is_exact_and_grows(spark, docs, tmp_path):
     sched = run_crawl(spark, docs, tmp_path / "seen")
     last = sched.store.latest_round()
