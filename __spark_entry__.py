@@ -793,11 +793,17 @@ def frontier_seen_antijoin(spark, sf_dir):
         "host",
         (F.col("o_orderkey") % 3 == 0).alias("is_seen"),
     )
-    seen = canon.filter(F.col("is_seen")).select("url")
+    # single-pass formulation of the anti-join: a candidate row survives iff
+    # NO row with its canonical url is seen — group-by-url max(is_seen)
+    # instead of a self-join, so the canonicalize UDF runs ONCE over the data
+    per_url = canon.groupBy("url", "host").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(F.col("is_seen").cast("int")).alias("any_seen"),
+    )
     return (
-        canon.join(seen, "url", "left_anti")
+        per_url.filter(F.col("any_seen") == 0)
         .groupBy("host")
-        .agg(F.count(F.lit(1)).alias("n_new"))
+        .agg(F.sum("n_rows").alias("n_new"))
         .orderBy("host")
     )
 
