@@ -170,6 +170,11 @@ Determinism cross-check: both levels produced identical result counts
 at both parallelism levels), consistent with the engine's
 parallelism-invariance tests (tests/test_frontier_e2e.py).
 
+Cross-JVM exact-match evidence: `python tools/check_parallelism.py` runs the
+FULL scheduler in two separate JVMs (local[2] vs local[8], different shuffle
+partitions) and asserts identical crawl order + URL-seen set — the
+north_rule's exact-match criterion across parallelism levels.
+
 ## End-to-end scheduler throughput
 
 See BENCH_r*.json (`bench.py`): full scheduler rounds — politeness, robots,
