@@ -486,6 +486,47 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_range_join(spark, sf_dir):
+    """Range join (beyond the reference's equi-only joins — the politeness
+    min-delay predicate generalized): first 'purchase' within 30 min after
+    each 'click', per user. Equi key (user_id) + range predicate; Spark
+    plans SMJ on the key with the range as a post-filter + min-agg."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("buy_id"), F.col("ts").alias("buy_ts")
+    )
+    joined = clicks.join(buys, "user_id").filter(
+        (F.col("buy_ts") > F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return (
+        joined.groupBy("user_id", "click_id")
+        .agg(F.min(F.struct("buy_ts", "buy_id"))["buy_id"].alias("first_buy_id"))
+        .orderBy("user_id", "click_id")
+    )
+
+
+_RANGE_JOIN_SQL = """
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), buys AS (
+  SELECT user_id, event_id AS buy_id, ts AS buy_ts
+  FROM events WHERE event_type = 'purchase'
+), joined AS (
+  SELECT c.user_id, c.click_id, b.buy_id, b.buy_ts
+  FROM clicks c JOIN buys b ON c.user_id = b.user_id
+  WHERE b.buy_ts > c.click_ts AND b.buy_ts <= c.click_ts + INTERVAL 30 MINUTE
+)
+SELECT user_id, click_id,
+       (min({'ts': buy_ts, 'id': buy_id})).id AS first_buy_id
+FROM joined GROUP BY user_id, click_id ORDER BY user_id, click_id
+"""
+
+
 def running_total_per_customer(spark, sf_dir):
     """C6 shape: prefix-sum window (running revenue per customer <50)."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
@@ -1371,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": events_hourly_rollup,
         "events_sessionize": events_sessionize,
         "events_json_props": events_json_props,
+        "events_range_join": events_range_join,
         "running_total_per_customer": running_total_per_customer,
         # search-engine family
         "lexicon_first_encounter": lexicon_first_encounter,
@@ -1424,6 +1466,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_rollup": _EVENTS_HOURLY_SQL,
         "events_sessionize": _SESSION_SQL,
         "events_json_props": _EVENTS_JSON_SQL,
+        "events_range_join": _RANGE_JOIN_SQL,
         "running_total_per_customer": _RUNNING_SQL,
         "lexicon_first_encounter": _LEXICON_SQL,
         "postings_tf": _POSTINGS_SQL,

@@ -29,6 +29,46 @@ RULES_TYPE = T.ArrayType(
 )
 
 
+def parse_robots_txt(robots: DataFrame, txt_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) → (host, rules) — parse raw robots.txt bodies into
+    the rules dimension. Honors the stanza grammar for ``User-agent: *``
+    groups: Allow/Disallow lines, first matching agent group wins, empty
+    Disallow means allow-all. Stanza parsing is inherently sequential per
+    document → one Arrow-batched pandas UDF over the (small) per-host table.
+    """
+
+    @pandas_udf(RULES_TYPE)
+    def _parse(bodies: pd.Series) -> pd.Series:
+        def one(txt: str | None) -> list[dict]:
+            if not txt:
+                return []
+            rules: list[dict] = []
+            in_star = False
+            seen_star_group = False
+            for raw in txt.splitlines():
+                line = raw.split("#", 1)[0].strip()
+                if not line or ":" not in line:
+                    continue
+                key, _, val = line.partition(":")
+                key, val = key.strip().lower(), val.strip()
+                if key == "user-agent":
+                    if seen_star_group and not in_star:
+                        break  # first * group wins; later groups ignored
+                    in_star = val == "*"
+                    seen_star_group = seen_star_group or in_star
+                elif in_star and key in ("allow", "disallow"):
+                    if val == "":
+                        continue  # empty Disallow = allow all (no rule)
+                    rules.append(
+                        {"allow": key == "allow", "path_prefix": val}
+                    )
+            return rules
+
+        return bodies.map(one)
+
+    return robots.select("host", _parse(F.col(txt_col)).alias("rules"))
+
+
 def _path_of(url: str) -> str:
     # canonical URLs: scheme://host[:port]/path[?q]
     rest = url.split("://", 1)[-1]
