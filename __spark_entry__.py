@@ -201,6 +201,26 @@ ORDER BY r_name, n_name
 """
 
 
+def pivot_qty_by_linestatus(spark, sf_dir):
+    """Pivot: quantity by returnflag × linestatus (explicit value list so
+    the output schema is static — the scale-safe pivot form)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .orderBy("l_returnflag")
+    )
+
+
+_PIVOT_SQL = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def broadcast_dim_join(spark, sf_dir):
     """J1: fact×small-dim broadcast hash join, agg by brand."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1400,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_orders": q3_top_orders,
         "q5_revenue_by_nation": q5_revenue_by_nation,
         "rollup_revenue": rollup_revenue,
+        "pivot_qty_by_linestatus": pivot_qty_by_linestatus,
         "broadcast_dim_join": broadcast_dim_join,
         "anti_join_no_orders": anti_join_no_orders,
         "semi_join_big_spenders": semi_join_big_spenders,
@@ -1454,6 +1475,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_top_orders": _Q3_SQL,
         "q5_revenue_by_nation": _Q5_SQL,
         "rollup_revenue": _ROLLUP_SQL,
+        "pivot_qty_by_linestatus": _PIVOT_SQL,
         "broadcast_dim_join": _BROADCAST_SQL,
         "anti_join_no_orders": _ANTI_SQL,
         "semi_join_big_spenders": _SEMI_SQL,
