@@ -102,6 +102,29 @@ def test_politeness_budget_enforced(spark, docs, tmp_path):
             seen_host_rounds[r["host"]] = rnd
 
 
+def test_fetch_miss_404_analogue(spark, docs, tmp_path):
+    """Seeds whose documents don't exist (404s): the round schedules them,
+    the fetch join finds nothing, the crawl continues — the URL is consumed
+    (in crawl_log, not re-scheduled) exactly like a fetched-but-dead page."""
+    from pyspark.sql import functions as F
+
+    dead = spark.createDataFrame(
+        [(f"https://host9.example.com/doc/{99000 + i}", 5.0) for i in range(5)],
+        "url string, priority double",
+    )
+    live = seed_urls(spark, 5, N_DOCS)
+    sched = CrawlScheduler(spark, docs, str(tmp_path / "miss"), make_cfg())
+    sched.run(3, seeds=dead.unionByName(live))
+    order = sched.crawl_order()
+    urls = [u for _, _, u in order]
+    # dead URLs scheduled once (high priority), never again; crawl continued
+    assert sum("/doc/99" in u for u in urls) == 5
+    assert len(urls) == len(set(urls))
+    assert len(urls) > 10  # live seeds kept expanding the frontier
+    pend = sched.pending_frontier()
+    assert pend.filter(F.col("url").contains("/doc/99")).count() == 0
+
+
 def test_frontier_metrics(spark, docs, tmp_path):
     sched = run_crawl(spark, docs, tmp_path / "metrics")
     m = {r["host"]: r for r in sched.frontier_metrics().collect()}
