@@ -4,14 +4,17 @@ Each scheduling round is ONE deterministic DataFrame job chain (the
 reference is likewise batch-per-round: src/crawler.py:130-150 micro-batch
 ingest; src/index.py:41-116 incremental fold):
 
-  frontier scan → politeness eligibility (broadcast host_state join)
+  pending scan (derived from append-only logs)
+  → politeness eligibility (broadcast host_state join)
   → robots filter (broadcast rules + Arrow UDF)
-  → per-host priority queue (window, UNsalted — budget is per-host)
+  → per-host/domain priority queue (two-phase skew-split window:
+    hot hosts pre-reduced on (key, salt) per the round's split plan)
   → global top-N fetch batch (TakeOrderedAndProject)
   → "fetch" = join batch→documents (broadcast the small batch side)
-  → posexplode spans (≤ cap) → URL extract + canonicalize (Arrow UDFs)
-  → salted-repartition dedup (hot-host split plan) → distinct
-  → bloom probe (co-grouped bitsets) → exact anti-join backstop
+  → span explode (≤ cap) → fused URL extract+canonicalize (ONE Arrow stage)
+  → url-hash dedup (uniform key — no salting needed here)
+  → bloom/cuckoo probe (co-grouped bitsets) → exact anti-join backstop
+    (keyed on the URL STRING — hash-collision-safe)
   → append-only commit: frontier_new + url_seen_new + crawl_log deltas,
     filter/host state, counters + per-partition lineage — atomically.
     Pending is DERIVED (frontier deltas anti-join scheduled log), so no
@@ -24,10 +27,12 @@ bit-identical across kill/resume (state lives only in committed tables,
 never in executor memory across rounds).
 
 Scale notes (10^10 URLs, 1000 executors): frontier/url_seen are
-hash-partitioned tables; the per-round batch is small relative to the
+hash-partitioned append-only delta tables (O(new) writes; pending derived;
+compaction caps read fan-in); the per-round batch is small relative to the
 frontier, so the fetch join broadcasts the batch, not the corpus; the bloom
 prefilter keeps the exact anti-join probe volume near zero for new URLs;
-hot hosts are salted before the dedup shuffle per the per-round split plan.
+hot hosts are split across reducers in the politeness window per the
+per-round plan. Full sizing math: DESIGN.md.
 """
 
 from __future__ import annotations
