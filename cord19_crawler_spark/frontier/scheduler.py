@@ -54,7 +54,9 @@ from .seen import BloomSeenFilter, exact_new, with_partition
 
 # per-round frontier DELTA columns: every committed row is append-only; the
 # pending set is DERIVED (deltas minus scheduled log), so no state rewrite.
-FRONTIER_COLS = ["url", "url_id", "host", "partition", "priority", "discovered_round"]
+FRONTIER_COLS = [
+    "url", "url_id", "host", "partition", "priority", "discovered_round", "attempt"
+]
 
 
 @dataclass
@@ -124,6 +126,7 @@ class CrawlScheduler:
         frontier = (
             self._annotate(canon)
             .withColumn("discovered_round", F.lit(0))
+            .withColumn("attempt", F.lit(0))
             .select(*FRONTIER_COLS)
             .cache()  # four state tables derive from it — compute once
         )
@@ -135,7 +138,8 @@ class CrawlScheduler:
             frontier, self.cfg.min_delay_rounds, self.cfg.max_in_flight
         )
         crawl_log = self.spark.createDataFrame(
-            [], "round int, seq int, url string, host string, priority double"
+            [],
+            "round int, seq int, url string, host string, priority double, attempt int",
         )
 
         def _counters(tmp: str) -> dict:
@@ -205,8 +209,10 @@ class CrawlScheduler:
         base_rnd = self.store.latest_compact(upto=upto_rnd)
         if base_rnd is None:
             frontier_all = self._read_deltas(upto_rnd, "frontier_new")
-            scheduled = self._read_deltas(upto_rnd, "crawl_log").select("url")
-            return frontier_all.join(scheduled, "url", "left_anti")
+            scheduled = self._read_deltas(upto_rnd, "crawl_log").select(
+                "url", "attempt"
+            )
+            return frontier_all.join(scheduled, ["url", "attempt"], "left_anti")
         base = self.spark.read.parquet(
             self.store.compact_table_path(base_rnd, "pending")
         )
@@ -217,8 +223,8 @@ class CrawlScheduler:
         new = self._read_deltas(upto_rnd, "frontier_new", from_rnd=base_rnd + 1)
         sched = self._read_deltas(
             upto_rnd, "crawl_log", from_rnd=base_rnd + 1
-        ).select("url")
-        return base.unionByName(new).join(sched, "url", "left_anti")
+        ).select("url", "attempt")
+        return base.unionByName(new).join(sched, ["url", "attempt"], "left_anti")
 
     def pending_frontier(self) -> DataFrame:
         """Public: current pending frontier (derived state)."""
@@ -275,7 +281,7 @@ class CrawlScheduler:
         # cached: reused by the fetch join, crawl_log, and host_state update;
         # counts come from the written parquet footers post-commit (no extra
         # pre-write jobs)
-        batch = batch.select("url", "url_id", "host", "priority", "seq").cache()
+        batch = batch.select("url", "url_id", "host", "priority", "attempt", "seq").cache()
 
         # 3. "fetch": canonical URL path /doc/<id> → document; broadcast the
         #    small batch side against the big corpus scan.
@@ -307,6 +313,7 @@ class CrawlScheduler:
         frontier_new = (
             new_urls.withColumn("priority", F.lit(1.0) / F.lit(float(1 + rnd)))
             .withColumn("discovered_round", F.lit(rnd))
+            .withColumn("attempt", F.lit(0))
             .select(*FRONTIER_COLS)
         )
 
@@ -314,7 +321,7 @@ class CrawlScheduler:
         filter_state_next = self.bloom.insert(new_urls, filter_state)
         host_state_next = self._advance_hosts(host_state, batch, new_urls, rnd)
         crawl_log = batch.select(
-            F.lit(rnd).alias("round"), "seq", "url", "host", "priority"
+            F.lit(rnd).alias("round"), "seq", "url", "host", "priority", "attempt"
         )
 
         def _counters(tmp: str) -> dict:
@@ -404,10 +411,12 @@ class CrawlScheduler:
         frontier_new = (
             new_urls.withColumn("priority", F.lit(float(priority)))
             .withColumn("discovered_round", F.lit(rnd))
+            .withColumn("attempt", F.lit(0))
             .select(*FRONTIER_COLS)
         )
         crawl_log = self.spark.createDataFrame(
-            [], "round int, seq int, url string, host string, priority double"
+            [],
+            "round int, seq int, url string, host string, priority double, attempt int",
         )
 
         def _counters(tmp: str) -> dict:
@@ -434,6 +443,82 @@ class CrawlScheduler:
             counters_fn=_counters,
         )
         new_urls.unpersist()
+        return counters
+
+    def requeue_failures(
+        self, failed_urls: DataFrame, max_retries: int = 3, backoff: float = 0.5
+    ) -> dict:
+        """Re-enqueue transiently-failed fetches as a committed round.
+
+        Each failed URL re-enters pending as a NEW (url, attempt+1) row —
+        the pending derivation anti-joins on (url, attempt), so the retried
+        attempt is schedulable even though the prior attempt is in the crawl
+        log. Priority decays by ``backoff`` per attempt (retries lose to
+        fresh work); URLs at ``max_retries`` are dropped (counted). The seen
+        set is untouched: the URL was legitimately seen.
+
+        ``failed_urls`` needs a ``url`` column (canonical — these came from
+        a fetch batch).
+        """
+        prev = self.store.latest_round()
+        if prev is None:
+            raise ValueError("init_from_seeds first")
+        rnd = prev + 1
+        # current attempt + original priority from the frontier log
+        frontier_all = self._read_deltas(prev, "frontier_new")
+        latest = (
+            frontier_all.join(failed_urls.select("url").distinct(), "url")
+            .groupBy("url")
+            .agg(
+                F.max("attempt").alias("attempt"),
+                F.max("priority").alias("orig_priority"),
+            )
+        )
+        eligible = latest.filter(F.col("attempt") < max_retries)
+        retry_rows = self._annotate(eligible.select("url")).join(
+            eligible, "url"
+        ).select(
+            "url",
+            "url_id",
+            "host",
+            "partition",
+            (F.col("orig_priority") * F.lit(float(backoff)) ** (F.col("attempt") + 1))
+            .alias("priority"),
+            F.lit(rnd).alias("discovered_round"),
+            (F.col("attempt") + 1).alias("attempt"),
+        ).select(*FRONTIER_COLS)
+
+        host_state = self._read(prev, "host_state")
+        crawl_log = self.spark.createDataFrame(
+            [],
+            "round int, seq int, url string, host string, priority double, attempt int",
+        )
+        empty_seen = self.spark.createDataFrame(
+            [], "partition int, url_id long, url string"
+        )
+
+        def _counters(tmp: str) -> dict:
+            import os
+
+            n = self.spark.read.parquet(os.path.join(tmp, "frontier_new")).count()
+            return {
+                "scheduled": 0,
+                "discovered_new": 0,
+                "requeued": n,
+                "merge_only": True,
+            }
+
+        counters = self.store.commit_round(
+            rnd,
+            {
+                "frontier_new": retry_rows,
+                "url_seen_new": empty_seen,
+                "filter_state": self._read(prev, "filter_state"),
+                "host_state": host_state,
+                "crawl_log": crawl_log,
+            },
+            counters_fn=_counters,
+        )
         return counters
 
     def _advance_hosts(
