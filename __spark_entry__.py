@@ -1008,6 +1008,38 @@ GROUP BY m.host ORDER BY m.host
 # ---------------------------------------------------------------------------
 
 
+def set_ops_vocab(spark, sf_dir):
+    """U3/U4 set operations: per-source vocabulary intersect/except sizes —
+    words shared by sources src0 and src1 vs exclusive to src0."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.length("word") >= 2)
+    v0 = words.filter(F.col("source") == "src0").select("word").distinct()
+    v1 = words.filter(F.col("source") == "src1").select("word").distinct()
+    shared = v0.intersect(v1).count()
+    only0 = v0.exceptAll(v0.intersect(v1)).count()
+    return spark.createDataFrame(
+        [("shared", shared), ("only_src0", only0)], "set_kind string, n_words long"
+    ).orderBy("set_kind")
+
+
+_SET_OPS_SQL = """
+WITH words AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+), f AS (SELECT DISTINCT source, word FROM words WHERE length(word) >= 2),
+v0 AS (SELECT word FROM f WHERE source = 'src0'),
+v1 AS (SELECT word FROM f WHERE source = 'src1')
+SELECT 'only_src0' AS set_kind,
+       (SELECT count(*) FROM (SELECT word FROM v0 EXCEPT SELECT word FROM v1)) AS n_words
+UNION ALL
+SELECT 'shared',
+       (SELECT count(*) FROM (SELECT word FROM v0 INTERSECT SELECT word FROM v1))
+ORDER BY set_kind
+"""
+
+
 def dedup_exact_prefix(spark, sf_dir):
     """Exact dedup by md5 fingerprint of the first 40 chars (hash-groupBy)."""
     d = _t(spark, sf_dir, "documents")
@@ -1453,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_eligibility": politeness_eligibility_q,
         # training-data pipeline
         "dedup_exact_prefix": dedup_exact_prefix,
+        "set_ops_vocab": set_ops_vocab,
         "dedup_minhash_signatures": dedup_minhash_signatures_q,
         "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
         "dedup_simhash": dedup_simhash_q,
@@ -1505,6 +1538,7 @@ def oracle_sql() -> dict[str, str]:
         "hot_host_split_plan": _HOT_SPLIT_SQL,
         "politeness_eligibility": _POLITE_SQL,
         "dedup_exact_prefix": _DEDUP_EXACT_SQL,
+        "set_ops_vocab": _SET_OPS_SQL,
         "dedup_minhash_signatures": _minhash_sql(),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(),
