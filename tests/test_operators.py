@@ -237,3 +237,25 @@ def test_multimodal_plumbing(spark):
     }
     with pytest.raises(NotImplementedError):
         multimodal.decode_and_featurize(media, dim=8, decode_mode="real")
+
+
+def test_minhash_estimates_jaccard(spark):
+    """The LSH math contract: P(mh_i(A) == mh_i(B)) = J(A,B), so the
+    fraction of agreeing signature components estimates Jaccard. With 64
+    permutations, a true J=0.5 pair should estimate within ±0.2."""
+    words_a = " ".join(f"tok{i}" for i in range(40))
+    words_b = " ".join(f"tok{i}" for i in range(20, 60))  # J = 20/60 ≈ 0.333
+    docs = spark.createDataFrame([(1, words_a), (2, words_b)], "doc_id long, text string")
+    sh = dedup.shingles(docs, n=1)
+    sig = dedup.minhash_signatures(sh, num_perm=64)
+    rows = {r["doc_id"]: r for r in sig.collect()}
+    agree = sum(
+        rows[1][f"mh_{i}"] == rows[2][f"mh_{i}"] for i in range(64)
+    ) / 64
+    true_j = 20 / 60
+    assert abs(agree - true_j) < 0.2, (agree, true_j)
+    # identical docs agree on every component
+    docs2 = spark.createDataFrame([(1, words_a), (2, words_a)], "doc_id long, text string")
+    sig2 = {r["doc_id"]: r for r in dedup.minhash_signatures(
+        dedup.shingles(docs2, n=1), num_perm=16).collect()}
+    assert all(sig2[1][f"mh_{i}"] == sig2[2][f"mh_{i}"] for i in range(16))
