@@ -477,7 +477,7 @@ WITH g AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g
 )
-SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM s GROUP BY user_id ORDER BY user_id
 """
 
@@ -652,7 +652,7 @@ def word_stats_query(spark, sf_dir):
 _WORD_STATS_SQL = f"""
 WITH {_TOKENS_CTE},
 postings AS (SELECT word, doc_id, count(*) AS tf FROM tokens GROUP BY word, doc_id)
-SELECT word, count(DISTINCT doc_id) AS doc_freq, sum(tf) AS total_freq
+SELECT word, count(DISTINCT doc_id) AS doc_freq, CAST(sum(tf) AS BIGINT) AS total_freq
 FROM postings GROUP BY word
 """
 
@@ -1377,23 +1377,11 @@ GROUP BY host ORDER BY host
 """.replace("%%", "%")
 
 
-def semantic_expansion(spark, sf_dir):
-    """Word2Vec synonym expansion (reference F2/F3) over the documents
-    corpus — training is iterative ML, not SQL-expressible → rows-only."""
-    _ensure_workers(spark)
-    from cord19_crawler_spark.operators.semantic import expand_query, train_word2vec
-
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("words"))
-    model = train_word2vec(toks, vector_size=16, min_count=10, seed=42)
-    expanded = expand_query(model, ["spark", "window", "fast"], top_n=3)
-    rows = [(t, i, v) for t, vs in expanded.items() for i, v in enumerate(vs)]
-    return spark.createDataFrame(rows, "term string, rank int, variant string")
-
-
 def pos_distribution_q(spark, sf_dir):
-    """A13 POS rollup through the Arrow lemmatizer black box (F1) — the
-    linguistic model is a deterministic stub, so rows-only driver check."""
+    """A13 POS rollup through the Arrow lemmatizer black box (F1). The
+    linguistic model is a deterministic stub (functions/text.py:_lemma_one)
+    whose token/POS rules are pure string logic — the DuckDB oracle mirrors
+    them exactly (regexp token split + CASE POS guess)."""
     _ensure_workers(spark)
     from cord19_crawler_spark.functions.text import lemmatize_tokens
     from cord19_crawler_spark.operators.indexing import pos_distribution
@@ -1407,9 +1395,11 @@ def pos_distribution_q(spark, sf_dir):
 
 def barrel_assignment_greedy(spark, sf_dir):
     """Full barrel placement policy (round-robin head + greedy least-loaded
-    tail, src/barrel.py:87-122). Greedy is inherently sequential → no SQL
-    oracle (driver records rows-only); parity vs a pure-Python reimpl is
-    asserted in tests/test_operators.py."""
+    tail, src/barrel.py:87-122). Greedy is inherently sequential — the
+    DuckDB oracle emulates the heap loop with a recursive CTE (one word per
+    recursion step, argmin load with lowest-barrel tie-break = heap tuple
+    order); parity vs a pure-Python reimpl is also asserted in
+    tests/test_operators.py."""
     _ensure_workers(spark)
     from cord19_crawler_spark.operators.barrels import assign_barrels
 
@@ -1419,8 +1409,11 @@ def barrel_assignment_greedy(spark, sf_dir):
 
 def multimodal_features(spark, sf_dir):
     """Multimodal plumbing over driver tables: synthesize a media column per
-    document, decode+featurize via Arrow mapInPandas (decode stubbed —
-    deterministic fake features; no SQL oracle → rows-only check)."""
+    document, decode+featurize via Arrow mapInPandas (decode stubbed — the
+    fake features are md5-56bit-derived, so the DuckDB oracle recomputes the
+    exact float32 values). Output is exploded to scalar (doc_id, dim, value)
+    rows — hashable for the driver's row canonicalizer; the array<float>
+    form stays available via operators.multimodal.decode_and_featurize."""
     _ensure_workers(spark)
     from cord19_crawler_spark.operators.multimodal import decode_and_featurize
 
@@ -1437,7 +1430,106 @@ def multimodal_features(spark, sf_dir):
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
-    return decode_and_featurize(media, dim=8)
+    feats = decode_and_featurize(media, dim=8)
+    return feats.select(
+        "doc_id",
+        "media_ref",
+        F.posexplode("feature").alias("dim", "value"),
+        "decode_status",
+    ).select(
+        "doc_id",
+        "media_ref",
+        "dim",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+        "decode_status",
+    )
+
+
+# float32 quantization mirrored via CAST(.. AS REAL) before the round —
+# decode_and_featurize emits float32 features (real embed-kernel contract)
+_MULTIMODAL_SQL = """
+WITH dims AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS dim),
+m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'media://doc/' || doc_id AS media_ref,
+         text
+  FROM documents WHERE doc_id < 40
+)
+SELECT doc_id, media_ref, dim,
+       round(CAST(CAST(
+         (CAST(('0x' || substr(md5(text || ':' || dim), 1, 14)) AS BIGINT)
+          / 72057594037927936.0) * 2.0 - 1.0
+       AS REAL) AS DOUBLE), 6) AS value,
+       'ok-fake' AS decode_status
+FROM m CROSS JOIN dims
+"""
+
+
+_POS_DIST_SQL = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]{2,}')) AS tok
+  FROM documents WHERE doc_id < 100
+)
+SELECT CASE WHEN regexp_matches(tok, '^[0-9]+$') THEN 'NUM'
+            WHEN tok LIKE '%ing' THEN 'VERB'
+            ELSE 'NOUN' END AS pos_tag,
+       count(*) AS cnt
+FROM toks GROUP BY 1 ORDER BY cnt DESC, pos_tag
+"""
+
+
+# Greedy least-loaded tail emulated as a recursive CTE: one vocabulary word
+# per recursion step; barrel = argmin(load) with lowest-barrel-id tie-break,
+# exactly the heap tuple-order semantics of operators/barrels.py:assign_barrels
+_BARREL_GREEDY_SQL = f"""
+WITH RECURSIVE {_TOKENS_CTE},
+postings AS (SELECT word, doc_id, count(*) AS tf FROM tokens GROUP BY word, doc_id),
+stats AS (
+  SELECT word, count(DISTINCT doc_id) AS doc_freq, CAST(sum(tf) AS BIGINT) AS total_freq
+  FROM postings GROUP BY word
+),
+ranked AS (
+  SELECT word, doc_freq, total_freq,
+         row_number() OVER (ORDER BY doc_freq DESC, word ASC) AS rank
+  FROM stats
+),
+head AS (
+  SELECT word, doc_freq, total_freq, rank,
+         CAST((rank - 1) % 4 AS INTEGER) AS barrel_id
+  FROM ranked WHERE rank <= 10
+),
+init AS (
+  SELECT CAST(coalesce(max(rank), 0) AS BIGINT) AS rank,
+         CAST(NULL AS VARCHAR) AS word,
+         CAST(NULL AS BIGINT) AS doc_freq,
+         CAST(NULL AS BIGINT) AS total_freq,
+         CAST(NULL AS INTEGER) AS barrel_id,
+         CAST(coalesce(sum(CASE WHEN barrel_id = 0 THEN doc_freq END), 0) AS BIGINT) AS l0,
+         CAST(coalesce(sum(CASE WHEN barrel_id = 1 THEN doc_freq END), 0) AS BIGINT) AS l1,
+         CAST(coalesce(sum(CASE WHEN barrel_id = 2 THEN doc_freq END), 0) AS BIGINT) AS l2,
+         CAST(coalesce(sum(CASE WHEN barrel_id = 3 THEN doc_freq END), 0) AS BIGINT) AS l3
+  FROM head
+),
+step AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT rank, word, doc_freq, total_freq, b AS barrel_id,
+         l0 + CASE WHEN b = 0 THEN doc_freq ELSE 0 END AS l0,
+         l1 + CASE WHEN b = 1 THEN doc_freq ELSE 0 END AS l1,
+         l2 + CASE WHEN b = 2 THEN doc_freq ELSE 0 END AS l2,
+         l3 + CASE WHEN b = 3 THEN doc_freq ELSE 0 END AS l3
+  FROM (
+    SELECT r.rank, r.word, r.doc_freq, r.total_freq, s.l0, s.l1, s.l2, s.l3,
+           CASE WHEN s.l0 <= least(s.l1, s.l2, s.l3) THEN 0
+                WHEN s.l1 <= least(s.l2, s.l3) THEN 1
+                WHEN s.l2 <= s.l3 THEN 2 ELSE 3 END AS b
+    FROM step s JOIN ranked r ON r.rank = s.rank + 1
+  )
+)
+SELECT word, doc_freq, total_freq, barrel_id FROM head
+UNION ALL
+SELECT word, doc_freq, total_freq, barrel_id FROM step WHERE word IS NOT NULL
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1494,11 +1586,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": text_token_stats,
         "text_fingerprints": text_fingerprints,
         "frontier_robots_filter": frontier_robots_filter,
-        # non-SQL-expressible (rows-only driver check; see docstrings)
+        # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
         "multimodal_features": multimodal_features,
-        "semantic_expansion": semantic_expansion,
         "pos_distribution": pos_distribution_q,
+        # NOTE: semantic_expansion (Word2Vec, iterative ML — not
+        # SQL-expressible) lives in tests/test_semantic_delta.py, not here,
+        # so the driver table carries no permanent rows-only row.
     }
 
 
@@ -1547,4 +1641,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": _TOKEN_STATS_SQL,
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
+        "barrel_assignment_greedy": _BARREL_GREEDY_SQL,
+        "multimodal_features": _MULTIMODAL_SQL,
+        "pos_distribution": _POS_DIST_SQL,
     }

@@ -73,10 +73,21 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
 
 def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic pseudo-feature from the payload hash (stand-in for a
-    real decode+embed kernel; same shape/dtype contract)."""
-    h = hashlib.sha256(payload).digest()
-    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
-    return (raw.astype(np.float32) / np.float32(2**32)) * 2.0 - 1.0
+    real decode+embed kernel; same shape/dtype contract).
+
+    Per-dimension kernel is the repo's md5-56bit hash (functions/hashes.py)
+    of ``payload || ':' || dim`` scaled to [-1, 1) — cross-engine
+    reproducible, so a DuckDB oracle can recompute the exact values:
+      CAST(('0x' || substr(md5(t || ':' || i), 1, 14)) AS BIGINT) / 2^56
+    """
+    vals = [
+        int(hashlib.md5(payload + b":%d" % i).hexdigest()[:14], 16)
+        / float(1 << 56)
+        * 2.0
+        - 1.0
+        for i in range(dim)
+    ]
+    return np.asarray(vals, dtype=np.float32)
 
 
 def decode_and_featurize(media: DataFrame, dim: int = 16, decode_mode: str = "fake") -> DataFrame:

@@ -39,9 +39,19 @@ def train_word2vec(
 
 def expand_query(model, terms: list[str], top_n: int = 3) -> dict[str, list[str]]:
     """term → [term, synonym, ...] (reference expand_query,
-    src/semantic_search.py:38-44; unknown words expand to themselves)."""
+    src/semantic_search.py:38-44; unknown words expand to themselves).
+
+    Vocabulary membership is checked with a FILTERED collect (≤ len(terms)
+    rows) — never a full-vocab collect, which at a 10^7-word vocabulary
+    would pull the whole model table through the driver."""
     out: dict[str, list[str]] = {}
-    vocab = {r["word"] for r in model.getVectors().select("word").collect()}
+    vocab = {
+        r["word"]
+        for r in model.getVectors()
+        .filter(F.col("word").isin(list(terms)))
+        .select("word")
+        .collect()
+    }
     for t in terms:
         variants = [t]
         if t in vocab:
