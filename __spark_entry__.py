@@ -786,6 +786,68 @@ FROM postings WHERE word IN ('spark', 'agg')
 """
 
 
+_EXPAND_TERMS = ["customer", "filtering", "orders", "spark"]
+
+
+def lemma_variant_expansion(spark, sf_dir):
+    """P9 EXACT: query term → {term} ∪ {lexicon's stored lemma} via a join
+    against the lemma field (reference expand_word_with_lemmas,
+    src/multiwordSearch.py:36-44 → src/singlewordSearch.py:441-476); OOV
+    terms expand to themselves. The lemma column is the codegen'd Catalyst
+    mirror of the lemmatizer stub (functions/text.py:lemma_expr)."""
+    from cord19_crawler_spark.functions.text import lemma_expr
+
+    vocab = _tokens(spark, sf_dir).select("word").distinct()
+    lex = vocab.withColumn("lemma", lemma_expr(F.col("word")))
+    terms = spark.createDataFrame([(t,) for t in _EXPAND_TERMS], "term string")
+    j = terms.join(F.broadcast(lex), terms.term == lex.word, "left")
+    return (
+        j.select(
+            "term",
+            F.explode(
+                F.array_distinct(
+                    F.array(F.col("term"), F.coalesce(F.col("lemma"), F.col("term")))
+                )
+            ).alias("variant"),
+        )
+        .orderBy("term", "variant")
+    )
+
+
+def _lemma_case_sql(expr: str) -> str:
+    """DuckDB CASE mirroring functions/text.py:_lemma_one / lemma_expr."""
+    from cord19_crawler_spark.functions.text import _SUFFIXES
+
+    whens = []
+    for suf in _SUFFIXES:
+        base = f"substr({expr}, 1, length({expr}) - {len(suf)})"
+        if suf == "ies":
+            base = f"({base} || 'y')"
+        whens.append(
+            f"WHEN {expr} LIKE '%{suf}' AND length({expr}) >= {len(suf) + 3} THEN {base}"
+        )
+    return "CASE " + " ".join(whens) + f" ELSE {expr} END"
+
+
+def _lemma_expand_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _EXPAND_TERMS)
+    return f"""
+WITH {_TOKENS_CTE},
+vocab AS (SELECT DISTINCT word FROM tokens),
+lex AS (SELECT word, {_lemma_case_sql("word")} AS lemma FROM vocab),
+j AS (
+  SELECT t.term, l.lemma
+  FROM (SELECT unnest([{terms}]) AS term) t
+  LEFT JOIN lex l ON l.word = t.term
+)
+SELECT term, variant FROM (
+  SELECT term, term AS variant FROM j
+  UNION
+  SELECT term, coalesce(lemma, term) AS variant FROM j
+) ORDER BY term, variant
+"""
+
+
 # ---------------------------------------------------------------------------
 # 3. Frontier family — the north-star pipeline over oracle-constructible URLs
 # ---------------------------------------------------------------------------
@@ -1568,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "round_robin_barrel_head": round_robin_barrel_head,
         "doc_id_dense_mapping": doc_id_dense_mapping,
         "gap_encode_postings": gap_encode_postings,
+        "lemma_variant_expansion": lemma_variant_expansion,
         # frontier family
         "frontier_canonicalize": frontier_canonicalize,
         "frontier_seen_antijoin": frontier_seen_antijoin,
@@ -1625,6 +1688,7 @@ def oracle_sql() -> dict[str, str]:
         "round_robin_barrel_head": _RR_BARREL_SQL,
         "doc_id_dense_mapping": _DOCMAP_SQL,
         "gap_encode_postings": _GAP_SQL,
+        "lemma_variant_expansion": _lemma_expand_sql(),
         "frontier_canonicalize": _CANON_SQL,
         "frontier_seen_antijoin": _SEEN_ANTI_SQL,
         "frontier_per_host_topk": _HOST_TOPK_SQL,

@@ -67,8 +67,12 @@ def tokenize_name(colname: str) -> Column:
 
 
 def remove_stopwords(tokens: Column) -> Column:
-    """Token filter P3/P8 (src/crawler.py:190-193)."""
-    return F.array_except(tokens, F.array(*[F.lit(w) for w in STOPWORDS]))
+    """Token filter P3/P8 (src/crawler.py:190-193): a PURE filter —
+    ``F.filter`` keeps duplicate tokens and their order (``array_except``
+    would dedup as a side effect, silently undercounting any tf computed
+    downstream)."""
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    return F.filter(tokens, lambda t: ~F.array_contains(stop, t))
 
 
 def token_count(colname: str) -> Column:
@@ -132,6 +136,22 @@ def _lemma_one(tok: str) -> str:
                 base += "y"
             return base
     return tok
+
+
+def lemma_expr(col: Column) -> Column:
+    """Catalyst mirror of :func:`_lemma_one` — first matching suffix strips
+    (``ies`` → restore ``y``), guarded by a min base length of 3. This is
+    the scale path for lemma COLUMNS (whole-stage codegen, no Python);
+    :func:`lemmatize_tokens` remains the spaCy-shaped Arrow black-box slot.
+    Parity with ``_lemma_one`` is asserted in tests/test_urls.py."""
+    w = None
+    for suf in _SUFFIXES:
+        cond = col.endswith(suf) & (F.length(col) >= len(suf) + 3)
+        base = F.substr(col, F.lit(1), F.length(col) - len(suf))
+        if suf == "ies":
+            base = F.concat(base, F.lit("y"))
+        w = F.when(cond, base) if w is None else w.when(cond, base)
+    return w.otherwise(col)
 
 
 _TOKENS_TYPE = T.ArrayType(

@@ -32,20 +32,28 @@ def tokens_from_text(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def lexicon(tokens: DataFrame) -> DataFrame:
-    """word → (word_id, doc_freq, total_count) with deterministic ids.
+    """word → (word_id, lemma, doc_freq, total_count) with deterministic ids.
 
     id order = first encounter in (doc_id, pos) scan order, ties broken by
     word — reproducing the reference's first-encounter semantics
-    (src/index.py:78-87) but parallelism-proof.
+    (src/index.py:78-87) but parallelism-proof. The ``lemma`` column is the
+    reference lexicon's stored lemma field (src/index.py lexicon entries
+    carry ``{"lemma": ...}``; consumed by query expansion,
+    src/singlewordSearch.py:441-476) — computed by the codegen'd Catalyst
+    mirror of the lemmatizer stub.
     """
+    from ..functions.text import lemma_expr
+
     stats = tokens.groupBy("word").agg(
         F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("first_at"),
         F.countDistinct("doc_id").alias("doc_freq"),
         F.count(F.lit(1)).alias("total_count"),
     )
     w = Window.orderBy(F.col("first_at"), F.col("word"))
-    return stats.withColumn("word_id", F.row_number().over(w)).select(
-        "word", "word_id", "doc_freq", "total_count"
+    return (
+        stats.withColumn("word_id", F.row_number().over(w))
+        .withColumn("lemma", lemma_expr(F.col("word")))
+        .select("word", "word_id", "lemma", "doc_freq", "total_count")
     )
 
 

@@ -85,12 +85,34 @@ def build_index(
     return meta
 
 
+def expand_with_lexicon(
+    lexicon_df: DataFrame, terms: list[str]
+) -> dict[str, list[str]]:
+    """P9 EXACT lemma expansion through the lexicon's stored lemma field —
+    the reference's ``expand_word_with_lemmas`` semantics
+    (src/multiwordSearch.py:36-44 → src/singlewordSearch.py:441-476):
+    variants(t) = {t} ∪ {lexicon[t].lemma}; a term not in the lexicon
+    expands to itself (reference fallback returns the word). The lookup is
+    a FILTERED collect of ≤ len(terms) rows — never a full-lexicon pull."""
+    rows = (
+        lexicon_df.filter(F.col("word").isin(list(terms)))
+        .select("word", "lemma")
+        .collect()
+    )
+    lemma_of = {r["word"]: r["lemma"] for r in rows}
+    return {
+        t: [t] + ([lemma_of[t]] if lemma_of.get(t, t) != t else [])
+        for t in terms
+    }
+
+
 def _expand_variants(terms: list[str]) -> dict[str, list[str]]:
-    """P9 lemma expansion — ALL variations like the reference's
-    ``return_all_variations=True`` (src/singlewordSearch.py:441-476): the
-    term itself plus every single-suffix strip in the stub's suffix family
-    ('vaccines' → vaccines, vaccine, vaccin), so raw-token indexes match
-    whichever inflection a document used. spaCy replaces this in prod."""
+    """Heuristic fallback expansion for indexes built WITHOUT a lexicon
+    (raw-token postings): the term itself plus every single-suffix strip in
+    the stub's suffix family ('vaccines' → vaccines, vaccine, vaccin), so
+    raw-token indexes match whichever inflection a document used. When the
+    index ships a lexicon, :func:`expand_with_lexicon` (P9 exact) is used
+    instead."""
     from ..functions.text import _SUFFIXES
 
     out = {}
@@ -140,7 +162,23 @@ def search(
     terms = preprocess_query(query)
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double, matched_terms int")
-    variants = _expand_variants(terms)
+    # P9: lexicon-backed lemma expansion (reference expand_word_with_lemmas —
+    # the stored lemma field decides), then the heuristic strip family as
+    # stub-compensation: the deterministic lemma stub is cruder than the
+    # reference's spaCy model ('vaccines'→'vaccin', not 'vaccine'), and this
+    # index stores raw tokens, so the extra single-strip variants restore the
+    # inflection cross-match spaCy lemmas would have given. Exact reference
+    # semantics alone = expand_with_lexicon (driver query
+    # lemma_variant_expansion validates it against the DuckDB oracle).
+    lex = spark.read.parquet(os.path.join(index_dir, "lexicon"))
+    if "lemma" in lex.columns:
+        variants = expand_with_lexicon(lex, terms)
+        for t, extra in _expand_variants(terms).items():
+            for v in extra:
+                if v not in variants[t]:
+                    variants[t].append(v)
+    else:
+        variants = _expand_variants(terms)
     all_words = sorted({v for vs in variants.values() for v in vs})
 
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
