@@ -69,8 +69,11 @@ class SchedulerConfig:
     max_in_flight: int = 3
     span_cap: int = 50  # reference: src/crawler.py:80
     hot_host_threshold: int = 100_000
-    # auto-compact every N committed rounds (None = manual compact() only)
-    compact_every: int | None = None
+    # auto-compact every N committed rounds (None = manual compact() only).
+    # Default ON: a long crawl that never compacts unions one parquet path
+    # group per round at read time — 10^4 rounds = 10^4-way fan-in. Results
+    # are bit-identical with or without (tests/test_compaction.py).
+    compact_every: int | None = 64
     extra: dict = field(default_factory=dict)
 
 
@@ -104,8 +107,51 @@ class CrawlScheduler:
                 m_bits=self.cfg.bloom_bits,
                 k=self.cfg.bloom_k,
             )
+        self._config_checked = False
+        self._verify_checkpoint_config()
 
     # -- state helpers ------------------------------------------------------
+
+    def _filter_config(self) -> dict:
+        """The config facets that determine how committed filter bitsets and
+        seen-set partitions are PROBED. Persisted in round-0's
+        _COMMITTED.json so a resume with a different geometry fails fast."""
+        cfg: dict = {
+            "seen_partitions": self.cfg.seen_partitions,
+            "filter_kind": self.cfg.extra.get("filter_kind", "bloom"),
+        }
+        if cfg["filter_kind"] == "cuckoo":
+            cfg["n_buckets"] = self.cfg.extra.get("cuckoo_buckets", 1 << 15)
+        else:
+            cfg["m_bits"] = self.cfg.bloom_bits
+            cfg["k"] = self.cfg.bloom_k
+        return cfg
+
+    def _verify_checkpoint_config(self) -> None:
+        """Fail fast when resuming an existing checkpoint with a different
+        seen_partitions / filter_kind / bloom-cuckoo geometry: the live
+        config would silently MIS-PROBE the committed bitsets — a false
+        bloom-negative bypasses the exact anti-join, letting already-seen
+        URLs re-enter the frontier and breaking both seen-set exactness and
+        bit-identical resume."""
+        if self._config_checked:
+            return
+        if self.store.latest_round() is None:
+            return  # fresh checkpoint: config is recorded by init_from_seeds
+        committed = (
+            self.store.read_counters(0).get("counters", {}).get("filter_config")
+        )
+        if committed is None:
+            return  # checkpoint predates config persistence: nothing to check
+        live = self._filter_config()
+        if committed != live:
+            raise ValueError(
+                f"checkpoint at {self.store.root!r} was committed with filter "
+                f"config {committed}, but the live config is {live}; resuming "
+                "would mis-probe the committed filter state. Use the original "
+                "config, or start a new checkpoint directory."
+            )
+        self._config_checked = True
 
     def _annotate(self, urls: DataFrame) -> DataFrame:
         """url → (url, url_id, host, partition). url must be canonical —
@@ -146,7 +192,13 @@ class CrawlScheduler:
             import os
 
             n = self.spark.read.parquet(os.path.join(tmp, "frontier_new")).count()
-            return {"seeds": n, "scheduled": 0, "discovered_new": 0}
+            return {
+                "seeds": n,
+                "scheduled": 0,
+                "discovered_new": 0,
+                # probe-geometry facets, checked on every resume
+                "filter_config": self._filter_config(),
+            }
 
         self.store.commit_round(
             0,
@@ -457,6 +509,12 @@ class CrawlScheduler:
         fresh work); URLs at ``max_retries`` are dropped (counted). The seen
         set is untouched: the URL was legitimately seen.
 
+        IDEMPOTENT: a retry row (url, attempt+1) is only emitted when
+        (url, attempt) was actually SCHEDULED (present in the crawl log) —
+        requeueing the same failure list twice, or a URL whose latest
+        attempt is still pending, is a no-op instead of inserting a second
+        schedulable frontier row for the same URL.
+
         ``failed_urls`` needs a ``url`` column (canonical — these came from
         a fetch batch).
         """
@@ -474,6 +532,11 @@ class CrawlScheduler:
                 F.max("priority").alias("orig_priority"),
             )
         )
+        # idempotency guard: the latest attempt must exist in the crawl log
+        # (i.e. it was scheduled and then failed); still-pending attempts and
+        # double-submitted failure lists drop out here
+        scheduled = self._read_deltas(prev, "crawl_log").select("url", "attempt")
+        latest = latest.join(scheduled, ["url", "attempt"], "left_semi")
         eligible = latest.filter(F.col("attempt") < max_retries)
         retry_rows = self._annotate(eligible.select("url")).join(
             eligible, "url"

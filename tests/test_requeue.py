@@ -40,13 +40,48 @@ def test_requeue_and_rescheduling(spark, tmp_path):
     assert seen.count() == seen.select("url").distinct().count()
 
 
-def test_requeue_respects_max_retries(spark, tmp_path):
+def test_requeue_respects_max_retries_and_is_idempotent(spark, tmp_path):
     docs = generate_documents(spark, 200, partitions=2).cache()
     s = CrawlScheduler(spark, docs, str(tmp_path / "cap"), _cfg())
     s.run(1, seeds=seed_urls(spark, 5, 200))
     url = s.crawl_order()[0][2]
     fdf = spark.createDataFrame([(url,)], "url string")
-    # attempt goes 0 -> 1 -> 2; max_retries=2 blocks the third requeue
+    # attempt 0 was scheduled → requeue emits attempt 1
     assert s.requeue_failures(fdf, max_retries=2)["requeued"] == 1
-    assert s.requeue_failures(fdf, max_retries=2)["requeued"] == 1
+    # attempt 1 is still PENDING (never scheduled) → requeue is a no-op;
+    # double-submitting a failure list must not insert a second frontier row
     assert s.requeue_failures(fdf, max_retries=2)["requeued"] == 0
+    assert (
+        s.pending_frontier().filter(F.col("url") == url).count() == 1
+    )
+    # drain rounds until attempt 1 gets scheduled, then requeue → attempt 2
+    s.run(s.store.latest_round() + 8)
+    assert s.requeue_failures(fdf, max_retries=2)["requeued"] == 1
+    # attempt 2 pending → no-op; once scheduled, max_retries=2 caps attempt 3
+    assert s.requeue_failures(fdf, max_retries=2)["requeued"] == 0
+    s.run(s.store.latest_round() + 8)
+    assert s.requeue_failures(fdf, max_retries=2)["requeued"] == 0
+
+
+def test_resume_with_changed_filter_config_fails_fast(spark, tmp_path):
+    import pytest
+
+    docs = generate_documents(spark, 100, partitions=2).cache()
+    ckpt = str(tmp_path / "cfg")
+    s = CrawlScheduler(spark, docs, ckpt, _cfg())
+    s.run(1, seeds=seed_urls(spark, 4, 100))
+    # same config resumes fine
+    CrawlScheduler(spark, docs, ckpt, _cfg())
+    # different bloom geometry / partitioning / filter kind all fail fast
+    bad = _cfg()
+    bad.bloom_bits = 1 << 18
+    with pytest.raises(ValueError, match="filter config"):
+        CrawlScheduler(spark, docs, ckpt, bad)
+    bad2 = _cfg()
+    bad2.seen_partitions = 8
+    with pytest.raises(ValueError, match="filter config"):
+        CrawlScheduler(spark, docs, ckpt, bad2)
+    bad3 = _cfg()
+    bad3.extra["filter_kind"] = "cuckoo"
+    with pytest.raises(ValueError, match="filter config"):
+        CrawlScheduler(spark, docs, ckpt, bad3)
