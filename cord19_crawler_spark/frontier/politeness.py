@@ -47,13 +47,25 @@ def default_host_state(hosts: DataFrame, min_delay: int = 2, max_in_flight: int 
     )
 
 
-def eligible_urls(pending: DataFrame, host_state: DataFrame, current_round: int) -> DataFrame:
-    """Pending frontier rows whose host is allowed to be scheduled now."""
-    hs = F.broadcast(
-        host_state.select(
-            "host", "min_delay_rounds", "max_in_flight", "last_scheduled_round"
-        )
+def eligible_urls(
+    pending: DataFrame,
+    host_state: DataFrame,
+    current_round: int,
+    broadcast_state: bool = False,
+) -> DataFrame:
+    """Pending frontier rows whose host is allowed to be scheduled now.
+
+    host_state is NOT force-broadcast by default: an explicit broadcast
+    hint is honored regardless of size, and at 10^8 hosts (~6 GB) it would
+    OOM executors. Catalyst/AQE already choose a broadcast join when the
+    dimension's stats fall under autoBroadcastJoinThreshold; pass
+    ``broadcast_state=True`` only for a dimension known to be small
+    (plan-asserted in tests/test_plans.py)."""
+    hs = host_state.select(
+        "host", "min_delay_rounds", "max_in_flight", "last_scheduled_round"
     )
+    if broadcast_state:
+        hs = F.broadcast(hs)
     joined = pending.join(hs, "host", "left")
     return joined.filter(
         F.col("last_scheduled_round").isNull()
@@ -91,18 +103,24 @@ def per_host_topk(
     else:
         work = work.withColumn("_bkey", F.col("host"))
     if split_plan is not None:
-        work = work.join(F.broadcast(split_plan), "host", "left").withColumn(
-            "_salt",
-            F.pmod(F.xxhash64(F.col("url")), F.coalesce(F.col("n_salt"), F.lit(1))),
+        # split_plan holds HOT hosts only (skew.hot_host_plan) — cold rows
+        # (n_salt null after the left join) bypass the pre-phase window
+        # entirely, so the extra pass costs only the skewed tail, not the
+        # whole frontier
+        work = work.join(F.broadcast(split_plan), "host", "left")
+        cold = work.filter(F.col("n_salt").isNull()).drop("n_salt")
+        hot = work.filter(F.col("n_salt").isNotNull()).withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("url")), F.col("n_salt"))
         )
         w_pre = Window.partitionBy("_bkey", "_salt").orderBy(
             F.desc("priority"), F.asc("url")
         )
-        work = (
-            work.withColumn("_pre_rank", F.row_number().over(w_pre))
+        hot = (
+            hot.withColumn("_pre_rank", F.row_number().over(w_pre))
             .filter(F.col("_pre_rank") <= F.coalesce(F.col("max_in_flight"), F.lit(1)))
             .drop("_pre_rank", "_salt", "n_salt")
         )
+        work = cold.unionByName(hot)
     w = Window.partitionBy("_bkey").orderBy(F.desc("priority"), F.asc("url"))
     return (
         work.withColumn("host_rank", F.row_number().over(w))

@@ -101,10 +101,19 @@ def robots_allowed(urls: pd.Series, rules: pd.Series) -> pd.Series:
 
 
 def filter_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
-    """Drop candidates denied by their host's robots rules."""
+    """Drop candidates denied by their host's robots rules.
+
+    Scale shape: the rules dimension can be huge (one row per crawled host,
+    10^8 at frontier scale), so it is FIRST pruned with a semi-join to the
+    round's candidate hosts — shuffle volume bounded by the distinct-host
+    count (map-side partial distinct), not by candidates or by the full
+    dimension — and only the pruned result (≤ candidate hosts) is broadcast,
+    so candidate rows never shuffle for this filter."""
     if robots is None:
         return candidates
-    joined = candidates.join(F.broadcast(robots), "host", "left")
+    hosts = candidates.select("host").distinct()
+    pruned = robots.join(hosts, "host", "left_semi")
+    joined = candidates.join(F.broadcast(pruned), "host", "left")
     return (
         joined.withColumn("_allowed", robots_allowed(F.col("url"), F.col("rules")))
         .filter(F.col("_allowed"))

@@ -26,15 +26,16 @@ from pyspark.sql import functions as F
 
 
 def hot_host_plan(pending: DataFrame, threshold: int = 100_000) -> DataFrame:
-    """Per-host split factor: (host string, n_salt int)."""
+    """Per-host split factor for HOT hosts only: (host string, n_salt int),
+    n_salt ≥ 2. Hosts at or under the threshold are omitted — consumers
+    left-join and ``coalesce(n_salt, 1)`` — so the plan stays genuinely
+    tiny (hot hosts, not all hosts) and safe to broadcast."""
     return (
         pending.groupBy("host")
         .agg(F.count(F.lit(1)).alias("pending_cnt"))
+        .filter(F.col("pending_cnt") > threshold)
         .withColumn(
-            "n_salt",
-            F.greatest(
-                F.lit(1), F.ceil(F.col("pending_cnt") / F.lit(threshold)).cast("int")
-            ),
+            "n_salt", F.ceil(F.col("pending_cnt") / F.lit(threshold)).cast("int")
         )
         .select("host", "n_salt")
     )

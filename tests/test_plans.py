@@ -118,3 +118,61 @@ def test_minhash_partial_aggregation(spark, sf001):
     plan = _plan(df)
     assert plan.count("HashAggregate") >= 2
     assert "EvalPython" not in plan  # hashes are JVM expressions, not UDFs
+
+
+def test_host_state_join_not_forced_broadcast(spark):
+    """A 10^8-host host_state must not be force-broadcast: without stats
+    (in-memory DF ~ defaultSizeInBytes = huge) Catalyst must pick a
+    SortMergeJoin; with broadcast_state=True the hint is honored."""
+    from cord19_crawler_spark.frontier import politeness
+
+    pending = spark.createDataFrame(
+        [(f"https://h{i}.com/p", f"h{i}.com", 1.0) for i in range(50)],
+        "url string, host string, priority double",
+    )
+    hs = spark.createDataFrame(
+        [(f"h{i}.com", 1, 3, None) for i in range(50)],
+        "host string, min_delay_rounds int, max_in_flight int, last_scheduled_round int",
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan_default = _plan(politeness.eligible_urls(pending, hs, 5))
+        plan_forced = _plan(
+            politeness.eligible_urls(pending, hs, 5, broadcast_state=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "SortMergeJoin" in plan_default
+    assert "BroadcastHashJoin" not in plan_default
+    assert "BroadcastHashJoin" in plan_forced
+
+
+def test_robots_rules_pruned_then_broadcast(spark):
+    """filter_robots must semi-join the rules dimension to the candidate
+    hosts BEFORE broadcasting: the broadcast side is the pruned result, and
+    the candidates themselves never shuffle for the final join."""
+    from pyspark.sql import Row
+
+    from cord19_crawler_spark.frontier.robots import filter_robots
+
+    cands = spark.createDataFrame(
+        [("https://a.com/x", "a.com")], "url string, host string"
+    )
+    robots = spark.createDataFrame(
+        [Row(host=f"h{i}.com", rules=[Row(allow=False, path_prefix="/")])
+         for i in range(100)]
+    )
+    plan = _plan(filter_robots(cands, robots))
+    assert "BroadcastHashJoin" in plan  # candidates x pruned rules
+    assert "LeftSemi" in plan  # rules pruned to candidate hosts first
+
+
+def test_hot_host_plan_is_hot_only(spark):
+    from cord19_crawler_spark.frontier import skew
+
+    rows = [(f"https://hot.com/{i}", "hot.com") for i in range(300)]
+    rows += [(f"https://cold{i}.com/x", f"cold{i}.com") for i in range(20)]
+    pending = spark.createDataFrame(rows, "url string, host string")
+    plan = skew.hot_host_plan(pending, threshold=100)
+    got = {r["host"]: r["n_salt"] for r in plan.collect()}
+    assert got == {"hot.com": 3}  # only the hot host; ceil(300/100)
