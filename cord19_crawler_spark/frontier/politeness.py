@@ -135,9 +135,16 @@ def per_host_topk(
 def global_batch(ranked: DataFrame, batch_size: int) -> DataFrame:
     """Round fetch batch: global top-N by (priority desc, url) with a dense
     deterministic ``seq``. Spark plans limit as TakeOrderedAndProject —
-    no full sort materialization."""
+    no full sort materialization. The seq window runs AFTER the limit, so
+    it is bounded by batch_size at any frontier scale; the constant
+    partition key just keeps it an explicit (warning-free) single group."""
     batch = ranked.orderBy(F.desc("priority"), F.asc("url")).limit(batch_size)
-    w = Window.orderBy(F.desc("priority"), F.asc("url"))
+    # constant-per-row partition key DERIVED FROM A COLUMN: a plain lit(0)
+    # is folded away by the optimizer, re-triggering the unpartitioned-
+    # window warning; length(url)*0 is non-foldable but still one group
+    w = Window.partitionBy(F.length("url") * 0).orderBy(
+        F.desc("priority"), F.asc("url")
+    )
     return batch.withColumn("seq", F.row_number().over(w))
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 import heapq
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -34,11 +34,16 @@ def word_stats(postings: DataFrame) -> DataFrame:
 
 def round_robin_head(stats: DataFrame, num_barrels: int = 10, top_n: int = 5000) -> DataFrame:
     """W1+W2: rank by doc_freq desc (tie word asc); top_n words get
-    barrel = (rank-1) % num_barrels (src/barrel.py:104-112)."""
-    w = Window.orderBy(F.desc("doc_freq"), F.asc("word"))
+    barrel = (rank-1) % num_barrels (src/barrel.py:104-112). Rank is the
+    two-phase global row number — no single-reducer window over the
+    vocabulary (operators/ranking.py)."""
+    from .ranking import global_row_number
+
+    ranked = global_row_number(
+        stats, [F.desc("doc_freq"), F.asc("word")], name="rank"
+    )
     return (
-        stats.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_n)
+        ranked.filter(F.col("rank") <= top_n)
         .withColumn("barrel_id", ((F.col("rank") - 1) % num_barrels).cast("int"))
         .select("word", "doc_freq", "total_freq", "rank", "barrel_id")
     )

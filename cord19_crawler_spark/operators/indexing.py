@@ -14,7 +14,7 @@ All functions take a ``tokens`` DF of (doc_id, pos, word) produced by
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -44,16 +44,20 @@ def lexicon(tokens: DataFrame) -> DataFrame:
     """
     from ..functions.text import lemma_expr
 
+    from .ranking import global_row_number
+
     stats = tokens.groupBy("word").agg(
         F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("first_at"),
         F.countDistinct("doc_id").alias("doc_freq"),
         F.count(F.lit(1)).alias("total_count"),
     )
-    w = Window.orderBy(F.col("first_at"), F.col("word"))
-    return (
-        stats.withColumn("word_id", F.row_number().over(w))
-        .withColumn("lemma", lemma_expr(F.col("word")))
-        .select("word", "word_id", "lemma", "doc_freq", "total_count")
+    # two-phase global rank — a bare row_number() window would single-reduce
+    # the whole vocabulary (operators/ranking.py)
+    ranked = global_row_number(
+        stats, [F.asc("first_at"), F.asc("word")], name="word_id"
+    )
+    return ranked.withColumn("lemma", lemma_expr(F.col("word"))).select(
+        "word", "word_id", "lemma", "doc_freq", "total_count"
     )
 
 
@@ -85,10 +89,11 @@ def pos_distribution(tokens_with_pos: DataFrame, pos_col: str = "pos_tag") -> Da
 
 def doc_id_mapping(postings_df: DataFrame) -> DataFrame:
     """Dense int ids over sorted doc ids (src/barreled_index.py:139-156:
-    ``sorted(all_doc_ids)`` then enumerate) — determinism lever O8."""
-    w = Window.orderBy("doc_id")
-    return (
-        postings_df.select("doc_id")
-        .distinct()
-        .withColumn("int_id", F.row_number().over(w))
+    ``sorted(all_doc_ids)`` then enumerate) — determinism lever O8.
+    Two-phase rank: at 10^10 docs a global row_number window is a
+    single-reducer point (operators/ranking.py)."""
+    from .ranking import global_row_number
+
+    return global_row_number(
+        postings_df.select("doc_id").distinct(), [F.asc("doc_id")], name="int_id"
     )

@@ -1,0 +1,78 @@
+"""Two-phase global row numbering (operators/ranking.py): identical output
+to the single-reducer window, at several shapes, with NO unpartitioned
+WindowExec in the physical plan."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cord19_crawler_spark.operators.ranking import global_row_number
+
+
+def _window_rank(df, order_by, name):
+    return df.withColumn(name, F.row_number().over(Window.orderBy(*order_by)))
+
+
+def test_matches_global_window_numeric(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 37 % 1000).alias("k"), F.col("id").alias("tie")
+    ).repartition(8)
+    order = [F.desc("k"), F.asc("tie")]
+    got = {(r["k"], r["tie"]): r["rn"]
+           for r in global_row_number(df, order, "rn", num_partitions=6).collect()}
+    want = {(r["k"], r["tie"]): r["rn"] for r in _window_rank(df, order, "rn").collect()}
+    assert got == want
+
+
+def test_matches_global_window_struct_key(spark):
+    # the lexicon orders by a struct (first_at) — range partitioning must
+    # handle struct sort keys
+    df = spark.createDataFrame(
+        [((i % 7, i), f"w{i}") for i in range(200)],
+        "first_at struct<a:int,b:int>, word string",
+    ).repartition(5)
+    order = [F.asc("first_at"), F.asc("word")]
+    got = {r["word"]: r["rn"]
+           for r in global_row_number(df, order, "rn", num_partitions=4).collect()}
+    want = {r["word"]: r["rn"] for r in _window_rank(df, order, "rn").collect()}
+    assert got == want
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "k int")
+    assert global_row_number(df, [F.asc("k")], "rn").count() == 0
+
+
+def test_no_unpartitioned_window_in_plan(spark):
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    out = global_row_number(df, [F.asc("k")], "rn", num_partitions=4)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # every Window in the plan must carry a partition spec
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_pid" in line, f"unpartitioned window: {line}"
+    # and the ranked side is range-partitioned for order preservation
+    assert "REPARTITION_BY_NUM" in plan or "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
+
+
+def test_lexicon_and_docmap_unchanged(spark):
+    from cord19_crawler_spark.operators.indexing import (
+        doc_id_mapping,
+        lexicon,
+        postings,
+        tokens_from_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 11} gamma") for i in range(60)],
+        "doc_id long, text string",
+    )
+    toks = tokens_from_text(docs)
+    lex = lexicon(toks)
+    rows = {r["word"]: r["word_id"] for r in lex.collect()}
+    # first-encounter order: alpha(pos0) < beta(pos1) < w0(pos2) < gamma(pos3) < w1...
+    assert rows["alpha"] == 1 and rows["beta"] == 2 and rows["w0"] == 3
+    assert rows["gamma"] == 4 and rows["w1"] == 5
+    dm = {r["doc_id"]: r["int_id"] for r in doc_id_mapping(postings(toks)).collect()}
+    assert dm == {i: i + 1 for i in range(60)}
