@@ -1189,43 +1189,28 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
     """n-gram Jaccard near-dup pairs (docs < 60, word-level grams,
     threshold 0.7 — the synthetic corpus shares a small vocabulary, so
     unigram Jaccard is the non-degenerate choice at this scale; the 3-gram
-    variant is exercised by minhash/LSH)."""
-    from cord19_crawler_spark.operators.dedup import shingles as _sh
+    variant is exercised by minhash/LSH). Runs the package operator WITH
+    its stop-shingle document-frequency cap (≤ 50 of the 60 docs) — the
+    guard that keeps the gram-equi-join from exploding on a shingle present
+    in every document; the oracle mirrors the capped universe."""
+    from cord19_crawler_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    sh = _sh(d, "doc_id", "text", 1)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.withColumnRenamed("doc_id", "doc_a")
-    b = sh.withColumnRenamed("doc_id", "doc_b")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", n=1, threshold=0.7, max_shingle_df=50
     )
-    out = (
-        common.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
-            "doc_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
-            "doc_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
-        )
-        .filter(F.col("jaccard") >= 0.7)
-        .select("doc_a", "doc_b", "jaccard")
-    )
-    return out
 
 
 _NGRAM_JACCARD_SQL = """
-WITH shingles AS (
+WITH shingles0 AS (
   SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS shingle
   FROM documents WHERE doc_id < 60
+),
+keep AS (
+  SELECT shingle FROM shingles0 GROUP BY shingle HAVING count(*) <= 50
+),
+shingles AS (
+  SELECT s.doc_id, s.shingle FROM shingles0 s JOIN keep USING (shingle)
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
 common AS (

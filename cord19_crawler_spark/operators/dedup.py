@@ -156,11 +156,26 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Direct n-gram Jaccard near-dup (no LSH): gram-equi-join builds the
     candidate pairs; exact at small scale, the LSH variant is the scale
-    path."""
+    path.
+
+    ``max_shingle_df`` is the stop-shingle guard that makes the pair join
+    survive scale: a shingle present in d documents contributes O(d²) join
+    pairs — one stop-shingle in 10^6 docs is 10^12 pairs. Shingles with
+    document frequency above the cap are dropped from the UNIVERSE (both
+    the intersection counts and the per-doc sizes), i.e. Jaccard is
+    computed over the capped shingle space — the standard stop-shingle
+    semantics, mirrored by the driver query's DuckDB oracle."""
     sh = shingles(docs, id_col, text_col, n)
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("_df")  # shingles are distinct per doc
+        )
+        keep = dfreq.filter(F.col("_df") <= max_shingle_df).select("shingle")
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")

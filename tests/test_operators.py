@@ -125,6 +125,26 @@ def test_ngram_jaccard(spark, docs):
     assert (1, 5) in got  # near dup above 0.5
 
 
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    # 'common' appears in ALL docs → with max_shingle_df=2 it leaves the
+    # shingle universe, so the only surviving overlap is the a/b pair's
+    # shared tail; docs 3/4 share nothing but the stop shingle → no pair
+    rows = [
+        (1, "common alpha beta"),
+        (2, "common alpha beta"),
+        (3, "common gamma delta"),
+        (4, "common epsilon zeta"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.ngram_jaccard_pairs(d, n=1, threshold=0.1, max_shingle_df=2)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    assert got == {(1, 2): 1.0}  # jaccard over the CAPPED universe
+    uncapped = dedup.ngram_jaccard_pairs(d, n=1, threshold=0.1)
+    assert {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()} == {
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+    }
+
+
 def test_simhash_similarity(spark, docs):
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, bits=32).collect()}
     assert sh[1] == sh[3]  # identical docs → identical fingerprint
