@@ -1541,6 +1541,96 @@ FROM toks GROUP BY 1 ORDER BY cnt DESC, pos_tag
 """
 
 
+def backward_index_rows(spark, sf_dir):
+    """Backward index (doc → ordered token dicts, src/index.py:67-68) in
+    exploded relational form (doc_id, seq, lemma, pos_tag) through the
+    Arrow lemmatizer black box; the DuckDB oracle recomputes the stub's
+    token split, lemma rules and POS guess exactly."""
+    _ensure_workers(spark)
+    from cord19_crawler_spark.operators.indexing import backward_index
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    bi = backward_index(d)
+    return bi.select("doc_id", F.posexplode("tokens").alias("seq", "tok")).select(
+        "doc_id",
+        "seq",
+        F.col("tok.lemma").alias("lemma"),
+        F.col("tok.pos").alias("pos_tag"),
+    )
+
+
+def _backward_index_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]{{2,}}')) AS tok,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]{{2,}}'), 1) AS ord
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, CAST(ord - 1 AS INTEGER) AS seq,
+       {_lemma_case_sql("tok")} AS lemma,
+       CASE WHEN regexp_matches(tok, '^[0-9]+$') THEN 'NUM'
+            WHEN tok LIKE '%ing' THEN 'VERB'
+            ELSE 'NOUN' END AS pos_tag
+FROM toks
+"""
+
+
+def index_stats_q(spark, sf_dir):
+    """Consolidated index statistics (reference index_statistics.json field
+    family, src/index.py:174-199): paper/vocab totals + POS distribution
+    pivoted to columns — one row, fully oracle-mirrored. The file-sink form
+    (exact reference field names, incl. sizes/timings) is written by
+    plans/search_pipeline.build_index as index_statistics.json."""
+    _ensure_workers(spark)
+    from cord19_crawler_spark.functions.text import lemmatize_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(spark, sf_dir)
+    agg_docs = d.agg(F.count(F.lit(1)).alias("total_papers_indexed"))
+    agg_vocab = toks.agg(F.countDistinct("word").alias("total_unique_words"))
+    pos = (
+        d.select(F.explode(lemmatize_tokens(F.col("text"))).alias("tok"))
+        .agg(
+            F.sum((F.col("tok.pos") == "NOUN").cast("long")).alias("noun_count"),
+            F.sum((F.col("tok.pos") == "VERB").cast("long")).alias("verb_count"),
+            F.sum((F.col("tok.pos") == "NUM").cast("long")).alias("num_count"),
+        )
+    )
+    return (
+        agg_docs.crossJoin(agg_vocab)
+        .crossJoin(pos)
+        .withColumn("inverted_index_terms", F.col("total_unique_words"))
+        .select(
+            "total_papers_indexed",
+            "total_unique_words",
+            "inverted_index_terms",
+            "noun_count",
+            "verb_count",
+            "num_count",
+        )
+    )
+
+
+_INDEX_STATS_SQL = f"""
+WITH {_TOKENS_CTE},
+postoks AS (
+  SELECT CASE WHEN regexp_matches(tok, '^[0-9]+$') THEN 'NUM'
+              WHEN tok LIKE '%ing' THEN 'VERB'
+              ELSE 'NOUN' END AS pos
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]{{2,}}')) AS tok
+        FROM documents)
+)
+SELECT
+  (SELECT count(*) FROM documents) AS total_papers_indexed,
+  (SELECT count(DISTINCT word) FROM tokens) AS total_unique_words,
+  (SELECT count(DISTINCT word) FROM tokens) AS inverted_index_terms,
+  (SELECT CAST(count(*) FILTER (pos = 'NOUN') AS BIGINT) FROM postoks) AS noun_count,
+  (SELECT CAST(count(*) FILTER (pos = 'VERB') AS BIGINT) FROM postoks) AS verb_count,
+  (SELECT CAST(count(*) FILTER (pos = 'NUM') AS BIGINT) FROM postoks) AS num_count
+"""
+
+
 # Greedy least-loaded tail emulated as a recursive CTE: one vocabulary word
 # per recursion step; barrel = argmin(load) with lowest-barrel-id tie-break,
 # exactly the heap tuple-order semantics of operators/barrels.py:assign_barrels
@@ -1654,6 +1744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "barrel_assignment_greedy": barrel_assignment_greedy,
         "multimodal_features": multimodal_features,
         "pos_distribution": pos_distribution_q,
+        "backward_index_rows": backward_index_rows,
+        "index_stats": index_stats_q,
         # NOTE: semantic_expansion (Word2Vec, iterative ML — not
         # SQL-expressible) lives in tests/test_semantic_delta.py, not here,
         # so the driver table carries no permanent rows-only row.
@@ -1709,4 +1801,6 @@ def oracle_sql() -> dict[str, str]:
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "pos_distribution": _POS_DIST_SQL,
+        "backward_index_rows": _backward_index_sql(),
+        "index_stats": _INDEX_STATS_SQL,
     }

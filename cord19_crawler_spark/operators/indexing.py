@@ -78,6 +78,22 @@ def forward_index(tokens: DataFrame) -> DataFrame:
     )
 
 
+def backward_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """doc_id → ordered [struct(lemma, pos)] — the reference's backward
+    index (src/index.py:67-68 stores each doc's token dicts verbatim).
+    The Arrow lemmatizer already returns the ordered struct array, so this
+    is a single projection; the exploded relational form is validated
+    against a DuckDB oracle by the ``backward_index_rows`` driver query."""
+    from ..functions.text import lemmatize_tokens
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        lemmatize_tokens(F.col(text_col)).alias("tokens"),
+    )
+
+
 def pos_distribution(tokens_with_pos: DataFrame, pos_col: str = "pos_tag") -> DataFrame:
     """POS rollup (src/index.py:192-198): explode → groupBy → orderBy desc."""
     return (

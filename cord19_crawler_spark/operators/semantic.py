@@ -37,6 +37,21 @@ def train_word2vec(
     return w2v.fit(token_arrays)
 
 
+def save_model(model, path: str) -> None:
+    """Persist the trained Word2Vec model (reference saves the gensim model
+    at src/train_semantic.py:70-76); pyspark.ml writer, overwrite mode."""
+    model.write().overwrite().save(path)
+
+
+def load_model(path: str):
+    """Load a persisted model (reference mmap-loads it per process,
+    src/semantic_search.py:20; Spark's load maps onto the same
+    train-once / serve-many lifecycle)."""
+    from pyspark.ml.feature import Word2VecModel
+
+    return Word2VecModel.load(path)
+
+
 def expand_query(model, terms: list[str], top_n: int = 3) -> dict[str, list[str]]:
     """term → [term, synonym, ...] (reference expand_query,
     src/semantic_search.py:38-44; unknown words expand to themselves).

@@ -82,7 +82,57 @@ def build_index(
     postings.unpersist()
     with open(os.path.join(out_dir, "_INDEX.json"), "w") as f:
         json.dump(meta, f)
+    _write_index_statistics(docs, meta, out_dir, text_col)
     return meta
+
+
+def _write_index_statistics(
+    docs: DataFrame, meta: dict, out_dir: str, text_col: str
+) -> None:
+    """Consolidated stats artifact with the reference's field names
+    (index_statistics.json, src/index.py:174-199) so a user can diff the
+    two engines' builds: totals, POS distribution through the lemmatizer,
+    on-disk sizes. One extra aggregation job at build time."""
+    import time
+
+    from ..functions.text import lemmatize_tokens
+    from ..operators.indexing import pos_distribution
+
+    t0 = time.time()
+    pos_rows = pos_distribution(
+        docs.select(
+            F.explode(lemmatize_tokens(F.col(text_col))).alias("tok")
+        ).select(F.col("tok.pos").alias("pos_tag"))
+    ).collect()  # bounded: one row per POS tag
+    elapsed = time.time() - t0
+
+    def _du(sub: str) -> int:
+        total = 0
+        root = os.path.join(out_dir, sub)
+        for dirpath, _dirs, files in os.walk(root):
+            total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        return total
+
+    stats = {
+        "total_papers_indexed": meta["total_docs"],
+        "total_unique_words": meta["vocabulary"],
+        "inverted_index_terms": meta["vocabulary"],
+        "created_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "processing_time_minutes": round(elapsed / 60),
+        "papers_per_second": round(meta["total_docs"] / elapsed, 1)
+        if elapsed > 0
+        else 0.0,
+        "model_used": "deterministic-lemma-stub (spaCy slot)",
+        "index_sizes_bytes": {
+            "lexicon": _du("lexicon"),
+            "forward_index": _du("postings"),
+            "inverted_index": _du("postings"),
+            "backward_index": _du("postings"),
+        },
+        "pos_distribution": {r["pos_tag"]: r["cnt"] for r in pos_rows},
+    }
+    with open(os.path.join(out_dir, "index_statistics.json"), "w") as f:
+        json.dump(stats, f, indent=2)
 
 
 def expand_with_lexicon(

@@ -75,3 +75,20 @@ def test_delta_merge_no_rebuild(spark, index_dir):
     )
     res = search(spark, index_dir, "covid", k=10, delta_docs=fresh).collect()
     assert res[0]["doc_id"] == 99  # visible and top-ranked, no rebuild
+
+
+def test_index_statistics_sink(index_dir):
+    """Consolidated stats artifact diffable against the reference's
+    index_statistics.json (src/index.py:174-199): same field names."""
+    stats = json.load(open(f"{index_dir}/index_statistics.json"))
+    assert stats["total_papers_indexed"] == 5
+    assert stats["total_unique_words"] == stats["inverted_index_terms"] > 5
+    for field in (
+        "created_at", "processing_time_minutes", "papers_per_second",
+        "model_used", "index_sizes_bytes", "pos_distribution",
+    ):
+        assert field in stats
+    assert set(stats["index_sizes_bytes"]) == {
+        "lexicon", "forward_index", "inverted_index", "backward_index"
+    }
+    assert stats["pos_distribution"].get("NOUN", 0) > 0

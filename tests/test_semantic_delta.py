@@ -47,3 +47,22 @@ def test_delta_upsert_and_read_time_merge(spark):
     by_id = {r["doc_id"]: r["score"] for r in res}
     assert 99 in by_id and 1 in by_id
     assert by_id[99] > by_id[1]  # tf=3 beats tf=2
+
+
+def test_word2vec_save_load_roundtrip(spark, tmp_path):
+    """Model persistence (reference saves/mmap-loads the model,
+    src/train_semantic.py:70-76, src/semantic_search.py:20): synonyms are
+    identical across a save/load cycle."""
+    from cord19_crawler_spark.operators import semantic
+
+    toks = spark.createDataFrame(
+        [([f"w{i % 6}", "virus", f"w{(i + 1) % 6}", "study"],) for i in range(200)],
+        "words array<string>",
+    )
+    model = semantic.train_word2vec(toks, vector_size=8, min_count=5, seed=42)
+    before = semantic.expand_query(model, ["virus", "study"], top_n=2)
+    path = str(tmp_path / "w2v_model")
+    semantic.save_model(model, path)
+    loaded = semantic.load_model(path)
+    after = semantic.expand_query(loaded, ["virus", "study"], top_n=2)
+    assert before == after
