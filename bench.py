@@ -45,7 +45,26 @@ HEADLINE = [
     "frontier_canonicalize",
     "frontier_per_host_topk",
     "frontier_fetch_batch",
+    "similarity_sign_buckets",
+    "lemma_variant_expansion",
+    "backward_index_rows",
 ]
+
+
+def minhash_near_dup_e2e(spark, sf_dir):
+    """Full MinHash+LSH dedup pipeline (shingle → sign → band → bucket-join
+    → exact-Jaccard verify) over the whole documents table — wall-clock
+    tracks the banded self-join stages round over round."""
+    from pyspark.sql import functions as F
+
+    from cord19_crawler_spark.operators.dedup import minhash_near_duplicates
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    return minhash_near_duplicates(
+        docs, num_perm=32, bands=16, threshold=0.5, ngram=3
+    )
 
 
 def crawl_benchmark(spark, n_docs: int = 60000, rounds: int = 3, batch: int = 8000) -> dict:
@@ -110,6 +129,9 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         _ = n
+    t0 = time.time()
+    minhash_near_dup_e2e(spark, SF_DIR).count()
+    timings["minhash_near_dup_e2e"] = round(time.time() - t0, 3)
     crawl = crawl_benchmark(spark)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
