@@ -143,7 +143,7 @@ def lemma_expr(col: Column) -> Column:
     (``ies`` → restore ``y``), guarded by a min base length of 3. This is
     the scale path for lemma COLUMNS (whole-stage codegen, no Python);
     :func:`lemmatize_tokens` remains the spaCy-shaped Arrow black-box slot.
-    Parity with ``_lemma_one`` is asserted in tests/test_urls.py."""
+    Parity with ``_lemma_one`` is asserted in tests/test_lemma_expansion.py."""
     w = None
     for suf in _SUFFIXES:
         cond = col.endswith(suf) & (F.length(col) >= len(suf) + 3)
@@ -181,3 +181,12 @@ def lemmatize_tokens(texts: pd.Series) -> pd.Series:
         return out
 
     return texts.map(_run)
+
+
+def truncate_title(col: Column, max_len: int = 67) -> Column:
+    """P11 presentation op (src/singlewordSearch.py:508: ``title[:67] +
+    '...'`` when over length): pure Catalyst, codegen'd."""
+    return F.when(
+        F.length(col) > max_len,
+        F.concat(F.substring(col, 1, max_len), F.lit("...")),
+    ).otherwise(col)

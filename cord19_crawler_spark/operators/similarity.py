@@ -143,6 +143,60 @@ def ivf_topk(
     )
 
 
+def ivf_write(model, assigned: DataFrame, path: str) -> None:
+    """Persist the IVF index: vectors partitioned BY CLUSTER on disk — a
+    stored probe then reads only the n_probe cluster directories (storage
+    partition pruning, plan-asserted in tests/test_plans.py) — plus the
+    centroid matrix as a tiny side table (n_centroids rows)."""
+    import os
+
+    assigned.write.partitionBy("cluster").mode("overwrite").parquet(
+        os.path.join(path, "vectors")
+    )
+    spark = assigned.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark.createDataFrame(rows, "cluster int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def ivf_probe_stored(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a STORED IVF index: rank centroids driver-side (a
+    n_centroids-row read), then scan only the n_probe nearest cluster
+    partitions — the `cluster IN (...)` filter is a partition-directory
+    prune, so a 10^10-vector index reads n_probe/n_centroids of the data."""
+    import os
+
+    import numpy as np
+
+    cents = {
+        r["cluster"]: np.asarray(r["centroid"], dtype=np.float64)
+        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    }
+    q = np.asarray(query, dtype=np.float64)
+    order = sorted(cents, key=lambda c: float(((cents[c] - q) ** 2).sum()))
+    probe = [int(c) for c in order[:n_probe]]
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    candidates = vectors.filter(F.col("cluster").isin(probe))
+    return (
+        candidates.select(
+            F.col(id_col).alias("vec_id"), cosine_expr(vec_col, query).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def pairwise_cosine_topk_per_label(
     emb: DataFrame,
     k: int = 3,

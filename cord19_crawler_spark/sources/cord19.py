@@ -167,3 +167,26 @@ def ingest_cord19(
     tar_docs = read_tar_json_members(spark, tar_glob)
     meta = read_metadata_csv(spark, metadata_csv)
     return to_interleaved_documents(parse_and_join(tar_docs, meta), span_cap)
+
+
+def write_corpus_csv(documents: DataFrame, path: str, span_cap: int = 50) -> None:
+    """S7 CSV corpus sink: flatten the interleaved documents table to one
+    CSV row per document (doc_id, n_spans, text) — the reference's cleaned
+    CSV corpus export (its pipeline writes processed text back out as CSV).
+    Text spans are joined in span order; quoting/escaping is Spark's CSV
+    writer (header on). Distributed write: one file per partition."""
+    flat = documents.select(
+        F.col("doc_id"),
+        F.size("spans").alias("n_spans"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.slice(F.col("spans"), 1, span_cap),
+                    lambda s: s["kind"] == "text",
+                ),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("text"),
+    )
+    flat.write.mode("overwrite").option("header", True).csv(path)

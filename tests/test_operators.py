@@ -203,6 +203,26 @@ def test_ivf_ann_recall(spark, sf_dir):
     assert full == truth
 
 
+def test_ivf_stored_index_partition_prunes(spark, sf_dir, tmp_path):
+    """Persisted IVF index: probe result identical to the in-memory probe,
+    and the probe scan prunes to the n_probe cluster PARTITIONS on disk."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    model, assigned = similarity.ivf_index(rest, n_centroids=8)
+    path = str(tmp_path / "ivf")
+    similarity.ivf_write(model, assigned, path)
+    stored = similarity.ivf_probe_stored(spark, path, query, k=10, n_probe=4)
+    in_mem = similarity.ivf_topk(model, assigned, query, k=10, n_probe=4)
+    assert [r["vec_id"] for r in stored.collect()] == [
+        r["vec_id"] for r in in_mem.collect()
+    ]
+    plan = stored._sc._jvm.PythonSQLUtils.explainString(
+        stored._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_embedding_near_duplicates(spark):
     rows = [
         (1, [1.0, 0.0, 0.5]),

@@ -79,3 +79,38 @@ def test_multi_sha_split(spark, tmp_path):
     lut = sha_lookup(read_metadata_csv(spark, meta_path)).collect()
     shas = {r["sha"] for r in lut}
     assert {"shaA", "shaA2", "shaB"} == shas  # ';' split + trim
+
+
+def test_csv_corpus_sink_roundtrip(spark, tmp_path):
+    """S7: interleaved documents → one CSV row per doc (header, span-order
+    text join, media spans excluded), readable back by Spark's CSV source."""
+    from pyspark.sql import Row
+
+    from cord19_crawler_spark.sources.cord19 import write_corpus_csv
+
+    docs = spark.createDataFrame([
+        Row(doc_id="d1", spans=[
+            Row(kind="text", text="hello", media_ref=None, offset=0),
+            Row(kind="media", text=None, media_ref="m://1", offset=1),
+            Row(kind="text", text="world", media_ref=None, offset=2),
+        ]),
+        Row(doc_id="d2", spans=[
+            Row(kind="text", text="only, one \"quoted\"", media_ref=None, offset=0),
+        ]),
+    ])
+    out = str(tmp_path / "corpus_csv")
+    write_corpus_csv(docs, out)
+    back = spark.read.option("header", True).csv(out)
+    rows = {r["doc_id"]: r for r in back.collect()}
+    assert rows["d1"]["text"] == "hello world" and rows["d1"]["n_spans"] == "3"
+    assert rows["d2"]["text"] == 'only, one "quoted"'  # csv quoting survives
+
+
+def test_title_truncation(spark):
+    """P11: reference truncates display titles at 67 chars + ellipsis."""
+    from cord19_crawler_spark.functions.text import truncate_title
+
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame([("x" * 80,), ("short",)], "title string")
+    got = [r["t"] for r in df.select(truncate_title(F.col("title")).alias("t")).collect()]
+    assert got[0] == "x" * 67 + "..." and got[1] == "short"
