@@ -811,7 +811,11 @@ def lemma_variant_expansion(spark, sf_dir):
     vocab = _tokens(spark, sf_dir).select("word").distinct()
     lex = vocab.withColumn("lemma", lemma_expr(F.col("word")))
     terms = spark.createDataFrame([(t,) for t in _EXPAND_TERMS], "term string")
-    j = terms.join(F.broadcast(lex), terms.term == lex.word, "left")
+    # scale shape: prune the (vocab-sized) lexicon to the query terms FIRST
+    # (isin predicate pushes into the scan), then broadcast the ≤len(terms)-
+    # row result — never broadcast the vocabulary itself
+    lex_small = lex.filter(F.col("word").isin(_EXPAND_TERMS))
+    j = terms.join(F.broadcast(lex_small), terms.term == lex_small.word, "left")
     return (
         j.select(
             "term",

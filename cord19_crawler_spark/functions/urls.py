@@ -65,10 +65,39 @@ def canonicalize_one(url: str) -> str | None:
     return urlunsplit((scheme, netloc, path, query, ""))
 
 
+# Fast-path grammar: scheme://host/path with NO userinfo, port, query or
+# percent-weirdness (fragment allowed — it's dropped). Everything else takes
+# the exact per-row kernel. Batch-equality with canonicalize_one is pinned by
+# tests/test_urls.py (example + property tests).
+_SIMPLE_URL_RE = re.compile(r"(?i)^(https?)://([A-Za-z0-9.\-]+)(/[^?#]*)?(?:#.*)?$")
+
+
+def _canonicalize_series(urls: pd.Series) -> pd.Series:
+    """Batch canonicalization: vectorized pandas .str ops for the dominant
+    simple-URL case (crawl links are overwhelmingly port-less and
+    query-less), per-row ``canonicalize_one`` for the rest. Same results as
+    mapping canonicalize_one over every row."""
+    s = urls.astype("object")
+    stripped = s.str.strip()
+    ex = stripped.str.extract(_SIMPLE_URL_RE)
+    host = ex[1].str.lower().str.rstrip(".")
+    simple = ex[0].notna() & host.notna() & host.ne("")
+    path = ex[2].where(ex[2].notna() & ex[2].ne(""), "/")
+    fast = (ex[0].str.lower().str.cat(host, sep="://")).str.cat(path)
+    result = fast.where(simple)
+    hard = ~simple
+    if hard.any():
+        result = result.astype("object")
+        result.loc[hard] = s[hard].map(
+            lambda u: canonicalize_one(u) if isinstance(u, str) else None
+        )
+    return result.where(result.notna(), None)
+
+
 @pandas_udf(T.StringType())
 def canonicalize_url(urls: pd.Series) -> pd.Series:
     """Vectorized URL canonicalization (Arrow-batched)."""
-    return urls.map(lambda u: canonicalize_one(u) if u is not None else None)
+    return _canonicalize_series(urls)
 
 
 @pandas_udf(T.ArrayType(T.StringType()))
@@ -82,19 +111,23 @@ def extract_urls(texts: pd.Series) -> pd.Series:
 @pandas_udf(T.ArrayType(T.StringType()))
 def extract_canonical_urls(texts: pd.Series) -> pd.Series:
     """Fused extract+canonicalize in ONE Arrow stage (one Python exchange per
-    round instead of two — the hot-path kernel the scheduler uses)."""
-
-    def _run(t: str | None) -> list[str]:
-        if not t:
-            return []
-        out = []
-        for m in URL_RE.findall(t):
-            c = canonicalize_one(m.rstrip(_TRAIL_PUNCT))
+    round instead of two — the hot-path kernel the scheduler uses). The
+    regex extraction is per-row (variable-length hit lists); the
+    canonicalization of the flattened hits is batch-vectorized."""
+    idx: list[int] = []
+    flat: list[str] = []
+    for i, t in enumerate(texts):
+        if t:
+            for m in URL_RE.findall(t):
+                idx.append(i)
+                flat.append(m.rstrip(_TRAIL_PUNCT))
+    groups: list[list[str]] = [[] for _ in range(len(texts))]
+    if flat:
+        canon = _canonicalize_series(pd.Series(flat, dtype="object"))
+        for i, c in zip(idx, canon):
             if c is not None:
-                out.append(c)
-        return out
-
-    return texts.map(_run)
+                groups[i].append(c)
+    return pd.Series(groups)
 
 
 def host_from_canonical(col: Column) -> Column:
