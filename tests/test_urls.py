@@ -121,3 +121,51 @@ def test_url_id_stable(spark):
     df = spark.createDataFrame([("https://a.com/1",), ("https://a.com/1",)], "url string")
     ids = [r["i"] for r in df.select(F.xxhash64("url").alias("i")).collect()]
     assert ids[0] == ids[1]
+
+
+def test_vectorized_canonicalize_series_matches_per_row():
+    """The pandas fast path must agree with canonicalize_one on EVERY input
+    shape: simple, ports (default + explicit), queries, fragments, userinfo,
+    trailing dots, non-http schemes, garbage, None."""
+    import pandas as pd
+
+    from cord19_crawler_spark.functions.urls import (
+        _canonicalize_series,
+        canonicalize_one,
+    )
+
+    cases = [
+        "https://a.example.com/x", "HTTP://A.EXAMPLE.COM/Y#frag",
+        "https://a.example.com", "https://a.example.com:443/x",
+        "http://a.example.com:80/x", "http://a.example.com:8080/x",
+        "https://a.example.com/x?b=2&a=1", "https://a.example.com/x?",
+        "https://user:pw@a.example.com/x", "https://a.example.com./x",
+        "https://./x", "ftp://a.example.com/x", "notaurl", "", None,
+        "https://a.example.com:999999/x", "https://a.example.com/percent%20x",
+        "  https://pad.example.com/x  ", "https://a_b.example.com/x",
+        "https://[::1]/x", "https://a.example.com/x#a#b",
+    ]
+    s = pd.Series(cases, dtype="object")
+    got = list(_canonicalize_series(s))
+    want = [canonicalize_one(u) if isinstance(u, str) else None for u in cases]
+    assert got == want
+
+
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+
+
+@_settings(max_examples=300, deadline=None)
+@_given(_st.text(alphabet="htps:/.abc019?&=#-_ ", min_size=0, max_size=40))
+def test_vectorized_canonicalize_property(raw):
+    import pandas as pd
+
+    from cord19_crawler_spark.functions.urls import (
+        _canonicalize_series,
+        canonicalize_one,
+    )
+
+    url = "https://" + raw
+    got = _canonicalize_series(pd.Series([url, raw], dtype="object"))
+    assert list(got) == [canonicalize_one(url), canonicalize_one(raw)]
