@@ -487,6 +487,47 @@ FROM s GROUP BY user_id ORDER BY user_id
 """
 
 
+def events_session_window(spark, sf_dir):
+    """Native session windows (F.session_window, 30-min gap): the
+    streaming-first sessionization operator — identical semantics to the
+    lag+cumsum formulation (events_sessionize) but expressed as Spark's
+    built-in session window, which also runs under Structured Streaming
+    with a watermark. Oracle reconstructs sessions via gap/cumsum and
+    emits the same [start, last_event + gap) bounds."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_SESSION_WINDOW_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL THEN 1
+              WHEN epoch(ts) - lag(epoch(ts)) OVER w >= 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id < 40
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start
+"""
+
+
 def events_json_props(spark, sf_dir):
     """S3 JSON parse in relational form: extract props.k, agg per type."""
     e = _t(spark, sf_dir, "events")
@@ -1713,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coalesce_fallback": coalesce_fallback,
         "events_hourly_rollup": events_hourly_rollup,
         "events_sessionize": events_sessionize,
+        "events_session_window": events_session_window,
         "events_json_props": events_json_props,
         "events_range_join": events_range_join,
         "running_total_per_customer": running_total_per_customer,
@@ -1774,6 +1816,7 @@ def oracle_sql() -> dict[str, str]:
         "coalesce_fallback": _COALESCE_SQL,
         "events_hourly_rollup": _EVENTS_HOURLY_SQL,
         "events_sessionize": _SESSION_SQL,
+        "events_session_window": _SESSION_WINDOW_SQL,
         "events_json_props": _EVENTS_JSON_SQL,
         "events_range_join": _RANGE_JOIN_SQL,
         "running_total_per_customer": _RUNNING_SQL,

@@ -81,3 +81,31 @@ def discovery_rate(
         .groupBy(F.window("discovered_at", window), F.col("host"))
         .agg(F.count(F.lit(1)).alias("n_urls"))
     )
+
+
+def session_windows_stream(
+    spark: SparkSession,
+    events_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization via native session windows: watermarked
+    event-time gap sessions per user. Late events beyond the watermark are
+    dropped; closed sessions emit exactly once in append mode. The batch
+    twin (driver query ``events_session_window``) is DuckDB-oracle-checked;
+    this is the same aggregation compiled as a streaming plan."""
+    ev = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string"
+    ).parquet(events_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -74,3 +74,62 @@ def test_available_now_ingest_and_incremental(spark, tmp_path):
     )
     assert n2 == n1 + expected_new
     assert os.path.isdir(ckpt)
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """Native session windows under Structured Streaming (watermark, append
+    mode, availableNow) produce exactly the batch session_window result for
+    a drained bounded input."""
+    from cord19_crawler_spark.streaming.ingest import session_windows_stream
+
+    in_dir = str(tmp_path / "ev_in")
+    ev = spark.range(0, 300).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1600000000) + (F.col("id") * 600) % 90000
+        ).alias("ts"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    ev.write.mode("overwrite").parquet(in_dir)
+
+    q = (
+        session_windows_stream(spark, in_dir, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sess_test").collect()
+    }
+    batch = (
+        spark.read.parquet(in_dir)
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    # append mode only emits sessions CLOSED by the final watermark
+    # (max event time - 1h); sessions still open at stream end are
+    # correctly withheld — so streaming output = the closed subset
+    import datetime
+
+    max_ts = spark.read.parquet(in_dir).agg(F.max("ts")).first()[0]
+    cutoff = max_ts - datetime.timedelta(hours=1)
+    closed = {w for w in want if w[2] <= cutoff}
+    assert got and got <= want
+    assert got == closed or got == {w for w in want if w[2] < cutoff}
