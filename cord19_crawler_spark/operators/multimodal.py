@@ -123,6 +123,54 @@ def decode_and_featurize(media: DataFrame, dim: int = 16, decode_mode: str = "fa
     return media.mapInPandas(_run, schema=FEATURES_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame, width: int, height: int, decode_mode: str = "fake"
+) -> DataFrame:
+    """mapInPandas image resize: same media schema out, meta dims updated.
+
+    decode_mode='real' needs PIL (absent here) → NotImplementedError at
+    plan-build time; 'fake' keeps the Spark plumbing real — binary in/out,
+    Arrow batches, meta struct rewrite — with a deterministic stand-in
+    payload (md5-56bit of original content + target dims, sized w*h/64) so
+    downstream stages see size-plausible bytes."""
+    if decode_mode == "real":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "real image resize requires PIL, not available in this "
+                "container; use decode_mode='fake' for plumbing tests"
+            ) from e
+
+    out_schema = MEDIA_SCHEMA
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = max(1, (width * height) // 64)
+            contents = []
+            metas = []
+            for c, m in zip(pdf["content"], pdf["meta"]):
+                seed = hashlib.md5(
+                    (bytes(c) if c is not None else b"")
+                    + b":%dx%d" % (width, height)
+                ).digest()
+                contents.append((seed * (n_bytes // len(seed) + 1))[:n_bytes])
+                meta = dict(m) if m is not None else {}
+                meta["width"], meta["height"] = width, height
+                metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "kind": pdf["kind"],
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(_run, schema=out_schema)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame
     timestamp (payload decode stubbed — timestamps derive from meta)."""

@@ -47,6 +47,7 @@ def main(only: list[str] | None = None):
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            spdf = sdf.toPandas()
             srows = [tuple(norm(v) for v in r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
@@ -60,6 +61,7 @@ def main(only: list[str] | None = None):
             res = con.execute(sql)
             ocols = [d[0] for d in res.description]
             orows = [tuple(norm(v) for v in r) for r in res.fetchall()]
+            opdf = con.execute(sql).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: DUCKDB ERROR {str(e)[:300]}")
@@ -67,6 +69,20 @@ def main(only: list[str] | None = None):
         ok = True
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: columns spark={scols} duck={ocols}")
+            ok = False
+        # the driver's hash gate is DTYPE-sensitive (r1: DuckDB HUGEINT vs
+        # Spark long hash-mismatched despite equal values) — mirror it here.
+        # datetime64 RESOLUTION (ns vs us) is NOT significant: the driver
+        # normalizes timestamps (r1 precedent: events_hourly_rollup green
+        # with spark ns vs duckdb us).
+        def _dt(x) -> str:
+            d = str(x)
+            return "datetime64" if d.startswith("datetime64") else d
+
+        sd = {c: _dt(spdf[c].dtype) for c in spdf.columns}
+        od = {c: _dt(opdf[c].dtype) for c in opdf.columns}
+        if ok and sd != od:
+            print(f"FAIL {name}: pandas dtypes differ spark={sd} duck={od}")
             ok = False
         elif len(srows) != len(orows):
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(orows)}")
