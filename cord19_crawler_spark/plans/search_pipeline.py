@@ -56,9 +56,10 @@ def build_index(
     lexicon = indexing.lexicon(toks)
     stats = barrels.word_stats(postings)
     assignment = barrels.assign_barrels(stats, num_barrels, top_n_hot)
-    routed = postings.join(
-        F.broadcast(assignment.select("word", "barrel_id")), "word"
-    )
+    # no broadcast hint: the routing table is VOCABULARY-scale (10^7-10^8
+    # words in a web corpus) — let Catalyst/AQE pick BHJ only when the
+    # actual size is under the threshold
+    routed = postings.join(assignment.select("word", "barrel_id"), "word")
     routed.write.partitionBy("barrel_id").mode("overwrite").parquet(
         os.path.join(out_dir, "postings")
     )
@@ -253,8 +254,10 @@ def search(
         total_docs += delta_docs.count()
     results = tfidf_search(pruned, terms, total_docs, k, variants=variants)
     if meta.get("has_titles"):
+        # titles is DOC-scale (10^10 at the design point) — never broadcast
+        # it; the results side is k rows, which AQE broadcasts at runtime
         titles = spark.read.parquet(os.path.join(index_dir, "titles"))
-        results = results.join(F.broadcast(titles), "doc_id", "left").select(
+        results = results.join(titles, "doc_id", "left").select(
             "doc_id", "score", "matched_terms", "title"
         ).orderBy(F.desc("score"), F.asc("doc_id"))
     return results

@@ -104,12 +104,17 @@ def sha_lookup(metadata: DataFrame) -> DataFrame:
 
 
 def parse_and_join(tar_docs: DataFrame, metadata: DataFrame) -> DataFrame:
-    """S3 + J1: JSON parse + broadcast metadata join on sha=member name."""
+    """S3 + J1: JSON parse + metadata join on sha=member name.
+
+    No broadcast hint: the metadata lookup is DOC-count-scale (1M rows for
+    CORD-19, unbounded for a web corpus) — Catalyst/AQE broadcast it only
+    while its measured size is under the threshold, else co-shuffle on sha
+    (both sides are doc-scale, so SMJ is the honest plan at 100 TB)."""
     parsed = tar_docs.withColumn(
         "doc", F.from_json(F.col("json_str"), CORD19_JSON_SCHEMA)
     )
     return parsed.join(
-        F.broadcast(sha_lookup(metadata)),
+        sha_lookup(metadata),
         parsed.member_name == F.col("sha"),
         "inner",
     ).select("cord_uid", "title", "doc")
