@@ -1411,6 +1411,50 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def text_quality_scores(spark, sf_dir):
+    """Quality scoring + language-ID heuristics (training-data filters) —
+    pure Catalyst expressions (functions/text.py:quality_score, lang_id),
+    mirrored exactly in DuckDB (same op order so double arithmetic and the
+    0.05 boundary agree bit-for-bit)."""
+    from cord19_crawler_spark.functions.text import lang_id, quality_score
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        lang_id("text").alias("lang_guess"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def _text_quality_sql() -> str:
+    from cord19_crawler_spark.functions.text import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+         regexp_extract_all(lower(text), '[a-z0-9]{{2,}}') AS toks
+  FROM documents WHERE doc_id < 200
+), m AS (
+  SELECT doc_id, n, alpha, len(toks) AS n_toks,
+         len(list_distinct(list_filter(toks, t -> list_contains([{stops}], t))))
+           AS stop_hits
+  FROM base
+)
+SELECT doc_id,
+       CASE WHEN (CASE WHEN n_toks > 0 THEN stop_hits / CAST(n_toks AS DOUBLE)
+                       ELSE 0.0 END) >= 0.05
+            THEN 'en' ELSE 'other' END AS lang_guess,
+       round(0.4 * least(n / 500.0, 1.0)
+           + 0.4 * (CASE WHEN n > 0 THEN alpha / CAST(n AS DOUBLE) ELSE 0.0 END)
+           + 0.2 * (CASE WHEN n_toks > 0 THEN stop_hits / CAST(n_toks AS DOUBLE)
+                         ELSE 0.0 END), 6) AS quality
+FROM m
+"""
+
+
 def text_fingerprints(spark, sf_dir):
     """Document fingerprinting: md5 of normalized text + 56-bit int form."""
     d = _t(spark, sf_dir, "documents")
@@ -1784,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_cosine_topk": similarity_cosine_topk,
         "similarity_sign_buckets": similarity_sign_buckets,
         "text_token_stats": text_token_stats,
+        "text_quality_scores": text_quality_scores,
         "text_fingerprints": text_fingerprints,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
@@ -1843,6 +1888,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_cosine_topk": _COSINE_SQL,
         "similarity_sign_buckets": _SIGN_BUCKET_SQL,
         "text_token_stats": _TOKEN_STATS_SQL,
+        "text_quality_scores": _text_quality_sql(),
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,
