@@ -1386,6 +1386,43 @@ FROM embeddings GROUP BY 1 ORDER BY 1
 """
 
 
+def dedup_embedding_cosine_q(spark, sf_dir):
+    """Embedding-cosine near-dup (sign-bucket → per-bucket pair join →
+    exact cosine ≥ threshold) via the package operator. Vectors cast to
+    double so the left-fold dot product is bit-identical to DuckDB's
+    list_dot_product; threshold 0.35 because the synthetic embeddings are
+    random (max pairwise cosine ≈ 0.47) — production near-dups use ≥0.95
+    with the identical plan."""
+    from cord19_crawler_spark.operators.dedup import embedding_near_duplicates
+
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 400)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    return embedding_near_duplicates(e, threshold=0.35, bucket_dims=4)
+
+
+_EMB_DEDUP_SQL = """
+WITH b AS (
+  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) +
+         (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+         (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) +
+         (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings WHERE vec_id < 400
+)
+SELECT l.vid AS vec_a, r.vid AS vec_b,
+       round(list_dot_product(l.v, r.v) /
+             (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))),
+             6) AS cosine
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vid < r.vid
+WHERE round(list_dot_product(l.v, r.v) /
+            (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))),
+            6) >= 0.35
+"""
+
+
 def text_token_stats(spark, sf_dir):
     """Language/token analytics: per lang, doc count + avg whitespace-token
     count + avg chars (training-data quality rollup)."""
@@ -1825,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": dedup_minhash_signatures_q,
         "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
         "dedup_simhash": dedup_simhash_q,
+        "dedup_embedding_cosine": dedup_embedding_cosine_q,
         "similarity_cosine_topk": similarity_cosine_topk,
         "similarity_sign_buckets": similarity_sign_buckets,
         "text_token_stats": text_token_stats,
@@ -1885,6 +1923,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signatures": _minhash_sql(),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(),
+        "dedup_embedding_cosine": _EMB_DEDUP_SQL,
         "similarity_cosine_topk": _COSINE_SQL,
         "similarity_sign_buckets": _SIGN_BUCKET_SQL,
         "text_token_stats": _TOKEN_STATS_SQL,
