@@ -1272,6 +1272,63 @@ WHERE round(common / (sa.n + sb.n - common), 6) >= 0.7
 """
 
 
+def dedup_minhash_lsh_e2e(spark, sf_dir):
+    """FULL MinHash-LSH pipeline (shingle → sign → band → bucket-join
+    candidates → exact-Jaccard verify ≥ 0.7) via the package operator, over
+    docs < 60 with unigram shingles (the corpus's near-dup regime). The
+    DuckDB oracle replays every stage — md5-56bit permutations, 4×2
+    banding, candidate join, verification — so LSH recall behavior (a
+    banding-missed pair is missing on BOTH sides) is deterministic and
+    checkable."""
+    from cord19_crawler_spark.operators.dedup import minhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return minhash_near_duplicates(
+        d, num_perm=8, bands=4, threshold=0.7, ngram=1
+    )
+
+
+def _minhash_e2e_sql() -> str:
+    params = minhash_params(8)
+    h = md5_long56_sql("shingle")
+    mins = ", ".join(
+        f"min({minhash_expr_sql(h, a, b)}) AS mh_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(mh_{2 * b} AS VARCHAR) || ':' || "
+        f"CAST(mh_{2 * b + 1} AS VARCHAR) AS key FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+WITH shingles AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS shingle
+  FROM documents WHERE doc_id < 60
+),
+sigs AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS common
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(common / (sa.n + sb.n - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(common / (sa.n + sb.n - common), 6) >= 0.7
+"""
+
+
 def dedup_simhash_q(spark, sf_dir):
     """SimHash fingerprints (16 bits) per doc (docs < 60)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
@@ -1860,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_prefix": dedup_exact_prefix,
         "set_ops_vocab": set_ops_vocab,
         "dedup_minhash_signatures": dedup_minhash_signatures_q,
+        "dedup_minhash_lsh_e2e": dedup_minhash_lsh_e2e,
         "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
         "dedup_simhash": dedup_simhash_q,
         "dedup_embedding_cosine": dedup_embedding_cosine_q,
@@ -1921,6 +1979,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_prefix": _DEDUP_EXACT_SQL,
         "set_ops_vocab": _SET_OPS_SQL,
         "dedup_minhash_signatures": _minhash_sql(),
+        "dedup_minhash_lsh_e2e": _minhash_e2e_sql(),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding_cosine": _EMB_DEDUP_SQL,
