@@ -1868,6 +1868,28 @@ SELECT word, doc_freq, total_freq, barrel_id FROM step WHERE word IS NOT NULL
 """
 
 
+def barrel_stats_q(spark, sf_dir):
+    """A6 per-barrel rollup (word count, load sums, word range) over the
+    full greedy placement — oracle reuses the recursive-CTE assignment."""
+    _ensure_workers(spark)
+    from cord19_crawler_spark.operators.barrels import assign_barrels, barrel_stats
+
+    stats = word_stats_query(spark, sf_dir)
+    return barrel_stats(assign_barrels(stats, num_barrels=4, top_n=10))
+
+
+_BARREL_STATS_SQL = f"""
+WITH assigned AS ({_BARREL_GREEDY_SQL})
+SELECT barrel_id,
+       count(*) AS word_count,
+       CAST(sum(doc_freq) AS BIGINT) AS total_doc_freq,
+       CAST(sum(total_freq) AS BIGINT) AS total_word_freq,
+       min(word) AS range_start,
+       max(word) AS range_end
+FROM assigned GROUP BY barrel_id ORDER BY barrel_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H-Q1-shaped pricing summary at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1929,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
+        "barrel_stats": barrel_stats_q,
         "multimodal_features": multimodal_features,
         "pos_distribution": pos_distribution_q,
         "backward_index_rows": backward_index_rows,
@@ -1990,6 +2013,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,
+        "barrel_stats": _BARREL_STATS_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "pos_distribution": _POS_DIST_SQL,
         "backward_index_rows": _backward_index_sql(),
