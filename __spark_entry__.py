@@ -1890,6 +1890,34 @@ FROM assigned GROUP BY barrel_id ORDER BY barrel_id
 """
 
 
+def doc_to_barrels_q(spark, sf_dir):
+    """A7: doc → set of barrels containing its words (reference does this
+    as an O(words×docs×barrels) loop, src/barrel.py:131-143; here one join
+    + one agg), exploded to scalar (doc_id, barrel_id) rows for the
+    driver's canonicalizer."""
+    _ensure_workers(spark)
+    from cord19_crawler_spark.operators.barrels import assign_barrels, doc_to_barrels
+
+    stats = word_stats_query(spark, sf_dir)
+    assigned = assign_barrels(stats, num_barrels=4, top_n=10)
+    dtb = doc_to_barrels(assigned, postings_tf(spark, sf_dir))
+    return dtb.select(
+        "doc_id", F.explode("barrels").alias("barrel_id")
+    )
+
+
+_DOC_TO_BARRELS_SQL = f"""
+WITH assigned AS ({_BARREL_GREEDY_SQL})
+SELECT DISTINCT t.doc_id, a.barrel_id
+FROM (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+    FROM documents
+  ) WHERE length(word) >= 2 AND NOT regexp_matches(word, '^[0-9]+$')
+) t JOIN assigned a USING (word)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H-Q1-shaped pricing summary at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1952,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
         "barrel_stats": barrel_stats_q,
+        "doc_to_barrels": doc_to_barrels_q,
         "multimodal_features": multimodal_features,
         "pos_distribution": pos_distribution_q,
         "backward_index_rows": backward_index_rows,
@@ -2014,6 +2043,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,
         "barrel_stats": _BARREL_STATS_SQL,
+        "doc_to_barrels": _DOC_TO_BARRELS_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "pos_distribution": _POS_DIST_SQL,
         "backward_index_rows": _backward_index_sql(),
