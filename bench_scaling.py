@@ -22,7 +22,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 CORPUS = "/tmp/scale_corpus_parquet"
 N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "1500000"))
-REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
 
 _WORKER = r"""
 import json, os, sys, time
