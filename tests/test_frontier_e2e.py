@@ -152,3 +152,38 @@ def test_url_seen_is_exact_and_grows(spark, docs, tmp_path):
     pend = sched.pending_frontier()
     n_sched = sched._read_deltas(last, "crawl_log").count()
     assert pend.count() == frontier.count() - n_sched
+
+
+def test_crawl_drains_corpus_exactly_once(spark, tmp_path):
+    """Convergence + exactly-once: run rounds until the frontier empties —
+    every discoverable URL is scheduled EXACTLY once (the crawl_log is
+    duplicate-free), the seen set covers everything discovered, pending
+    reaches zero, and auto-compaction fires along the way."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cord19_crawler_spark.datagen import generate_documents, seed_urls
+    from cord19_crawler_spark.frontier import CrawlScheduler, SchedulerConfig
+
+    docs = generate_documents(spark, 300, partitions=2).cache()
+    ckpt = str(tmp_path / "drain")
+    cfg = SchedulerConfig(
+        batch_size=80, seen_partitions=4, bloom_bits=1 << 16,
+        min_delay_rounds=1, max_in_flight=80, compact_every=4,
+    )
+    s = CrawlScheduler(spark, docs, ckpt, cfg)
+    s.run(12, seeds=seed_urls(spark, 40, 300))
+    order = s.crawl_order()
+    urls = [u for _, _, u in order]
+    assert len(urls) == len(set(urls)), "a URL was scheduled twice"
+    seen = s.seen_set()
+    assert set(urls) <= seen  # everything scheduled was first seen
+    assert s.pending_frontier().count() == 0  # frontier fully drained
+    # the crawl reached the whole discoverable corpus: every /doc/<id> URL
+    # in the seen set got scheduled
+    assert len(urls) == len(seen)
+    assert any(d.startswith("compact=") for d in os.listdir(ckpt))
+    # post-drain rounds are graceful no-ops
+    extra = s.run(14)
+    assert all(c["scheduled"] == 0 for c in extra)
