@@ -73,6 +73,28 @@ def test_kill_resume_bit_identical(spark, docs, tmp_path):
         assert c_full == c_res
 
 
+def test_resume_ignores_partial_uncommitted_round(spark, docs, tmp_path):
+    """A crash mid-commit leaves a _tmp_round=K dir with partial data and
+    NO _COMMITTED.json; resume must ignore it entirely and re-execute the
+    round bit-identically (the atomic-rename publish contract)."""
+    import os
+
+    full = run_crawl(spark, docs, tmp_path / "pfull", rounds=ROUNDS)
+    part = run_crawl(spark, docs, tmp_path / "ppart", rounds=2)
+    # simulate a crash during round 3's commit: partial junk, no marker
+    tmp3 = os.path.join(str(tmp_path / "ppart"), "_tmp_round=3")
+    os.makedirs(os.path.join(tmp3, "crawl_log"))
+    with open(os.path.join(tmp3, "crawl_log", "part-junk.parquet"), "wb") as f:
+        f.write(b"\x00not a parquet file")
+    _ = part
+    resumed = CrawlScheduler(spark, docs, str(tmp_path / "ppart"), make_cfg())
+    assert resumed.store.latest_round() == 2  # junk dir not visible
+    resumed.run(ROUNDS)
+    assert resumed.crawl_order() == full.crawl_order()
+    assert resumed.seen_set() == full.seen_set()
+    assert not os.path.exists(tmp3)  # overwritten by the real commit
+
+
 def test_span_sequence_equality(spark, docs, tmp_path):
     """Every re-emitted document preserves (kind, text, media_ref, order)."""
     sched = run_crawl(spark, docs, tmp_path / "spans")
