@@ -65,25 +65,43 @@ def canonicalize_one(url: str) -> str | None:
     return urlunsplit((scheme, netloc, path, query, ""))
 
 
-# Fast-path grammar: scheme://host/path with NO userinfo, port, query or
+# Fast-path grammar: scheme://host[:port]/path with NO userinfo, query or
 # percent-weirdness (fragment allowed — it's dropped). Everything else takes
 # the exact per-row kernel. Batch-equality with canonicalize_one is pinned by
 # tests/test_urls.py (example + property tests).
-_SIMPLE_URL_RE = re.compile(r"(?i)^(https?)://([A-Za-z0-9.\-]+)(/[^?#]*)?(?:#.*)?$")
+_SIMPLE_URL_RE = re.compile(
+    r"(?i)^(https?)://([A-Za-z0-9.\-]+)(?::(\d{1,5}))?(/[^?#]*)?(?:#.*)?$"
+)
 
 
 def _canonicalize_series(urls: pd.Series) -> pd.Series:
     """Batch canonicalization: vectorized pandas .str ops for the dominant
-    simple-URL case (crawl links are overwhelmingly port-less and
-    query-less), per-row ``canonicalize_one`` for the rest. Same results as
-    mapping canonicalize_one over every row."""
+    simple-URL case (crawl links are overwhelmingly query-less), per-row
+    ``canonicalize_one`` for the rest. Same results as mapping
+    canonicalize_one over every row (incl. default-port stripping and
+    leading-zero port normalization)."""
     s = urls.astype("object")
     stripped = s.str.strip()
     ex = stripped.str.extract(_SIMPLE_URL_RE)
+    scheme = ex[0].str.lower()
     host = ex[1].str.lower().str.rstrip(".")
-    simple = ex[0].notna() & host.notna() & host.ne("")
-    path = ex[2].where(ex[2].notna() & ex[2].ne(""), "/")
-    fast = (ex[0].str.lower().str.cat(host, sep="://")).str.cat(path)
+    port_num = pd.to_numeric(ex[2], errors="coerce")
+    has_port = port_num.notna()
+    is_default = ((scheme == "http") & (port_num == 80)) | (
+        (scheme == "https") & (port_num == 443)
+    )
+    port_ok = ~has_port | (port_num <= 65535)
+    simple = ex[0].notna() & host.notna() & host.ne("") & port_ok
+    # rebuild the port from its NUMERIC value (urlsplit semantics: '0443'
+    # parses to 443 and default-strips)
+    netloc = host.where(
+        ~(has_port & ~is_default),
+        host.str.cat(
+            port_num.fillna(0).astype("int64").astype(str), sep=":"
+        ),
+    )
+    path = ex[3].where(ex[3].notna() & ex[3].ne(""), "/")
+    fast = scheme.str.cat(netloc, sep="://").str.cat(path)
     result = fast.where(simple)
     hard = ~simple
     if hard.any():

@@ -142,6 +142,8 @@ def test_vectorized_canonicalize_series_matches_per_row():
         "https://user:pw@a.example.com/x", "https://a.example.com./x",
         "https://./x", "ftp://a.example.com/x", "notaurl", "", None,
         "https://a.example.com:999999/x", "https://a.example.com/percent%20x",
+        "https://a.example.com:0443/x", "http://a.example.com:080/x",
+        "https://a.example.com:65536/x", "https://a.example.com:0/x",
         "  https://pad.example.com/x  ", "https://a_b.example.com/x",
         "https://[::1]/x", "https://a.example.com/x#a#b",
     ]
