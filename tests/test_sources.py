@@ -114,3 +114,20 @@ def test_title_truncation(spark):
     df = spark.createDataFrame([("x" * 80,), ("short",)], "title string")
     got = [r["t"] for r in df.select(truncate_title(F.col("title")).alias("t")).collect()]
     assert got[0] == "x" * 67 + "..." and got[1] == "short"
+
+
+def test_orc_roundtrip_interleaved_docs(spark, tmp_path):
+    """The interleaved-span document schema survives a round-trip through
+    ORC (Spark's second native columnar format) — nested array<struct>
+    intact, span order preserved."""
+    from cord19_crawler_spark.datagen import generate_documents
+
+    docs = generate_documents(spark, 50, partitions=2)
+    p = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(p)
+    back = spark.read.orc(p)
+    # ORC relaxes nullability flags; names/types must match exactly
+    assert back.schema.simpleString() == docs.schema.simpleString()
+    a = {r["doc_id"]: r["spans"] for r in docs.collect()}
+    b = {r["doc_id"]: r["spans"] for r in back.collect()}
+    assert a == b
