@@ -749,6 +749,61 @@ LIMIT 20
 """
 
 
+_DELTA_TERMS = ["merge", "batch"]
+
+
+def delta_merged_search(spark, sf_dir):
+    """T2/T3/J9: delta-index read-time merge — docs ≥ 450 are 'uploaded
+    after the build' (delta), docs < 450 are the static postings; the
+    merged search must EQUAL a full-rebuild index, so the DuckDB oracle
+    computes the full-corpus ranking directly. This is the reference's
+    no-rebuild upload path (src/dynamic_indexer.py + union at query time,
+    src/singlewordSearch.py:374-398)."""
+    from cord19_crawler_spark.operators.delta import search_with_delta
+    from cord19_crawler_spark.operators.indexing import postings, tokens_from_text
+
+    d = _t(spark, sf_dir, "documents")
+    static_docs = d.filter(F.col("doc_id") < 450).select("doc_id", "text")
+    delta_docs = d.filter(F.col("doc_id") >= 450).select("doc_id", "text")
+    static_p = postings(tokens_from_text(static_docs))
+    return search_with_delta(
+        static_p, delta_docs, _DELTA_TERMS, total_docs=d.count(), k=15
+    )
+
+
+def _delta_search_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _DELTA_TERMS)
+    return f"""
+WITH {_TOKENS_CTE},
+postings AS (SELECT word, doc_id, count(*) AS tf FROM tokens GROUP BY word, doc_id),
+total AS (SELECT count(*) AS n FROM documents),
+terms AS (SELECT unnest([{terms}]) AS word),
+hits AS (
+  SELECT p.word AS term, p.doc_id, max(p.tf) AS f
+  FROM postings p JOIN terms t ON p.word = t.word
+  GROUP BY p.word, p.doc_id
+),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS term_df FROM hits GROUP BY term),
+scored AS (
+  SELECT h.doc_id,
+         (CASE WHEN h.f > 1 THEN 1.0 + ln(h.f) ELSE 1.0 END) *
+         (ln((total.n + 1.0) / (d.term_df + 1.0)) + 1.0) AS tfidf
+  FROM hits h JOIN dfs d USING (term) CROSS JOIN total
+),
+combined AS (
+  SELECT doc_id, sum(tfidf) AS base, count(*) AS matched_terms
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       round(base * (CASE WHEN matched_terms > 1
+                          THEN 1.0 + 0.1 * (matched_terms - 1) ELSE 1.0 END), 6) AS score,
+       CAST(matched_terms AS INTEGER) AS matched_terms
+FROM combined
+ORDER BY score DESC, doc_id ASC
+LIMIT 15
+"""
+
+
 def autocomplete_top3(spark, sf_dir):
     """W3: top-3 words per 2-char prefix by total_count (trie replacement)."""
     from cord19_crawler_spark.operators.search import autocomplete_topk
@@ -1951,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_tf": postings_tf,
         "word_stats": word_stats_query,
         "tfidf_multiword_search": tfidf_multiword_search,
+        "delta_merged_search": delta_merged_search,
         "autocomplete_top3": autocomplete_top3,
         "round_robin_barrel_head": round_robin_barrel_head,
         "doc_id_dense_mapping": doc_id_dense_mapping,
@@ -2017,6 +2073,7 @@ def oracle_sql() -> dict[str, str]:
         "postings_tf": _POSTINGS_SQL,
         "word_stats": _WORD_STATS_SQL,
         "tfidf_multiword_search": _TFIDF_SQL,
+        "delta_merged_search": _delta_search_sql(),
         "autocomplete_top3": _AUTOCOMPLETE_SQL,
         "round_robin_barrel_head": _RR_BARREL_SQL,
         "doc_id_dense_mapping": _DOCMAP_SQL,
