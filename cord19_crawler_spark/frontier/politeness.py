@@ -149,7 +149,13 @@ def global_batch(ranked: DataFrame, batch_size: int) -> DataFrame:
 
 
 def advance_host_state(host_state: DataFrame, scheduled: DataFrame, current_round: int) -> DataFrame:
-    """Set last_scheduled_round = r for hosts that got work this round."""
+    """Set last_scheduled_round = r for hosts that got work this round.
+
+    In-memory/whole-table form of the update; the scheduler persists
+    APPEND-ONLY deltas instead (scheduler._host_state_delta — only touched
+    and newly-discovered hosts are written, the effective table is the
+    latest row per host), because a full O(hosts) rewrite per round is a
+    ~6 GB write at the 10^8-host design point."""
     touched = scheduled.select("host").distinct().withColumn("_touched", F.lit(1))
     return (
         host_state.join(touched, "host", "left")

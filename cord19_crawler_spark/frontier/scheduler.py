@@ -182,7 +182,7 @@ class CrawlScheduler:
         )
         host_state = politeness.default_host_state(
             frontier, self.cfg.min_delay_rounds, self.cfg.max_in_flight
-        )
+        ).withColumn("_sr", F.lit(0))
         crawl_log = self.spark.createDataFrame(
             [],
             "round int, seq int, url string, host string, priority double, attempt int",
@@ -244,6 +244,7 @@ class CrawlScheduler:
             {
                 "url_seen": self._read_url_seen(rnd),
                 "pending": self._read_pending(rnd),
+                "host_state": self._read_host_state_raw(rnd),
             },
         )
         return rnd
@@ -285,6 +286,42 @@ class CrawlScheduler:
             raise ValueError("no committed rounds")
         return self._read_pending(last)
 
+    def _read_host_state_raw(self, upto_rnd: int) -> DataFrame:
+        """Effective host_state = LATEST delta row per host (max stamp
+        round ``_sr`` wins). host_state is append-only like every other
+        state table: each round writes rows only for hosts it discovered or
+        scheduled — a full rewrite per round would be an O(hosts) ≈ 6 GB
+        write at the 10^8-host design point. Compaction snapshots the
+        reduced view so read fan-in stays bounded."""
+        base_rnd = self.store.latest_compact(upto=upto_rnd)
+        if base_rnd is None:
+            allr = self._read_deltas(upto_rnd, "host_state")
+        else:
+            allr = self.spark.read.parquet(
+                self.store.compact_table_path(base_rnd, "host_state")
+            )
+            if base_rnd < upto_rnd:
+                allr = allr.unionByName(
+                    self._read_deltas(upto_rnd, "host_state", from_rnd=base_rnd + 1)
+                )
+        latest = allr.groupBy("host").agg(
+            F.max(
+                F.struct(
+                    "_sr", "min_delay_rounds", "max_in_flight", "last_scheduled_round"
+                )
+            ).alias("s")
+        )
+        return latest.select(
+            "host",
+            F.col("s.min_delay_rounds").alias("min_delay_rounds"),
+            F.col("s.max_in_flight").alias("max_in_flight"),
+            F.col("s.last_scheduled_round").alias("last_scheduled_round"),
+            F.col("s._sr").alias("_sr"),
+        )
+
+    def _read_host_state(self, upto_rnd: int) -> DataFrame:
+        return self._read_host_state_raw(upto_rnd).drop("_sr")
+
     def _read_url_seen(self, upto_rnd: int) -> DataFrame:
         """The exact seen set = union of per-round APPEND-ONLY deltas
         (``url_seen_new``). Each round writes only its new URLs — O(new), not
@@ -311,7 +348,7 @@ class CrawlScheduler:
         prev = rnd - 1
         url_seen = self._read_url_seen(prev)
         filter_state = self._read(prev, "filter_state")
-        host_state = self._read(prev, "host_state")
+        host_state = self._read_host_state(prev)
 
         pending = self._read_pending(prev)
 
@@ -371,7 +408,7 @@ class CrawlScheduler:
 
         url_seen_new = new_urls.select("partition", "url_id", "url")
         filter_state_next = self.bloom.insert(new_urls, filter_state)
-        host_state_next = self._advance_hosts(host_state, batch, new_urls, rnd)
+        host_state_delta = self._host_state_delta(host_state, batch, new_urls, rnd)
         crawl_log = batch.select(
             F.lit(rnd).alias("round"), "seq", "url", "host", "priority", "attempt"
         )
@@ -402,7 +439,7 @@ class CrawlScheduler:
                 "frontier_new": frontier_new,
                 "url_seen_new": url_seen_new,
                 "filter_state": filter_state_next,
-                "host_state": host_state_next,
+                "host_state": host_state_delta,
                 "crawl_log": crawl_log,
             },
             counters_fn=_counters,
@@ -448,7 +485,7 @@ class CrawlScheduler:
         rnd = prev + 1
         url_seen = self._read_url_seen(prev)
         filter_state = self._read(prev, "filter_state")
-        host_state = self._read(prev, "host_state")
+        host_state = self._read_host_state(prev)
 
         canon = (
             urls.withColumn("url", canonicalize_url(F.col("url")))
@@ -487,7 +524,7 @@ class CrawlScheduler:
                 "frontier_new": frontier_new,
                 "url_seen_new": new_urls.select("partition", "url_id", "url"),
                 "filter_state": self.bloom.insert(new_urls, filter_state),
-                "host_state": self._advance_hosts(
+                "host_state": self._host_state_delta(
                     host_state, crawl_log, new_urls, rnd
                 ),
                 "crawl_log": crawl_log,
@@ -551,13 +588,18 @@ class CrawlScheduler:
             (F.col("attempt") + 1).alias("attempt"),
         ).select(*FRONTIER_COLS)
 
-        host_state = self._read(prev, "host_state")
         crawl_log = self.spark.createDataFrame(
             [],
             "round int, seq int, url string, host string, priority double, attempt int",
         )
         empty_seen = self.spark.createDataFrame(
             [], "partition int, url_id long, url string"
+        )
+        # host state is untouched by a requeue → empty delta (append-only)
+        empty_host_delta = self.spark.createDataFrame(
+            [],
+            "host string, min_delay_rounds int, max_in_flight int, "
+            "last_scheduled_round int, _sr int",
         )
 
         def _counters(tmp: str) -> dict:
@@ -577,26 +619,39 @@ class CrawlScheduler:
                 "frontier_new": retry_rows,
                 "url_seen_new": empty_seen,
                 "filter_state": self._read(prev, "filter_state"),
-                "host_state": host_state,
+                "host_state": empty_host_delta,
                 "crawl_log": crawl_log,
             },
             counters_fn=_counters,
         )
         return counters
 
-    def _advance_hosts(
+    def _host_state_delta(
         self, host_state: DataFrame, batch: DataFrame, new_urls: DataFrame, rnd: int
     ) -> DataFrame:
-        """Update last_scheduled_round; add default rows for new hosts."""
+        """APPEND-ONLY host-state delta for round ``rnd``: rows ONLY for
+        hosts first discovered this round (default state) and hosts
+        scheduled this round (last_scheduled_round = rnd), stamped ``_sr``.
+        The effective table is the latest row per host
+        (_read_host_state) — writing the full table each round would be an
+        O(hosts) rewrite, ~6 GB per round at 10^8 hosts. A host cannot be
+        both fresh and scheduled in one round (the batch comes from
+        already-known pending), so there is exactly one delta row per
+        (host, round)."""
         known = host_state.select("host")
-        fresh_hosts = (
-            new_urls.select("host").distinct().join(known, "host", "left_anti")
+        fresh = politeness.default_host_state(
+            new_urls.select("host").distinct().join(known, "host", "left_anti"),
+            self.cfg.min_delay_rounds,
+            self.cfg.max_in_flight,
         )
-        fresh_state = politeness.default_host_state(
-            fresh_hosts, self.cfg.min_delay_rounds, self.cfg.max_in_flight
+        touched = (
+            host_state.join(batch.select("host").distinct(), "host")
+            .withColumn("last_scheduled_round", F.lit(rnd))
+            .select(
+                "host", "min_delay_rounds", "max_in_flight", "last_scheduled_round"
+            )
         )
-        merged = host_state.unionByName(fresh_state)
-        return politeness.advance_host_state(merged, batch, rnd)
+        return fresh.unionByName(touched).withColumn("_sr", F.lit(rnd))
 
     # -- driver loop --------------------------------------------------------
 
