@@ -5,7 +5,7 @@ reference is likewise batch-per-round: src/crawler.py:130-150 micro-batch
 ingest; src/index.py:41-116 incremental fold):
 
   pending scan (derived from append-only logs)
-  → politeness eligibility (broadcast host_state join)
+  → politeness eligibility (host_state join; AQE picks the strategy)
   → robots filter (broadcast rules + Arrow UDF)
   → per-host/domain priority queue (two-phase skew-split window:
     hot hosts pre-reduced on (key, salt) per the round's split plan)
@@ -15,8 +15,9 @@ ingest; src/index.py:41-116 incremental fold):
   → url-hash dedup (uniform key — no salting needed here)
   → bloom/cuckoo probe (co-grouped bitsets) → exact anti-join backstop
     (keyed on the URL STRING — hash-collision-safe)
-  → append-only commit: frontier_new + url_seen_new + crawl_log deltas,
-    filter/host state, counters + per-partition lineage — atomically.
+  → append-only commit: frontier_new + url_seen_new + crawl_log +
+    host_state deltas (latest row per host wins at read time), filter
+    state, counters + per-partition lineage — atomically.
     Pending is DERIVED (frontier deltas anti-join scheduled log), so no
     O(frontier) rewrite ever happens; with Iceberg these are appends +
     one MERGE-maintained view.
