@@ -71,6 +71,51 @@ def _cmd_crawl(args: argparse.Namespace) -> None:
     print(json.dumps({"rounds": counters, "crawl_order_len": len(sched.crawl_order())}))
 
 
+def _cmd_index(args: argparse.Namespace) -> None:
+    """Reference entry point 1/3 (python src/index.py + barrel build):
+    documents parquet → barrel-partitioned postings + lexicon + stats."""
+    from cord19_crawler_spark.plans.search_pipeline import build_index
+    from cord19_crawler_spark.session import get_spark
+
+    spark = get_spark(app_name="index", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    docs = spark.read.parquet(args.documents)
+    meta = build_index(
+        spark, docs, args.out,
+        id_col=args.id_col, text_col=args.text_col,
+        title_col=args.title_col, num_barrels=args.barrels,
+    )
+    print(json.dumps(meta))
+
+
+def _cmd_search(args: argparse.Namespace) -> None:
+    """Reference entry point 2 (GET /api/search): ranked TF-IDF search over
+    a built index, lexicon-backed lemma expansion, barrel pruning."""
+    from cord19_crawler_spark.plans.search_pipeline import search
+    from cord19_crawler_spark.session import get_spark
+
+    spark = get_spark(app_name="search", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    rows = search(spark, args.index, args.query, k=args.k).collect()
+    print(json.dumps([r.asDict() for r in rows], default=str))
+
+
+def _cmd_metrics(args: argparse.Namespace) -> None:
+    """Per-host frontier metrics over an existing crawl checkpoint."""
+    from cord19_crawler_spark.frontier import CrawlScheduler, SchedulerConfig
+    from cord19_crawler_spark.session import get_spark
+
+    spark = get_spark(app_name="metrics", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    empty_docs = spark.createDataFrame(
+        [], "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+    )
+    sched = CrawlScheduler.open(spark, empty_docs, args.checkpoint, SchedulerConfig())
+    rows = sched.frontier_metrics().limit(args.limit).collect()
+    print(json.dumps([r.asDict() for r in rows]))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="cord19_crawler_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -93,6 +138,32 @@ def main(argv: list[str] | None = None) -> None:
     cr.add_argument("--max-in-flight", type=int, default=1000)
     cr.add_argument("--filter", choices=["bloom", "cuckoo"], default="bloom")
     cr.set_defaults(fn=_cmd_crawl)
+
+    ix = sub.add_parser("index", help="build the barrel-partitioned search index")
+    ix.add_argument("--documents", required=True, help="parquet with id/text cols")
+    ix.add_argument("--out", required=True)
+    ix.add_argument("--id-col", default="doc_id")
+    ix.add_argument("--text-col", default="text")
+    ix.add_argument("--title-col", default=None)
+    ix.add_argument("--barrels", type=int, default=10)
+    ix.add_argument("--master", default=None)
+    ix.add_argument("--shuffle-partitions", type=int, default=None)
+    ix.set_defaults(fn=_cmd_index)
+
+    se = sub.add_parser("search", help="ranked search over a built index")
+    se.add_argument("--index", required=True)
+    se.add_argument("--query", required=True)
+    se.add_argument("-k", type=int, default=10)
+    se.add_argument("--master", default=None)
+    se.add_argument("--shuffle-partitions", type=int, default=None)
+    se.set_defaults(fn=_cmd_search)
+
+    me = sub.add_parser("metrics", help="per-host frontier metrics from a checkpoint")
+    me.add_argument("--checkpoint", required=True)
+    me.add_argument("--limit", type=int, default=50)
+    me.add_argument("--master", default=None)
+    me.add_argument("--shuffle-partitions", type=int, default=None)
+    me.set_defaults(fn=_cmd_metrics)
 
     args = p.parse_args(argv)
     args.fn(args)

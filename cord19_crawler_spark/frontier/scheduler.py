@@ -111,6 +111,34 @@ class CrawlScheduler:
         self._config_checked = False
         self._verify_checkpoint_config()
 
+    @classmethod
+    def open(
+        cls,
+        spark: SparkSession,
+        documents: DataFrame,
+        checkpoint_dir: str,
+        config: SchedulerConfig | None = None,
+        robots: DataFrame | None = None,
+    ) -> "CrawlScheduler":
+        """Open an existing checkpoint ADOPTING its committed probe geometry
+        (seen partitions, filter kind, bloom/cuckoo sizing) — the ergonomic
+        resume path: run-time knobs (batch size, politeness, compaction)
+        still come from ``config``, but the filter facets always match what
+        round 0 committed, so the fail-fast guard can never trip."""
+        cfg = config or SchedulerConfig()
+        store = CheckpointStore(checkpoint_dir)
+        if store.latest_round() is not None:
+            fc = store.read_counters(0).get("counters", {}).get("filter_config")
+            if fc:
+                cfg.seen_partitions = fc["seen_partitions"]
+                cfg.extra = dict(cfg.extra, filter_kind=fc["filter_kind"])
+                if fc["filter_kind"] == "cuckoo":
+                    cfg.extra["cuckoo_buckets"] = fc["n_buckets"]
+                else:
+                    cfg.bloom_bits = fc["m_bits"]
+                    cfg.bloom_k = fc["k"]
+        return cls(spark, documents, checkpoint_dir, cfg, robots)
+
     # -- state helpers ------------------------------------------------------
 
     def _filter_config(self) -> dict:

@@ -85,3 +85,25 @@ def test_resume_with_changed_filter_config_fails_fast(spark, tmp_path):
     bad3.extra["filter_kind"] = "cuckoo"
     with pytest.raises(ValueError, match="filter config"):
         CrawlScheduler(spark, docs, ckpt, bad3)
+
+
+def test_open_adopts_committed_filter_config(spark, tmp_path):
+    from cord19_crawler_spark.frontier import CrawlScheduler
+
+    docs = generate_documents(spark, 100, partitions=2).cache()
+    ckpt = str(tmp_path / "open")
+    cfg = _cfg()
+    cfg.bloom_bits = 1 << 17
+    s = CrawlScheduler(spark, docs, ckpt, cfg)
+    s.run(1, seeds=seed_urls(spark, 4, 100))
+    # a fresh default config mismatches → plain constructor fails fast,
+    # but open() adopts the committed geometry and resumes fine
+    import pytest
+
+    from cord19_crawler_spark.frontier import SchedulerConfig
+
+    with pytest.raises(ValueError, match="filter config"):
+        CrawlScheduler(spark, docs, ckpt, SchedulerConfig())
+    s2 = CrawlScheduler.open(spark, docs, ckpt, SchedulerConfig())
+    assert s2.cfg.bloom_bits == 1 << 17
+    assert s2.run(2)[0]["scheduled"] >= 0
