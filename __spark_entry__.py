@@ -704,6 +704,28 @@ SELECT word, count(DISTINCT doc_id) AS doc_freq, CAST(sum(tf) AS BIGINT) AS tota
 FROM postings GROUP BY word
 """
 
+def forward_index_rows(spark, sf_dir):
+    """A4 forward index (doc → ordered word list, src/index.py:89-93) in
+    exploded scalar form (doc_id, seq, word): order restored via
+    sort_array over (pos, word) structs, so the result is deterministic at
+    any parallelism; oracle renumbers the kept tokens per doc."""
+    from cord19_crawler_spark.operators.indexing import forward_index
+
+    toks = _tokens(spark, sf_dir).filter(F.col("doc_id") < 100)
+    fi = forward_index(toks)
+    return fi.select("doc_id", F.posexplode("words").alias("seq", "word"))
+
+
+_FWD_INDEX_SQL = f"""
+WITH {_TOKENS_CTE}
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos, word) - 1
+            AS INTEGER) AS seq,
+       word
+FROM tokens WHERE doc_id < 100
+"""
+
+
 _QUERY_TERMS = ["spark", "window", "fast"]
 
 
@@ -2003,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total_per_customer": running_total_per_customer,
         # search-engine family
         "lexicon_first_encounter": lexicon_first_encounter,
+        "forward_index_rows": forward_index_rows,
         "postings_tf": postings_tf,
         "word_stats": word_stats_query,
         "tfidf_multiword_search": tfidf_multiword_search,
@@ -2070,6 +2093,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": _RANGE_JOIN_SQL,
         "running_total_per_customer": _RUNNING_SQL,
         "lexicon_first_encounter": _LEXICON_SQL,
+        "forward_index_rows": _FWD_INDEX_SQL,
         "postings_tf": _POSTINGS_SQL,
         "word_stats": _WORD_STATS_SQL,
         "tfidf_multiword_search": _TFIDF_SQL,
