@@ -1726,7 +1726,7 @@ def barrel_assignment_greedy(spark, sf_dir):
     _ensure_workers(spark)
     from cord19_crawler_spark.operators.barrels import assign_barrels
 
-    stats = word_stats_query(spark, sf_dir).withColumnRenamed("total_freq", "total_freq")
+    stats = word_stats_query(spark, sf_dir)
     return assign_barrels(stats, num_barrels=4, top_n=10)
 
 

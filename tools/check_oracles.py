@@ -47,6 +47,9 @@ def main(only: list[str] | None = None):
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            # rows via collect (python types: None stays None, no numpy
+            # scalars to poison the repr-keyed sort); toPandas only for the
+            # dtype gate
             spdf = sdf.toPandas()
             srows = [tuple(norm(v) for v in r) for r in sdf.collect()]
         except Exception as e:
