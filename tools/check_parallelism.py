@@ -46,11 +46,14 @@ def run(cpus: int, ckpt: str) -> dict:
 def main() -> None:
     import shutil
 
-    shutil.rmtree("/tmp/par_ck2", ignore_errors=True)
-    shutil.rmtree("/tmp/par_ck8", ignore_errors=True)
-    r2 = run(2, "/tmp/par_ck2")
-    r8 = run(8, "/tmp/par_ck8")
+    low = int(os.environ.get("SPARK_GRAFT_PAR_LOW", "2"))
+    high = int(os.environ.get("SPARK_GRAFT_PAR_HIGH", "8"))
+    shutil.rmtree(f"/tmp/par_ck{low}", ignore_errors=True)
+    shutil.rmtree(f"/tmp/par_ck{high}", ignore_errors=True)
+    r2 = run(low, f"/tmp/par_ck{low}")
+    r8 = run(high, f"/tmp/par_ck{high}")
     result = {
+        "levels": [low, high],
         "crawl_order_len": len(r2["order"]),
         "seen_size": len(r2["seen"]),
         "order_identical": r2["order"] == r8["order"],
