@@ -593,6 +593,43 @@ FROM joined GROUP BY user_id, click_id ORDER BY user_id, click_id
 """
 
 
+def events_asof_join(spark, sf_dir):
+    """AS-OF JOIN (beyond Spark's operator set — brief-listed custom op):
+    for each click, the value of the user's most recent purchase at or
+    before the click. Spark-side: the union-tag composition
+    (operators/asof.py — one shuffle, no range explosion); oracle: DuckDB's
+    NATIVE ASOF LEFT JOIN, so the semantics are checked against a first-
+    class implementation."""
+    from cord19_crawler_spark.operators.asof import asof_join_backward
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    buys = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))  # unique per (key, ts)
+    )
+    out = asof_join_backward(
+        clicks, buys, ["user_id"], "ts", "ts", ["last_purchase_value"]
+    )
+    return out.select("user_id", "click_id", "last_purchase_value")
+
+
+_ASOF_SQL = """
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'
+), buys AS (
+  SELECT user_id, ts, max(value) AS last_purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.user_id, c.click_id, b.last_purchase_value
+FROM clicks c ASOF LEFT JOIN buys b
+  ON c.user_id = b.user_id AND c.ts >= b.ts
+"""
+
+
 def running_total_per_customer(spark, sf_dir):
     """C6 shape: prefix-sum window (running revenue per customer <50)."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
@@ -2022,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window": events_session_window,
         "events_json_props": events_json_props,
         "events_range_join": events_range_join,
+        "events_asof_join": events_asof_join,
         "running_total_per_customer": running_total_per_customer,
         # search-engine family
         "lexicon_first_encounter": lexicon_first_encounter,
@@ -2091,6 +2129,7 @@ def oracle_sql() -> dict[str, str]:
         "events_session_window": _SESSION_WINDOW_SQL,
         "events_json_props": _EVENTS_JSON_SQL,
         "events_range_join": _RANGE_JOIN_SQL,
+        "events_asof_join": _ASOF_SQL,
         "running_total_per_customer": _RUNNING_SQL,
         "lexicon_first_encounter": _LEXICON_SQL,
         "forward_index_rows": _FWD_INDEX_SQL,

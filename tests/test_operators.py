@@ -323,3 +323,31 @@ def test_minhash_estimates_jaccard(spark):
     sig2 = {r["doc_id"]: r for r in dedup.minhash_signatures(
         dedup.shingles(docs2, n=1), num_perm=16).collect()}
     assert all(sig2[1][f"mh_{i}"] == sig2[2][f"mh_{i}"] for i in range(16))
+
+
+def test_asof_join_backward_edges(spark):
+    """As-of join edge cases: inclusive match at equal ts, null when no
+    prior right row, latest-of-several wins, keys independent."""
+    from cord19_crawler_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [("a", 5, "L1"), ("a", 10, "L2"), ("a", 2, "L0"), ("b", 7, "L3")],
+        "k string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("a", 3, 30.0), ("a", 10, 100.0), ("b", 9, 90.0)],
+        "k string, ts long, v double",
+    )
+    out = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join_backward(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    }
+    assert out == {
+        ("a", 2): None,     # no right row at or before ts=2
+        ("a", 5): 30.0,     # most recent ≤ 5 is ts=3
+        ("a", 10): 100.0,   # equal ts matches (inclusive)
+        ("b", 7): None,     # other key's rows don't leak; b has none ≤ 7
+    }
+    # left extra columns survive
+    tags = {r["tag"] for r in asof_join_backward(left, right, ["k"], "ts", "ts", ["v"]).collect()}
+    assert tags == {"L0", "L1", "L2", "L3"}
