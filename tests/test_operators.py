@@ -351,3 +351,35 @@ def test_asof_join_backward_edges(spark):
     # left extra columns survive
     tags = {r["tag"] for r in asof_join_backward(left, right, ["k"], "ts", "ts", ["v"]).collect()}
     assert tags == {"L0", "L1", "L2", "L3"}
+
+
+def test_asof_join_matches_bruteforce_randomized(spark):
+    """Randomized (deterministic-seed) cross-check: the union-tag as-of
+    composition equals the per-row brute-force argmax reference."""
+    import random
+
+    from cord19_crawler_spark.operators.asof import asof_join_backward
+
+    rng = random.Random(7)
+    left_rows = [
+        (f"k{rng.randrange(4)}", rng.randrange(100), i) for i in range(120)
+    ]
+    right_rows = list(
+        {  # unique per (key, ts): dict keyed by (k, ts), last value wins
+            (f"k{rng.randrange(4)}", rng.randrange(100)): None for _ in range(80)
+        }
+    )
+    right_rows = [(k, ts, float(ts * 10 + hash(k) % 7)) for (k, ts) in right_rows]
+    left = spark.createDataFrame(left_rows, "k string, ts long, lid long")
+    right = spark.createDataFrame(right_rows, "k string, ts long, v double")
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join_backward(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    }
+
+    def brute(k, ts):
+        cands = [(rts, v) for (rk, rts, v) in right_rows if rk == k and rts <= ts]
+        return max(cands)[1] if cands else None
+
+    want = {lid: brute(k, ts) for (k, ts, lid) in left_rows}
+    assert got == want
