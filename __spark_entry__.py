@@ -1838,6 +1838,40 @@ FROM toks GROUP BY 1 ORDER BY cnt DESC, pos_tag
 """
 
 
+def lemma_pos_counts(spark, sf_dir):
+    """A3: per-lemma POS counts through the Arrow lemmatizer (the
+    reference lexicon's pos_counts map, src/index.py:86) in exploded
+    scalar form (lemma, pos_tag, cnt); the map shape is materialized at
+    the edge via map_from_entries (tested in tests/test_operators.py).
+    Oracle mirrors the stub's lemma + POS rules."""
+    _ensure_workers(spark)
+    from cord19_crawler_spark.functions.text import lemmatize_tokens
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = d.select(F.explode(lemmatize_tokens(F.col("text"))).alias("tok"))
+    return (
+        toks.groupBy(
+            F.col("tok.lemma").alias("lemma"), F.col("tok.pos").alias("pos_tag")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _lemma_pos_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]{{2,}}')) AS tok
+  FROM documents WHERE doc_id < 100
+)
+SELECT {_lemma_case_sql("tok")} AS lemma,
+       CASE WHEN regexp_matches(tok, '^[0-9]+$') THEN 'NUM'
+            WHEN tok LIKE '%ing' THEN 'VERB'
+            ELSE 'NOUN' END AS pos_tag,
+       count(*) AS cnt
+FROM toks GROUP BY 1, 2
+"""
+
+
 def backward_index_rows(spark, sf_dir):
     """Backward index (doc → ordered token dicts, src/index.py:67-68) in
     exploded relational form (doc_id, seq, lemma, pos_tag) through the
@@ -2100,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_to_barrels": doc_to_barrels_q,
         "multimodal_features": multimodal_features,
         "pos_distribution": pos_distribution_q,
+        "lemma_pos_counts": lemma_pos_counts,
         "backward_index_rows": backward_index_rows,
         "index_stats": index_stats_q,
         # NOTE: semantic_expansion (Word2Vec, iterative ML — not
@@ -2166,6 +2201,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_to_barrels": _DOC_TO_BARRELS_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "pos_distribution": _POS_DIST_SQL,
+        "lemma_pos_counts": _lemma_pos_sql(),
         "backward_index_rows": _backward_index_sql(),
         "index_stats": _INDEX_STATS_SQL,
     }
