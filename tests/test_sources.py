@@ -131,3 +131,52 @@ def test_orc_roundtrip_interleaved_docs(spark, tmp_path):
     a = {r["doc_id"]: r["spans"] for r in docs.collect()}
     b = {r["doc_id"]: r["spans"] for r in back.collect()}
     assert a == b
+
+
+def _make_warc_bytes(records):
+    out = b""
+    for headers, payload in records:
+        hdr = "WARC/1.0\r\n" + "".join(
+            f"{k}: {v}\r\n" for k, v in headers.items()
+        ) + f"Content-Length: {len(payload)}\r\n"
+        out += hdr.encode() + b"\r\n" + payload + b"\r\n\r\n"
+    return out
+
+
+def test_warc_source_roundtrip(spark, tmp_path):
+    """WARC archives (plain + gzip) parse into one row per record; response
+    records convert to the interleaved documents table (text + media)."""
+    import gzip as _gzip
+
+    from cord19_crawler_spark.sources.warc import (
+        read_warc,
+        warc_responses_to_documents,
+    )
+
+    recs1 = [
+        ({"WARC-Type": "warcinfo", "WARC-Record-ID": "<urn:uuid:0>"}, b"software: test"),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:1>",
+          "WARC-Target-URI": "https://a.com/page", "Content-Type": "text/html",
+          "WARC-Date": "2026-01-01T00:00:00Z"}, b"hello <b>world</b>"),
+    ]
+    recs2 = [
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:2>",
+          "WARC-Target-URI": "https://b.com/img", "Content-Type": "image/png"},
+         b"\x89PNG fakebytes"),
+    ]
+    d = tmp_path / "warcs"; d.mkdir()
+    (d / "one.warc").write_bytes(_make_warc_bytes(recs1))
+    (d / "two.warc.gz").write_bytes(_gzip.compress(_make_warc_bytes(recs2)))
+
+    warc = read_warc(spark, str(d))
+    rows = {r["record_id"]: r for r in warc.collect()}
+    assert len(rows) == 3
+    assert rows["<urn:uuid:1>"]["warc_type"] == "response"
+    assert bytes(rows["<urn:uuid:1>"]["payload"]) == b"hello <b>world</b>"
+    assert rows["<urn:uuid:2>"]["content_type"] == "image/png"  # gzip member
+
+    docs = {r["doc_id"]: r["spans"] for r in warc_responses_to_documents(warc).collect()}
+    assert docs["https://a.com/page"][0]["kind"] == "text"
+    assert docs["https://a.com/page"][0]["text"] == "hello <b>world</b>"
+    assert docs["https://b.com/img"][0]["kind"] == "media"
+    assert docs["https://b.com/img"][0]["media_ref"] == "https://b.com/img"
