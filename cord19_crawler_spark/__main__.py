@@ -79,7 +79,28 @@ def _cmd_index(args: argparse.Namespace) -> None:
 
     spark = get_spark(app_name="index", master=args.master,
                       shuffle_partitions=args.shuffle_partitions)
-    docs = spark.read.parquet(args.documents)
+    if args.warc:
+        # WARC corpus → searchable index: responses' text spans joined per doc
+        from pyspark.sql import functions as F
+
+        from cord19_crawler_spark.sources.warc import (
+            read_warc,
+            warc_responses_to_documents,
+        )
+
+        wdocs = warc_responses_to_documents(read_warc(spark, args.warc))
+        docs = wdocs.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.filter(F.col("spans"), lambda s: s["kind"] == "text"),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias(args.text_col),
+        )
+    else:
+        docs = spark.read.parquet(args.documents)
     meta = build_index(
         spark, docs, args.out,
         id_col=args.id_col, text_col=args.text_col,
@@ -140,7 +161,8 @@ def main(argv: list[str] | None = None) -> None:
     cr.set_defaults(fn=_cmd_crawl)
 
     ix = sub.add_parser("index", help="build the barrel-partitioned search index")
-    ix.add_argument("--documents", required=True, help="parquet with id/text cols")
+    ix.add_argument("--documents", help="parquet with id/text cols")
+    ix.add_argument("--warc", help="WARC archive glob (alternative input)")
     ix.add_argument("--out", required=True)
     ix.add_argument("--id-col", default="doc_id")
     ix.add_argument("--text-col", default="text")
