@@ -77,6 +77,8 @@ def _cmd_index(args: argparse.Namespace) -> None:
     from cord19_crawler_spark.plans.search_pipeline import build_index
     from cord19_crawler_spark.session import get_spark
 
+    if not args.documents and not args.warc:
+        raise SystemExit("index: one of --documents or --warc is required")
     spark = get_spark(app_name="index", master=args.master,
                       shuffle_partitions=args.shuffle_partitions)
     if args.warc:
