@@ -117,3 +117,25 @@ def warc_responses_to_documents(warc: DataFrame) -> DataFrame:
     return resp.select(
         F.col("target_uri").alias("doc_id"), F.array(span).alias("spans")
     )
+
+
+def read_sitemap_seeds(
+    spark: SparkSession, sitemap_glob: str, default_priority: float = 0.5
+) -> DataFrame:
+    """sitemap.xml → frontier seed rows (url, priority) via Spark 4's
+    native XML source (rowTag=url). Feeds CrawlScheduler.init_from_seeds
+    directly — URLs are canonicalized and deduped there; sitemap
+    <priority> (0..1) carries into the frontier priority."""
+    sm = (
+        spark.read.format("xml")
+        .option("rowTag", "url")
+        .load(sitemap_glob)
+    )
+    pri = (
+        F.coalesce(F.col("priority").cast("double"), F.lit(default_priority))
+        if "priority" in sm.columns
+        else F.lit(default_priority)
+    )
+    return sm.filter(F.col("loc").isNotNull()).select(
+        F.col("loc").cast("string").alias("url"), pri.alias("priority")
+    )

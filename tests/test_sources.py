@@ -180,3 +180,44 @@ def test_warc_source_roundtrip(spark, tmp_path):
     assert docs["https://a.com/page"][0]["text"] == "hello <b>world</b>"
     assert docs["https://b.com/img"][0]["kind"] == "media"
     assert docs["https://b.com/img"][0]["media_ref"] == "https://b.com/img"
+
+
+def test_sitemap_seeds_feed_the_scheduler(spark, tmp_path):
+    """sitemap.xml (native Spark 4 XML source) → seed rows → a real crawl
+    round: sitemap priorities decide the fetch order."""
+    from cord19_crawler_spark.datagen import generate_documents
+    from cord19_crawler_spark.frontier import CrawlScheduler, SchedulerConfig
+    from cord19_crawler_spark.sources.warc import read_sitemap_seeds
+
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "<url><loc>HTTPS://HOST0.EXAMPLE.COM/doc/1#frag</loc><priority>0.9</priority></url>\n"
+        "<url><loc>https://host1.example.com/doc/2</loc><priority>0.2</priority></url>\n"
+        "<url><loc>https://host2.example.com/doc/3</loc></url>\n"
+        "</urlset>\n"
+    )
+    p = tmp_path / "sitemap.xml"
+    p.write_text(xml)
+    seeds = read_sitemap_seeds(spark, str(p))
+    got = {r["url"]: r["priority"] for r in seeds.collect()}
+    assert got == {
+        "HTTPS://HOST0.EXAMPLE.COM/doc/1#frag": 0.9,
+        "https://host1.example.com/doc/2": 0.2,
+        "https://host2.example.com/doc/3": 0.5,  # default priority
+    }
+    docs = generate_documents(spark, 50, partitions=2)
+    s = CrawlScheduler(
+        spark, docs, str(tmp_path / "ck"),
+        SchedulerConfig(batch_size=10, seen_partitions=2, bloom_bits=1 << 12,
+                        min_delay_rounds=1, max_in_flight=10),
+    )
+    s.run(1, seeds=seeds)
+    order = [u for _, _, u in s.crawl_order()]
+    # canonicalized (lowercase host, fragment stripped) and priority-ordered
+    assert order[0] == "https://host0.example.com/doc/1"
+    assert set(order) == {
+        "https://host0.example.com/doc/1",
+        "https://host2.example.com/doc/3",
+        "https://host1.example.com/doc/2",
+    }
