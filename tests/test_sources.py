@@ -221,3 +221,144 @@ def test_sitemap_seeds_feed_the_scheduler(spark, tmp_path):
         "https://host2.example.com/doc/3",
         "https://host1.example.com/doc/2",
     }
+
+
+# ---- streaming WARC ingest (bounded memory) --------------------------------
+
+
+def test_warc_carver_streams_before_file_is_consumed():
+    """The streaming carver yields records INCREMENTALLY: the first record
+    comes out after reading only its own bytes, not the whole archive —
+    the bounded-memory property (a 1 GiB Common-Crawl archive must not be
+    materialized per task)."""
+    from cord19_crawler_spark.sources.warc import iter_warc_records
+
+    recs = [
+        ({"WARC-Type": "response", "WARC-Record-ID": f"<urn:uuid:{i}>",
+          "WARC-Target-URI": f"https://x.com/{i}", "Content-Type": "text/plain"},
+         bytes([65 + i % 26]) * 10_000)
+        for i in range(100)
+    ]
+    blob = _make_warc_bytes(recs)
+    consumed = 0
+
+    def chunks(sz=1024):
+        nonlocal consumed
+        for i in range(0, len(blob), sz):
+            consumed += len(blob[i:i + sz])
+            yield blob[i:i + sz]
+
+    it = iter_warc_records(chunks())
+    first = next(it)
+    assert first[0]["warc-record-id"] == "<urn:uuid:0>"
+    # after the first record only ~1 record's worth of bytes was pulled
+    assert consumed < len(blob) * 0.05
+    rest = list(it)
+    assert len(rest) == 99 and consumed == len(blob)
+
+
+def test_warc_multi_member_gzip_larger_than_batch_cap(spark, tmp_path):
+    """A multi-member .warc.gz (one gzip member per record, the Common Crawl
+    layout) larger than the per-batch payload cap parses identically to the
+    uncapped read — the task yields multiple bounded Arrow batches instead
+    of one archive-sized allocation."""
+    import gzip as _gzip
+
+    from cord19_crawler_spark.sources.warc import read_warc
+
+    recs = [
+        ({"WARC-Type": "response", "WARC-Record-ID": f"<urn:uuid:{i}>",
+          "WARC-Target-URI": f"https://x.com/{i}", "Content-Type": "text/plain"},
+         f"payload-{i}-".encode() * 700)  # ~8 KiB each
+        for i in range(60)
+    ]
+    # one gzip member per record, concatenated
+    blob = b"".join(_gzip.compress(_make_warc_bytes([r])) for r in recs)
+    d = tmp_path / "warcs"; d.mkdir()
+    (d / "multi.warc.gz").write_bytes(blob)
+
+    capped = read_warc(spark, str(d), batch_bytes=64 << 10, chunk_bytes=4 << 10)
+    rows = {r["record_id"]: bytes(r["payload"]) for r in capped.collect()}
+    assert len(rows) == 60
+    assert rows["<urn:uuid:7>"] == b"payload-7-" * 700
+    uncapped = read_warc(spark, str(d))
+    assert {r["record_id"]: bytes(r["payload"]) for r in uncapped.collect()} == rows
+
+
+def test_warc_malformed_content_length_skips_and_resyncs():
+    """A record with a garbage Content-Length is skipped (tolerance
+    contract) and parsing resyncs at the next WARC/ line — the task does
+    not fail."""
+    from cord19_crawler_spark.sources.warc import parse_warc_records
+
+    good1 = _make_warc_bytes(
+        [({"WARC-Type": "response", "WARC-Record-ID": "<a>",
+           "WARC-Target-URI": "https://a.com/"}, b"AAA")])
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <bad>\r\n"
+           b"Content-Length: oops\r\n\r\njunkjunk\r\n\r\n")
+    good2 = _make_warc_bytes(
+        [({"WARC-Type": "response", "WARC-Record-ID": "<b>",
+           "WARC-Target-URI": "https://b.com/"}, b"BBB")])
+    recs = parse_warc_records(good1 + bad + good2)
+    ids = [h["warc-record-id"] for h, _ in recs]
+    assert ids == ["<a>", "<b>"]
+    assert [p for _, p in recs] == [b"AAA", b"BBB"]
+
+
+def test_warc_oversized_record_skipped_without_buffering():
+    """Records declaring Content-Length > max_record_bytes are dropped by
+    streaming past the payload; neighbors still parse."""
+    from cord19_crawler_spark.sources.warc import iter_warc_records
+
+    recs = [
+        ({"WARC-Type": "response", "WARC-Record-ID": "<small1>",
+          "WARC-Target-URI": "https://a.com/"}, b"x" * 100),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<huge>",
+          "WARC-Target-URI": "https://big.com/"}, b"y" * 50_000),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<small2>",
+          "WARC-Target-URI": "https://b.com/"}, b"z" * 100),
+    ]
+    blob = _make_warc_bytes(recs)
+    chunks = [blob[i:i + 512] for i in range(0, len(blob), 512)]
+    out = list(iter_warc_records(chunks, max_record_bytes=10_000))
+    assert [h["warc-record-id"] for h, _ in out] == ["<small1>", "<small2>"]
+
+
+def test_warc_application_http_payload_unwrapped(spark, tmp_path):
+    """Real WARC response records carry 'application/http; msgtype=response'
+    with the FULL HTTP message as payload — the document MIME must come from
+    the HTTP Content-Type header and only the HTTP body becomes the span
+    (text for text/*, media otherwise)."""
+    from cord19_crawler_spark.sources.warc import (
+        read_warc,
+        warc_responses_to_documents,
+    )
+
+    http_text = (b"HTTP/1.1 200 OK\r\nServer: x\r\n"
+                 b"Content-Type: text/html; charset=utf-8\r\n\r\n"
+                 b"<p>real body</p>")
+    http_media = (b"HTTP/1.1 200 OK\r\n"
+                  b"Content-Type: image/jpeg\r\n\r\n"
+                  b"\xff\xd8jpegbytes")
+    recs = [
+        ({"WARC-Type": "response", "WARC-Record-ID": "<t>",
+          "WARC-Target-URI": "https://a.com/page",
+          "Content-Type": "application/http; msgtype=response"}, http_text),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<m>",
+          "WARC-Target-URI": "https://a.com/pic",
+          "Content-Type": "application/http; msgtype=response"}, http_media),
+        # synthetic/plain record (MIME directly in the WARC header) unchanged
+        ({"WARC-Type": "response", "WARC-Record-ID": "<p>",
+          "WARC-Target-URI": "https://a.com/plain",
+          "Content-Type": "text/plain"}, b"plain body"),
+    ]
+    d = tmp_path / "warcs"; d.mkdir()
+    (d / "real.warc").write_bytes(_make_warc_bytes(recs))
+    docs = {r["doc_id"]: r["spans"][0]
+            for r in warc_responses_to_documents(read_warc(spark, str(d))).collect()}
+    assert docs["https://a.com/page"]["kind"] == "text"
+    assert docs["https://a.com/page"]["text"] == "<p>real body</p>"
+    assert docs["https://a.com/pic"]["kind"] == "media"
+    assert docs["https://a.com/pic"]["media_ref"] == "https://a.com/pic"
+    assert docs["https://a.com/plain"]["kind"] == "text"
+    assert docs["https://a.com/plain"]["text"] == "plain body"
