@@ -81,7 +81,10 @@ def _canonicalize_series(urls: pd.Series) -> pd.Series:
     canonicalize_one over every row (incl. default-port stripping and
     leading-zero port normalization)."""
     s = urls.astype("object")
-    stripped = s.str.strip()
+    # urlsplit (WHATWG) strips tab/CR/LF ANYWHERE in the URL — mirror that
+    # before matching so the fast path stays byte-identical to the per-row
+    # kernel for seeds/sitemap locs containing embedded control characters
+    stripped = s.str.strip().str.replace(r"[\t\r\n]", "", regex=True)
     ex = stripped.str.extract(_SIMPLE_URL_RE)
     scheme = ex[0].str.lower()
     host = ex[1].str.lower().str.rstrip(".")

@@ -15,19 +15,23 @@ plan shape for DataFrames:
 Output is IDENTICAL to the global window whenever the order is total
 (callers must include a unique tie-break column — every call site here does).
 
-Consistency note: the range-partitioned frame is persisted and materialized
-by the counts job BEFORE the ranked result is consumed, so both passes see
-the same partitioner (range boundaries are sampled exactly once). Task
-recompute after cache loss is still consistent: the exchange's partitioner is
-fixed at first execution and the in-partition sort is total, so ranks don't
-depend on shuffle-fetch arrival order.
+Consistency + storage lifecycle: ``repartitionByRange`` SAMPLES its range
+boundaries at execution time, so the counts job and the final consumption
+must observe the SAME physical partitioning. The range-partitioned frame is
+therefore frozen with an eager ``localCheckpoint`` (one materialization job,
+lineage truncated — no later action can ever resample). Checkpoint blocks
+are reference-tracked: they are released by Spark's ContextCleaner when the
+returned DataFrame is garbage-collected, so repeated index builds in one
+session do not accumulate executor storage (a ``persist`` without a matching
+``unpersist`` would live in the CacheManager for the whole session).
 """
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_INT_MAX = (1 << 31) - 1
 
 
 def global_row_number(
@@ -35,20 +39,34 @@ def global_row_number(
     order_by: list[Column],
     name: str = "row_number",
     num_partitions: int | None = None,
+    dtype: str = "int",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Append a 1-based global rank column under a TOTAL order, computed in
     two parallel phases instead of a single-reducer window.
 
-    Build-time operator semantics: triggers one counts job eagerly (like
-    ``RDD.zipWithIndex``) and caches the range-partitioned input
-    (MEMORY_AND_DISK) so the final consumption reuses the same partitioning.
+    Build-time operator semantics: triggers one materialization job eagerly
+    (like ``RDD.zipWithIndex``) plus a partition-counts job over the stored
+    blocks.
+
+    ``dtype`` is the rank column type. The default ``"int"`` matches the
+    reference's 32-bit word/doc ids and FAILS FAST (ValueError) when the
+    input exceeds INT_MAX rows instead of silently wrapping; pass
+    ``dtype="long"`` for the 10^9+-row regime (lexicon / doc_id_mapping at
+    web scale).
+
+    ``checkpoint=False`` skips the lineage-truncating localCheckpoint so the
+    range-exchange plan stays inspectable (plan tests only — without the
+    checkpoint the two passes are NOT guaranteed to see the same sampled
+    range boundaries unless the caller persists).
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     parts = df.repartitionByRange(n, *order_by).withColumn(
         "_pid", F.spark_partition_id()
     )
-    parts.persist(StorageLevel.MEMORY_AND_DISK)
+    if checkpoint:
+        parts = parts.localCheckpoint(eager=True)
     counts = {
         r["_pid"]: r["c"]
         for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
@@ -58,6 +76,11 @@ def global_row_number(
     for p in sorted(counts):
         offsets[p] = acc
         acc += counts[p]
+    if dtype == "int" and acc > _INT_MAX:
+        raise ValueError(
+            f"global_row_number: {acc} rows exceed INT_MAX; pass dtype='long' "
+            "(and widen downstream id columns) for the 10^9+-row regime"
+        )
     if offsets:
         off = F.element_at(
             F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
@@ -68,6 +91,6 @@ def global_row_number(
     w = Window.partitionBy("_pid").orderBy(*order_by)
     return (
         parts.withColumn("_lrn", F.row_number().over(w))
-        .withColumn(name, (F.col("_lrn") + off).cast("int"))
+        .withColumn(name, (F.col("_lrn") + off).cast(dtype))
         .drop("_pid", "_lrn")
     )

@@ -43,8 +43,11 @@ def test_empty_input(spark):
 
 
 def test_no_unpartitioned_window_in_plan(spark):
+    # checkpoint=False keeps the range exchange visible in the plan (the
+    # default eagerly checkpoints it away into stored blocks)
     df = spark.range(0, 100).select(F.col("id").alias("k"))
-    out = global_row_number(df, [F.asc("k")], "rn", num_partitions=4)
+    out = global_row_number(df, [F.asc("k")], "rn", num_partitions=4,
+                            checkpoint=False)
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted"
     )
@@ -54,6 +57,22 @@ def test_no_unpartitioned_window_in_plan(spark):
             assert "_pid" in line, f"unpartitioned window: {line}"
     # and the ranked side is range-partitioned for order preservation
     assert "REPARTITION_BY_NUM" in plan or "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
+
+
+def test_rank_dtype_long_and_int_overflow_fail_fast(spark, monkeypatch):
+    import cord19_crawler_spark.operators.ranking as ranking
+
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    out = global_row_number(df, [F.asc("k")], "rn", dtype="long")
+    assert dict(out.dtypes)["rn"] == "bigint"
+    assert {r["k"]: r["rn"] for r in out.collect()} == {i: i + 1 for i in range(50)}
+    # past INT_MAX rows the default int rank must refuse, not wrap
+    monkeypatch.setattr(ranking, "_INT_MAX", 10)
+    try:
+        ranking.global_row_number(df, [F.asc("k")], "rn")
+        raise AssertionError("expected ValueError on int overflow")
+    except ValueError as e:
+        assert "dtype='long'" in str(e)
 
 
 def test_lexicon_and_docmap_unchanged(spark):

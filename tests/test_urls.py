@@ -146,6 +146,10 @@ def test_vectorized_canonicalize_series_matches_per_row():
         "https://a.example.com:65536/x", "https://a.example.com:0/x",
         "  https://pad.example.com/x  ", "https://a_b.example.com/x",
         "https://[::1]/x", "https://a.example.com/x#a#b",
+        # WHATWG: tab/CR/LF are stripped ANYWHERE in the URL by urlsplit —
+        # the batch fast path must agree (external seeds / sitemap locs)
+        "http://a.com/pa\tth", "http://a\t.com/x", "http://a.com/x\r\n",
+        "ht\ttp://a.com/x", "http://a.com/x?\tb=2&a=1",
     ]
     s = pd.Series(cases, dtype="object")
     got = list(_canonicalize_series(s))
@@ -159,7 +163,7 @@ from hypothesis import strategies as _st
 
 
 @_settings(max_examples=300, deadline=None)
-@_given(_st.text(alphabet="htps:/.abc019?&=#-_ ", min_size=0, max_size=40))
+@_given(_st.text(alphabet="htps:/.abc019?&=#-_ \t\r", min_size=0, max_size=40))
 def test_vectorized_canonicalize_property(raw):
     import pandas as pd
 
