@@ -36,15 +36,45 @@ def domain_of(host_col: Column) -> Column:
     ).otherwise(host_col)
 
 
-def default_host_state(hosts: DataFrame, min_delay: int = 2, max_in_flight: int = 3) -> DataFrame:
-    """host_state dimension from a hosts DF (one row per host)."""
+HOST_STATE_COLS = [
+    "host", "min_delay_rounds", "max_in_flight", "last_scheduled_round",
+    "min_delay_seconds", "last_fetch_ts",
+]
+
+
+def default_host_state(
+    hosts: DataFrame,
+    min_delay: int = 2,
+    max_in_flight: int = 3,
+    min_delay_seconds: float | None = None,
+) -> DataFrame:
+    """host_state dimension from a hosts DF (one row per host). Carries BOTH
+    politeness clocks: round-granularity (min_delay_rounds vs
+    last_scheduled_round — fully deterministic, the bit-identical-resume
+    mode) and wall-clock (min_delay_seconds vs last_fetch_ts — real crawl
+    politeness, seconds per host)."""
     return (
         hosts.select("host")
         .distinct()
         .withColumn("min_delay_rounds", F.lit(min_delay))
         .withColumn("max_in_flight", F.lit(max_in_flight))
         .withColumn("last_scheduled_round", F.lit(None).cast("int"))
+        .withColumn(
+            "min_delay_seconds",
+            F.lit(min_delay_seconds).cast("double"),
+        )
+        .withColumn("last_fetch_ts", F.lit(None).cast("double"))
     )
+
+
+def _with_wallclock_cols(host_state: DataFrame) -> DataFrame:
+    """Schema guard: older checkpoints / hand-built dimensions may lack the
+    wall-clock columns — treat them as null (no wall-clock constraint)."""
+    hs = host_state
+    for c in ("min_delay_seconds", "last_fetch_ts"):
+        if c not in hs.columns:
+            hs = hs.withColumn(c, F.lit(None).cast("double"))
+    return hs
 
 
 def eligible_urls(
@@ -52,8 +82,19 @@ def eligible_urls(
     host_state: DataFrame,
     current_round: int,
     broadcast_state: bool = False,
+    now: float | None = None,
 ) -> DataFrame:
     """Pending frontier rows whose host is allowed to be scheduled now.
+
+    Two politeness clocks, both enforced when configured:
+    * round-delta — ``current_round - last_scheduled_round >=
+      min_delay_rounds`` (deterministic; the reproducible-crawl mode);
+    * wall-clock — ``now - last_fetch_ts >= min_delay_seconds`` whenever
+      ``now`` is given (seconds-per-host politeness; ``now`` is captured
+      ONCE per round on the driver so the predicate is a constant within
+      the round's plan — the same state-vs-probe shape as
+      operators/asof.py's backward as-of join, reduced to a max-ts
+      latest-row join because only the LATEST fetch per host matters).
 
     host_state is NOT force-broadcast by default: an explicit broadcast
     hint is honored regardless of size, and at 10^8 hosts (~6 GB) it would
@@ -61,19 +102,25 @@ def eligible_urls(
     dimension's stats fall under autoBroadcastJoinThreshold; pass
     ``broadcast_state=True`` only for a dimension known to be small
     (plan-asserted in tests/test_plans.py)."""
-    hs = host_state.select(
-        "host", "min_delay_rounds", "max_in_flight", "last_scheduled_round"
-    )
+    hs = _with_wallclock_cols(host_state).select(*HOST_STATE_COLS)
     if broadcast_state:
         hs = F.broadcast(hs)
     joined = pending.join(hs, "host", "left")
-    return joined.filter(
-        F.col("last_scheduled_round").isNull()
+    rounds_ok = F.col("last_scheduled_round").isNull() | (
+        (F.lit(current_round) - F.col("last_scheduled_round"))
+        >= F.coalesce(F.col("min_delay_rounds"), F.lit(0))
+    )
+    if now is None:
+        return joined.filter(rounds_ok)
+    wall_ok = (
+        F.col("last_fetch_ts").isNull()
+        | F.col("min_delay_seconds").isNull()
         | (
-            (F.lit(current_round) - F.col("last_scheduled_round"))
-            >= F.coalesce(F.col("min_delay_rounds"), F.lit(0))
+            (F.lit(float(now)) - F.col("last_fetch_ts"))
+            >= F.col("min_delay_seconds")
         )
     )
+    return joined.filter(rounds_ok & wall_ok)
 
 
 def per_host_topk(
@@ -127,7 +174,7 @@ def per_host_topk(
         .filter(F.col("host_rank") <= F.coalesce(F.col("max_in_flight"), F.lit(1)))
         .drop(
             "host_rank", "_bkey", "min_delay_rounds", "max_in_flight",
-            "last_scheduled_round",
+            "last_scheduled_round", "min_delay_seconds", "last_fetch_ts",
         )
     )
 
@@ -148,8 +195,14 @@ def global_batch(ranked: DataFrame, batch_size: int) -> DataFrame:
     return batch.withColumn("seq", F.row_number().over(w))
 
 
-def advance_host_state(host_state: DataFrame, scheduled: DataFrame, current_round: int) -> DataFrame:
-    """Set last_scheduled_round = r for hosts that got work this round.
+def advance_host_state(
+    host_state: DataFrame,
+    scheduled: DataFrame,
+    current_round: int,
+    now: float | None = None,
+) -> DataFrame:
+    """Set last_scheduled_round = r (and, when ``now`` is given,
+    last_fetch_ts = now) for hosts that got work this round.
 
     In-memory/whole-table form of the update; the scheduler persists
     APPEND-ONLY deltas instead (scheduler._host_state_delta — only touched
@@ -157,13 +210,21 @@ def advance_host_state(host_state: DataFrame, scheduled: DataFrame, current_roun
     latest row per host), because a full O(hosts) rewrite per round is a
     ~6 GB write at the 10^8-host design point."""
     touched = scheduled.select("host").distinct().withColumn("_touched", F.lit(1))
-    return (
-        host_state.join(touched, "host", "left")
+    out = (
+        _with_wallclock_cols(host_state)
+        .join(touched, "host", "left")
         .withColumn(
             "last_scheduled_round",
             F.when(F.col("_touched") == 1, F.lit(current_round)).otherwise(
                 F.col("last_scheduled_round")
             ),
         )
-        .drop("_touched")
     )
+    if now is not None:
+        out = out.withColumn(
+            "last_fetch_ts",
+            F.when(F.col("_touched") == 1, F.lit(float(now))).otherwise(
+                F.col("last_fetch_ts")
+            ),
+        )
+    return out.drop("_touched")

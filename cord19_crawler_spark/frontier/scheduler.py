@@ -68,6 +68,11 @@ class SchedulerConfig:
     bloom_k: int = 5
     min_delay_rounds: int = 2
     max_in_flight: int = 3
+    # wall-clock politeness: seconds-per-host minimum delay, enforced against
+    # last_fetch_ts in host_state (None = rounds-only mode, which stays fully
+    # deterministic / bit-identical across resume). The round's reference
+    # time comes from the scheduler's injectable clock.
+    min_delay_seconds: float | None = None
     span_cap: int = 50  # reference: src/crawler.py:80
     hot_host_threshold: int = 100_000
     # auto-compact every N committed rounds (None = manual compact() only).
@@ -86,12 +91,18 @@ class CrawlScheduler:
         checkpoint_dir: str,
         config: SchedulerConfig | None = None,
         robots: DataFrame | None = None,
+        clock=None,
     ):
         self.spark = spark
         self.cfg = config or SchedulerConfig()
         self.documents = documents
         self.store = CheckpointStore(checkpoint_dir)
         self.robots = robots
+        # injectable wall clock (epoch seconds) — tests force it for
+        # deterministic wall-clock-politeness assertions
+        import time as _time
+
+        self.clock = clock or _time.time
         kind = self.cfg.extra.get("filter_kind", "bloom")
         if kind not in ("bloom", "cuckoo"):
             raise ValueError(f"unknown filter_kind {kind!r}: use 'bloom' or 'cuckoo'")
@@ -210,7 +221,10 @@ class CrawlScheduler:
             frontier, self.bloom.empty_state(self.spark)
         )
         host_state = politeness.default_host_state(
-            frontier, self.cfg.min_delay_rounds, self.cfg.max_in_flight
+            frontier,
+            self.cfg.min_delay_rounds,
+            self.cfg.max_in_flight,
+            self.cfg.min_delay_seconds,
         ).withColumn("_sr", F.lit(0))
         crawl_log = self.spark.createDataFrame(
             [],
@@ -246,13 +260,21 @@ class CrawlScheduler:
         return self.store.read_table(self.spark, rnd, name)
 
     def _read_deltas(
-        self, upto_rnd: int, name: str, from_rnd: int = 0
+        self, upto_rnd: int, name: str, from_rnd: int = 0,
+        merge_schema: bool = False,
     ) -> DataFrame:
-        """Union of a per-round append-only delta table across rounds."""
+        """Union of a per-round append-only delta table across rounds.
+        ``merge_schema`` unions footer schemas across rounds — used for
+        host_state so a checkpoint written before the wall-clock columns
+        existed resumes cleanly (the deltas are O(touched hosts), so the
+        extra footer reads are trivial)."""
         paths = [
             self.store.table_path(r, name) for r in range(from_rnd, upto_rnd + 1)
         ]
-        return self.spark.read.parquet(*paths)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     def compact(self, rnd: int | None = None) -> int:
         """Materialize url_seen + pending at a round boundary.
@@ -324,19 +346,28 @@ class CrawlScheduler:
         reduced view so read fan-in stays bounded."""
         base_rnd = self.store.latest_compact(upto=upto_rnd)
         if base_rnd is None:
-            allr = self._read_deltas(upto_rnd, "host_state")
+            allr = self._read_deltas(upto_rnd, "host_state", merge_schema=True)
         else:
             allr = self.spark.read.parquet(
                 self.store.compact_table_path(base_rnd, "host_state")
             )
             if base_rnd < upto_rnd:
                 allr = allr.unionByName(
-                    self._read_deltas(upto_rnd, "host_state", from_rnd=base_rnd + 1)
+                    self._read_deltas(
+                        upto_rnd, "host_state", from_rnd=base_rnd + 1,
+                        merge_schema=True,
+                    ),
+                    allowMissingColumns=True,
                 )
+        # checkpoints written before wall-clock politeness lack these columns
+        for c in ("min_delay_seconds", "last_fetch_ts"):
+            if c not in allr.columns:
+                allr = allr.withColumn(c, F.lit(None).cast("double"))
         latest = allr.groupBy("host").agg(
             F.max(
                 F.struct(
-                    "_sr", "min_delay_rounds", "max_in_flight", "last_scheduled_round"
+                    "_sr", "min_delay_rounds", "max_in_flight",
+                    "last_scheduled_round", "min_delay_seconds", "last_fetch_ts",
                 )
             ).alias("s")
         )
@@ -345,6 +376,8 @@ class CrawlScheduler:
             F.col("s.min_delay_rounds").alias("min_delay_rounds"),
             F.col("s.max_in_flight").alias("max_in_flight"),
             F.col("s.last_scheduled_round").alias("last_scheduled_round"),
+            F.col("s.min_delay_seconds").alias("min_delay_seconds"),
+            F.col("s.last_fetch_ts").alias("last_fetch_ts"),
             F.col("s._sr").alias("_sr"),
         )
 
@@ -385,8 +418,15 @@ class CrawlScheduler:
         # skewed per-host window two-phase
         plan = skew.hot_host_plan(pending, self.cfg.hot_host_threshold)
 
-        # 1. politeness + robots eligibility
-        eligible = politeness.eligible_urls(pending, host_state, rnd)
+        # 1. politeness + robots eligibility. The round's wall-clock
+        #    reference is captured ONCE on the driver so the eligibility
+        #    predicate is a plan constant (deterministic within the round).
+        now = (
+            float(self.clock())
+            if self.cfg.min_delay_seconds is not None
+            else None
+        )
+        eligible = politeness.eligible_urls(pending, host_state, rnd, now=now)
         eligible = filter_robots(eligible, self.robots)
 
         # 2. per-host/domain priority queue (skew-split two-phase) → batch
@@ -437,7 +477,9 @@ class CrawlScheduler:
 
         url_seen_new = new_urls.select("partition", "url_id", "url")
         filter_state_next = self.bloom.insert(new_urls, filter_state)
-        host_state_delta = self._host_state_delta(host_state, batch, new_urls, rnd)
+        host_state_delta = self._host_state_delta(
+            host_state, batch, new_urls, rnd, now=now
+        )
         crawl_log = batch.select(
             F.lit(rnd).alias("round"), "seq", "url", "host", "priority", "attempt"
         )
@@ -628,7 +670,8 @@ class CrawlScheduler:
         empty_host_delta = self.spark.createDataFrame(
             [],
             "host string, min_delay_rounds int, max_in_flight int, "
-            "last_scheduled_round int, _sr int",
+            "last_scheduled_round int, min_delay_seconds double, "
+            "last_fetch_ts double, _sr int",
         )
 
         def _counters(tmp: str) -> dict:
@@ -656,11 +699,17 @@ class CrawlScheduler:
         return counters
 
     def _host_state_delta(
-        self, host_state: DataFrame, batch: DataFrame, new_urls: DataFrame, rnd: int
+        self,
+        host_state: DataFrame,
+        batch: DataFrame,
+        new_urls: DataFrame,
+        rnd: int,
+        now: float | None = None,
     ) -> DataFrame:
         """APPEND-ONLY host-state delta for round ``rnd``: rows ONLY for
         hosts first discovered this round (default state) and hosts
-        scheduled this round (last_scheduled_round = rnd), stamped ``_sr``.
+        scheduled this round (last_scheduled_round = rnd, and
+        last_fetch_ts = now in wall-clock mode), stamped ``_sr``.
         The effective table is the latest row per host
         (_read_host_state) — writing the full table each round would be an
         O(hosts) rewrite, ~6 GB per round at 10^8 hosts. A host cannot be
@@ -672,13 +721,18 @@ class CrawlScheduler:
             new_urls.select("host").distinct().join(known, "host", "left_anti"),
             self.cfg.min_delay_rounds,
             self.cfg.max_in_flight,
+            self.cfg.min_delay_seconds,
         )
         touched = (
             host_state.join(batch.select("host").distinct(), "host")
             .withColumn("last_scheduled_round", F.lit(rnd))
-            .select(
-                "host", "min_delay_rounds", "max_in_flight", "last_scheduled_round"
+            .withColumn(
+                "last_fetch_ts",
+                F.lit(now).cast("double")
+                if now is not None
+                else F.col("last_fetch_ts"),
             )
+            .select(*politeness.HOST_STATE_COLS)
         )
         return fresh.unionByName(touched).withColumn("_sr", F.lit(rnd))
 
