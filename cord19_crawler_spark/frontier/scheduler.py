@@ -92,11 +92,15 @@ class CrawlScheduler:
         config: SchedulerConfig | None = None,
         robots: DataFrame | None = None,
         clock=None,
+        store=None,
     ):
         self.spark = spark
         self.cfg = config or SchedulerConfig()
         self.documents = documents
-        self.store = CheckpointStore(checkpoint_dir)
+        # any object honoring the CheckpointStore contract works — pass an
+        # IcebergCheckpointStore (storage_iceberg.py) on a cluster with the
+        # Iceberg runtime; the parquet store is the local default
+        self.store = store or CheckpointStore(checkpoint_dir)
         self.robots = robots
         # injectable wall clock (epoch seconds) — tests force it for
         # deterministic wall-clock-politeness assertions
@@ -231,12 +235,9 @@ class CrawlScheduler:
             "round int, seq int, url string, host string, priority double, attempt int",
         )
 
-        def _counters(tmp: str) -> dict:
-            import os
-
-            n = self.spark.read.parquet(os.path.join(tmp, "frontier_new")).count()
+        def _counters(read) -> dict:
             return {
-                "seeds": n,
+                "seeds": read("frontier_new").count(),
                 "scheduled": 0,
                 "discovered_new": 0,
                 # probe-geometry facets, checked on every resume
@@ -263,18 +264,15 @@ class CrawlScheduler:
         self, upto_rnd: int, name: str, from_rnd: int = 0,
         merge_schema: bool = False,
     ) -> DataFrame:
-        """Union of a per-round append-only delta table across rounds.
-        ``merge_schema`` unions footer schemas across rounds — used for
-        host_state so a checkpoint written before the wall-clock columns
-        existed resumes cleanly (the deltas are O(touched hosts), so the
-        extra footer reads are trivial)."""
-        paths = [
-            self.store.table_path(r, name) for r in range(from_rnd, upto_rnd + 1)
-        ]
-        reader = self.spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*paths)
+        """Union of a per-round append-only delta table across rounds
+        (store-served: multi-path parquet read, or one partition-range
+        Iceberg scan). ``merge_schema`` unions footer schemas across
+        rounds — used for host_state so a checkpoint written before the
+        wall-clock columns existed resumes cleanly (the deltas are
+        O(touched hosts), so the extra footer reads are trivial)."""
+        return self.store.read_deltas(
+            self.spark, name, from_rnd, upto_rnd, merge_schema=merge_schema
+        )
 
     def compact(self, rnd: int | None = None) -> int:
         """Materialize url_seen + pending at a round boundary.
@@ -317,9 +315,7 @@ class CrawlScheduler:
                 "url", "attempt"
             )
             return frontier_all.join(scheduled, ["url", "attempt"], "left_anti")
-        base = self.spark.read.parquet(
-            self.store.compact_table_path(base_rnd, "pending")
-        )
+        base = self.store.read_compact_table(self.spark, base_rnd, "pending")
         if base_rnd == upto_rnd:
             return base
         # pending(r) = pending(K) ∪ new(K+1..r)  minus  scheduled(K+1..r)
@@ -348,8 +344,8 @@ class CrawlScheduler:
         if base_rnd is None:
             allr = self._read_deltas(upto_rnd, "host_state", merge_schema=True)
         else:
-            allr = self.spark.read.parquet(
-                self.store.compact_table_path(base_rnd, "host_state")
+            allr = self.store.read_compact_table(
+                self.spark, base_rnd, "host_state"
             )
             if base_rnd < upto_rnd:
                 allr = allr.unionByName(
@@ -394,9 +390,7 @@ class CrawlScheduler:
         base_rnd = self.store.latest_compact(upto=upto_rnd)
         if base_rnd is None:
             return self._read_deltas(upto_rnd, "url_seen_new")
-        base = self.spark.read.parquet(
-            self.store.compact_table_path(base_rnd, "url_seen")
-        )
+        base = self.store.read_compact_table(self.spark, base_rnd, "url_seen")
         if base_rnd == upto_rnd:
             return base
         return base.unionByName(
@@ -484,14 +478,12 @@ class CrawlScheduler:
             F.lit(rnd).alias("round"), "seq", "url", "host", "priority", "attempt"
         )
 
-        def _counters(tmp: str) -> dict:
+        def _counters(read) -> dict:
             """Derived from the WRITTEN tables: row counts are parquet
             footer metadata; lineage is one tiny agg over the round's
             url_seen_new delta (per-partition lineage, north_rule)."""
-            import os
-
-            log = self.spark.read.parquet(os.path.join(tmp, "crawl_log"))
-            new = self.spark.read.parquet(os.path.join(tmp, "url_seen_new"))
+            log = read("crawl_log")
+            new = read("url_seen_new")
             lineage = {
                 str(r["partition"]): r["cnt"]
                 for r in new.groupBy("partition")
@@ -579,13 +571,10 @@ class CrawlScheduler:
             "round int, seq int, url string, host string, priority double, attempt int",
         )
 
-        def _counters(tmp: str) -> dict:
-            import os
-
-            new = self.spark.read.parquet(os.path.join(tmp, "url_seen_new"))
+        def _counters(read) -> dict:
             return {
                 "scheduled": 0,
-                "discovered_new": new.count(),
+                "discovered_new": read("url_seen_new").count(),
                 "merge_only": True,
             }
 
@@ -674,14 +663,11 @@ class CrawlScheduler:
             "last_fetch_ts double, _sr int",
         )
 
-        def _counters(tmp: str) -> dict:
-            import os
-
-            n = self.spark.read.parquet(os.path.join(tmp, "frontier_new")).count()
+        def _counters(read) -> dict:
             return {
                 "scheduled": 0,
                 "discovered_new": 0,
-                "requeued": n,
+                "requeued": read("frontier_new").count(),
                 "merge_only": True,
             }
 

@@ -57,9 +57,12 @@ class CheckpointStore:
     ) -> dict:
         """Write all state tables + counters, then atomically publish.
 
-        ``counters_fn(tmp_dir) -> dict`` runs AFTER the table writes — it can
-        derive counts from the written parquet footers (metadata-only reads)
-        instead of forcing extra pre-write Spark jobs.
+        ``counters_fn(read) -> dict`` runs AFTER the table writes with a
+        ``read(name) -> DataFrame`` accessor over the just-written (not yet
+        published) tables — counts come from parquet footers (metadata-only
+        reads) instead of extra pre-write Spark jobs. The accessor signature
+        is store-agnostic: the Iceberg adapter passes a partition-pruned
+        table read instead of a tmp-dir path.
         """
         tmp = self._tmp_dir(rnd)
         if os.path.exists(tmp):
@@ -79,7 +82,12 @@ class CheckpointStore:
             list(pool.map(_write, tables.items()))
         final_counters = dict(counters or {})
         if counters_fn is not None:
-            final_counters.update(counters_fn(tmp))
+            spark = next(iter(tables.values())).sparkSession
+
+            def _read(name: str) -> DataFrame:
+                return spark.read.parquet(os.path.join(tmp, name))
+
+            final_counters.update(counters_fn(_read))
         with open(os.path.join(tmp, "_COMMITTED.json"), "w") as f:
             json.dump({"round": rnd, "counters": final_counters}, f, indent=2)
         final = self._round_dir(rnd)
@@ -138,6 +146,27 @@ class CheckpointStore:
 
     def read_table(self, spark: SparkSession, rnd: int, name: str) -> DataFrame:
         return spark.read.parquet(self.table_path(rnd, name))
+
+    def read_deltas(
+        self,
+        spark: SparkSession,
+        name: str,
+        from_rnd: int,
+        upto_rnd: int,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Union of a per-round append-only delta table across rounds; the
+        Iceberg adapter serves the same call from ONE partition-range scan."""
+        paths = [self.table_path(r, name) for r in range(from_rnd, upto_rnd + 1)]
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
+
+    def read_compact_table(
+        self, spark: SparkSession, rnd: int, name: str
+    ) -> DataFrame:
+        return spark.read.parquet(self.compact_table_path(rnd, name))
 
     def read_counters(self, rnd: int) -> dict:
         with open(os.path.join(self._round_dir(rnd), "_COMMITTED.json")) as f:
