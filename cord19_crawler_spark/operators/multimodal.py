@@ -2,11 +2,17 @@
 
 Media (image/audio/video) travel as ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages. The image/audio codec libraries are NOT in this
-container, so the decode kernels are STUBS behind a try-import: the Spark
-side — schema, partitioning, UDF signatures, batch shapes — is real and
-tested; ``decode_mode="fake"`` produces deterministic hash-derived outputs so
-downstream stages (and tests) exercise true end-to-end plumbing.
+``mapInPandas`` stages. Decode modes:
+
+* ``"real"`` — actual pixel decode: PIL when importable (any format, C
+  speed), else the built-in pure-Python PNG codec (functions/png.py) for
+  ``image/png``; rows that fail to decode get a per-row ``error:`` status
+  instead of failing the task. Features are dim-bin normalized grayscale
+  histograms over the decoded pixels; resize is deterministic
+  nearest-neighbor re-encoded as PNG.
+* ``"fake"`` — deterministic hash-derived outputs with the same schema /
+  batch shapes, kept as the oracle-checkable mode (a DuckDB oracle can
+  recompute md5-derived values; it cannot decode PNGs).
 """
 
 from __future__ import annotations
@@ -90,37 +96,81 @@ def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
     return np.asarray(vals, dtype=np.float32)
 
 
+def _decode_image(payload: bytes, mime: str | None) -> np.ndarray:
+    """Pixel decode: PIL when importable, else the built-in PNG codec.
+    Raises (PngError/ValueError) on undecodable input — callers convert to
+    a per-row error status, never a task failure."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except ImportError:
+        pass
+    from ..functions.png import decode_png
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    raise ValueError(f"no codec available for mime {mime!r} without PIL")
+
+
+def _histogram_feature(pixels: np.ndarray, dim: int) -> list[float]:
+    """dim-bin normalized grayscale histogram — a real, deterministic
+    fixed-length feature over decoded pixels (the classic color-histogram
+    retrieval descriptor)."""
+    from ..functions.png import grayscale
+
+    gray = grayscale(pixels).ravel()
+    hist, _ = np.histogram(gray, bins=dim, range=(0, 256))
+    total = max(1, gray.size)
+    return (hist.astype(np.float32) / np.float32(total)).tolist()
+
+
 def decode_and_featurize(media: DataFrame, dim: int = 16, decode_mode: str = "fake") -> DataFrame:
     """mapInPandas decode → fixed-dim feature vector.
 
-    decode_mode='real' requires PIL/cv2 (not in this container) → raises
-    NotImplementedError at plan-build time, per the stub contract.
+    decode_mode='real' decodes actual pixels (PIL or the built-in PNG
+    codec) into a dim-bin grayscale histogram; a row that fails to decode
+    yields feature=NULL with an ``error:`` status. decode_mode='fake' is
+    the deterministic hash kernel (oracle-checkable cross-engine).
     """
-    if decode_mode == "real":
-        try:
-            import PIL  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "real image decode requires PIL/cv2, not available in this "
-                "container; use decode_mode='fake' for plumbing tests"
-            ) from e
+    if decode_mode not in ("fake", "real"):
+        raise ValueError(f"unknown decode_mode {decode_mode!r}")
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _fake_feature(bytes(c) if c is not None else b"", dim).tolist()
-                for c in pdf["content"]
-            ]
+            feats: list = []
+            status: list[str] = []
+            if decode_mode == "fake":
+                for c in pdf["content"]:
+                    feats.append(
+                        _fake_feature(bytes(c) if c is not None else b"", dim).tolist()
+                    )
+                    status.append("ok-fake")
+            else:
+                for c, m in zip(pdf["content"], pdf["meta"]):
+                    mime = (m or {}).get("mime") if m is not None else None
+                    try:
+                        px = _decode_image(bytes(c) if c is not None else b"", mime)
+                        feats.append(_histogram_feature(px, dim))
+                        status.append("ok")
+                    except Exception as e:  # per-row fail-loud status
+                        feats.append(None)
+                        status.append(f"error:{e}")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_ref": pdf["media_ref"],
                     "feature": feats,
-                    "decode_status": ["ok-fake"] * len(pdf),
+                    "decode_status": status,
                 }
             )
 
-    return media.mapInPandas(_run, schema=FEATURES_SCHEMA)
+    cols = ["doc_id", "media_ref", "content"] + (
+        ["meta"] if decode_mode == "real" else []
+    )
+    return media.select(*cols).mapInPandas(_run, schema=FEATURES_SCHEMA)
 
 
 def resize_images(
@@ -128,35 +178,43 @@ def resize_images(
 ) -> DataFrame:
     """mapInPandas image resize: same media schema out, meta dims updated.
 
-    decode_mode='real' needs PIL (absent here) → NotImplementedError at
-    plan-build time; 'fake' keeps the Spark plumbing real — binary in/out,
-    Arrow batches, meta struct rewrite — with a deterministic stand-in
-    payload (md5-56bit of original content + target dims, sized w*h/64) so
-    downstream stages see size-plausible bytes."""
-    if decode_mode == "real":
-        try:
-            import PIL  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "real image resize requires PIL, not available in this "
-                "container; use decode_mode='fake' for plumbing tests"
-            ) from e
+    decode_mode='real' decodes pixels (PIL or the built-in PNG codec),
+    nearest-neighbor-resizes, and re-encodes as PNG (meta mime updated);
+    undecodable rows pass through UNCHANGED except a size-0 marker is
+    avoided — they keep their original content so no data is lost.
+    'fake' keeps the Spark plumbing real — binary in/out, Arrow batches,
+    meta struct rewrite — with a deterministic stand-in payload (md5-56bit
+    of original content + target dims, sized w*h/64) so downstream stages
+    see size-plausible bytes."""
+    if decode_mode not in ("fake", "real"):
+        raise ValueError(f"unknown decode_mode {decode_mode!r}")
 
     out_schema = MEDIA_SCHEMA
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.png import encode_png, resize_nearest
+
         for pdf in batches:
             n_bytes = max(1, (width * height) // 64)
             contents = []
             metas = []
             for c, m in zip(pdf["content"], pdf["meta"]):
-                seed = hashlib.md5(
-                    (bytes(c) if c is not None else b"")
-                    + b":%dx%d" % (width, height)
-                ).digest()
-                contents.append((seed * (n_bytes // len(seed) + 1))[:n_bytes])
+                raw = bytes(c) if c is not None else b""
                 meta = dict(m) if m is not None else {}
-                meta["width"], meta["height"] = width, height
+                if decode_mode == "real":
+                    try:
+                        px = _decode_image(raw, meta.get("mime"))
+                        contents.append(encode_png(resize_nearest(px, width, height)))
+                        meta["mime"] = "image/png"
+                        meta["width"], meta["height"] = width, height
+                    except Exception:
+                        contents.append(raw)  # pass through undecodable rows
+                else:
+                    seed = hashlib.md5(
+                        raw + b":%dx%d" % (width, height)
+                    ).digest()
+                    contents.append((seed * (n_bytes // len(seed) + 1))[:n_bytes])
+                    meta["width"], meta["height"] = width, height
                 metas.append(meta)
             yield pd.DataFrame(
                 {

@@ -275,8 +275,10 @@ def test_multimodal_plumbing(spark):
     assert {r["media_ref"]: r["feature"] for r in feats} == {
         r["media_ref"]: r["feature"] for r in f1
     }
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_and_featurize(media, dim=8, decode_mode="real")
+    # real mode on non-image payloads: per-ROW error status, no task failure
+    real = multimodal.decode_and_featurize(media, dim=8, decode_mode="real").collect()
+    assert all(r["decode_status"].startswith("error:") for r in real)
+    assert all(r["feature"] is None for r in real)
 
 
 def test_multimodal_resize_plumbing(spark):
@@ -299,8 +301,10 @@ def test_multimodal_resize_plumbing(spark):
         multimodal.resize_images(media, 32, 16), dim=4
     )
     assert feats.count() == len(resized)
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_images(media, 32, 16, decode_mode="real")
+    # real mode on undecodable payloads: rows pass through unchanged
+    real = multimodal.resize_images(media, 32, 16, decode_mode="real").collect()
+    orig = {r["media_ref"]: bytes(r["content"]) for r in media.collect()}
+    assert {r["media_ref"]: bytes(r["content"]) for r in real} == orig
 
 
 def test_minhash_estimates_jaccard(spark):
