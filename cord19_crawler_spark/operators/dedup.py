@@ -14,6 +14,8 @@ verification happens after an early ``dropDuplicates`` on pairs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -327,4 +329,113 @@ def embedding_near_duplicates(
             cosine.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+# ---- multi-table random-hyperplane LSH (the 10^8+-vector scale path) -------
+
+
+def lsh_bucket_plan(
+    n_vectors: int,
+    target_bucket_rows: int = 512,
+    threshold: float = 0.95,
+    target_recall: float = 0.95,
+    max_tables: int = 32,
+) -> tuple[int, int]:
+    """Size (bits, tables) for random-hyperplane LSH — the documented rule:
+
+    * bits b = ceil(log2(n / target_bucket_rows)): expected bucket size is
+      n / 2^b rows, so the per-bucket pair join stays ~target_bucket_rows²
+      comparisons per bucket regardless of n (the knob that keeps the
+      shuffle bounded at 10^8+ vectors — the fixed ``bucket_dims=4`` default
+      of embedding_near_duplicates is a TEST setting, not a scale setting);
+    * tables L = smallest L with 1 - (1 - p^b)^L ≥ target_recall, where
+      p = 1 - acos(threshold)/π is the per-hyperplane collision probability
+      of a pair at exactly the threshold cosine (Charikar's sign-LSH bound)
+      — multiple independent tables recover the recall that longer codes
+      destroy.
+    """
+    import math
+
+    b = max(1, math.ceil(math.log2(max(2, n_vectors) / max(1, target_bucket_rows))))
+    p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    collide = p**b
+    if collide >= 1.0:
+        return b, 1
+    tables = math.ceil(
+        math.log(1.0 - target_recall) / math.log(1.0 - collide)
+    )
+    return b, max(1, min(max_tables, tables))
+
+
+def embedding_near_duplicates_lsh(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup at scale: L independent random-hyperplane tables
+    (deterministic seed), per-(table, bucket) pair join, exact cosine ≥
+    threshold verify on candidates only.
+
+    vs ``embedding_near_duplicates`` (coordinate-axis signs, one table —
+    kept because a DuckDB oracle can replay it): random hyperplanes spread
+    mass evenly across 2^bits buckets whatever the data distribution, and
+    the table union recovers recall (size both with ``lsh_bucket_plan``).
+    The hyperplane matrix is tiny ((L·bits)×dim floats, driver-broadcast
+    inside the UDF closure); bucketing is ONE Arrow pass per vector;
+    everything after is JVM-side. Recall is pinned against planted
+    ground truth at 10^4 vectors in tests/test_ann_scale.py.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, bits, dim)).astype(np.float64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
+        )
+        if mat.size == 0:
+            return pd.Series([], dtype="object")
+        out = np.zeros((len(mat), len(planes)), dtype=np.int64)
+        weights = 1 << np.arange(planes.shape[1], dtype=np.int64)
+        for t, pl in enumerate(planes):
+            signs = (mat @ pl.T) >= 0  # (n, bits)
+            out[:, t] = signs @ weights
+        return pd.Series(list(out))
+
+    b = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(_buckets(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (
+        l.join(r, ["tbl", "bucket"])
+        .filter(F.col("l.vid") < F.col("r.vid"))
+        .select(
+            F.col("l.vid").alias("vec_a"),
+            F.col("r.vid").alias("vec_b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])  # union of tables, verify once
+    )
+    from .similarity import _dot, _norm
+
+    cosine = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        6,
+    )
+    return (
+        pairs.withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
     )

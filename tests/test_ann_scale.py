@@ -1,0 +1,83 @@
+"""Scale-stress for the ANN/dedup bucket sizing (VERDICT r2 item 5):
+recall of the multi-table random-hyperplane LSH near-dup against PLANTED
+ground truth at a 10^4-vector corpus, plus the documented sizing rule."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cord19_crawler_spark.operators.dedup import (
+    embedding_near_duplicates_lsh,
+    lsh_bucket_plan,
+)
+
+DIM = 32
+
+
+def test_lsh_bucket_plan_rule():
+    # bits grow with n (bounded bucket size)…
+    b1, _ = lsh_bucket_plan(10_000, target_bucket_rows=256)
+    b2, _ = lsh_bucket_plan(1_000_000, target_bucket_rows=256)
+    b3, _ = lsh_bucket_plan(100_000_000, target_bucket_rows=256)
+    assert b1 < b2 < b3
+    assert b1 == 6  # ceil(log2(10000/256))
+    # …and tables grow with bits to hold recall (Charikar bound)
+    _, l1 = lsh_bucket_plan(10_000, target_bucket_rows=256, threshold=0.95)
+    _, l3 = lsh_bucket_plan(100_000_000, target_bucket_rows=256, threshold=0.95)
+    assert 1 <= l1 <= l3 <= 32
+    # a lenient threshold needs fewer tables than a strict one
+    _, strict = lsh_bucket_plan(1_000_000, threshold=0.90)
+    _, loose = lsh_bucket_plan(1_000_000, threshold=0.99)
+    assert loose <= strict
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """10^4-vector corpus with 500 planted near-dup pairs (dup = base +
+    small noise → cosine ≈ 0.99); random dim-32 vectors are near-orthogonal
+    so the planted pairs are the complete ≥0.95 ground truth."""
+    rng = np.random.default_rng(123)
+    base = rng.standard_normal((9_500, DIM))
+    dups = base[:500] + 0.15 * rng.standard_normal((500, DIM))
+    vecs = np.vstack([base, dups])
+    ids = [f"v{i}" for i in range(9_500)] + [f"d{i}" for i in range(500)]
+    truth = set()
+    for i in range(500):
+        cos = float(
+            base[i] @ dups[i] / (np.linalg.norm(base[i]) * np.linalg.norm(dups[i]))
+        )
+        if cos >= 0.95:
+            a, b = sorted((f"v{i}", f"d{i}"))
+            truth.add((a, b))
+    assert len(truth) > 450  # the perturbation keeps almost all above 0.95
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": list(vecs.astype(float))})
+    df = spark.createDataFrame(pdf).repartition(8).cache()
+    df.count()
+    return df, truth
+
+
+def test_lsh_near_dup_recall_at_1e4(spark, planted):
+    df, truth = planted
+    bits, tables = lsh_bucket_plan(
+        10_000, target_bucket_rows=256, threshold=0.95, target_recall=0.95
+    )
+    out = embedding_near_duplicates_lsh(
+        df, dim=DIM, threshold=0.95, bits=bits, n_tables=tables, seed=42
+    )
+    found = {
+        tuple(sorted((r["vec_a"], r["vec_b"]))): r["cosine"] for r in out.collect()
+    }
+    # precision: exact verify means every returned pair really is >= 0.95
+    assert all(c >= 0.95 for c in found.values())
+    assert set(found) <= truth  # random vectors produce no accidental pairs
+    recall = len(set(found) & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.3f} below target at (b={bits}, L={tables})"
+
+
+def test_lsh_near_dup_deterministic(spark, planted):
+    df, _ = planted
+    a = embedding_near_duplicates_lsh(df, dim=DIM, bits=6, n_tables=2, seed=7)
+    b = embedding_near_duplicates_lsh(df, dim=DIM, bits=6, n_tables=2, seed=7)
+    ra = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in a.collect()}
+    rb = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in b.collect()}
+    assert ra == rb
