@@ -127,6 +127,7 @@ def per_host_topk(
     eligible: DataFrame,
     split_plan: DataFrame | None = None,
     budget_key: str = "host",
+    psl: DataFrame | None = None,
 ) -> DataFrame:
     """Per-host (or per-DOMAIN, budget_key="domain") priority queue honoring
     max_in_flight — the north_rule's "max in-flight per domain": with the
@@ -146,7 +147,15 @@ def per_host_topk(
     """
     work = eligible
     if budget_key == "domain":
-        work = work.withColumn("_bkey", domain_of(F.col("host")))
+        if psl is not None:
+            # proper registrable domain via the broadcast public-suffix
+            # dimension (frontier/psl.py) — co.uk-style suffixes don't
+            # over-group; domain_of's last-two-labels is the PSL-less default
+            from .psl import with_registrable_domain
+
+            work = with_registrable_domain(work, psl, "host", "_bkey")
+        else:
+            work = work.withColumn("_bkey", domain_of(F.col("host")))
     else:
         work = work.withColumn("_bkey", F.col("host"))
     if split_plan is not None:

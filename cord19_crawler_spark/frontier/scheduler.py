@@ -93,6 +93,7 @@ class CrawlScheduler:
         robots: DataFrame | None = None,
         clock=None,
         store=None,
+        psl: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = config or SchedulerConfig()
@@ -102,6 +103,8 @@ class CrawlScheduler:
         # Iceberg runtime; the parquet store is the local default
         self.store = store or CheckpointStore(checkpoint_dir)
         self.robots = robots
+        # public-suffix dimension for budget_key="domain" (frontier/psl.py)
+        self.psl = psl
         # injectable wall clock (epoch seconds) — tests force it for
         # deterministic wall-clock-politeness assertions
         import time as _time
@@ -428,6 +431,7 @@ class CrawlScheduler:
             eligible,
             split_plan=plan,
             budget_key=self.cfg.extra.get("budget_key", "host"),
+            psl=self.psl,
         )
         batch = politeness.global_batch(ranked, self.cfg.batch_size)
         # cached: reused by the fetch join, crawl_log, and host_state update;
