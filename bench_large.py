@@ -35,8 +35,8 @@ from cord19_crawler_spark.frontier import (  # noqa: E402
 from cord19_crawler_spark.session import get_spark  # noqa: E402
 
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = 1_000_000
-BATCH = 60_000
+N_DOCS = int(os.environ.get("SPARK_GRAFT_LARGE_DOCS", "1000000"))
+BATCH = int(os.environ.get("SPARK_GRAFT_LARGE_BATCH", "60000"))
 ROUNDS = int(os.environ.get("SPARK_GRAFT_LARGE_ROUNDS", "5"))
 
 

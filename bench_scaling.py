@@ -183,6 +183,13 @@ The reference's comparable number is 5–7 papers/sec single-machine indexing
 (BASELINE.md); this engine schedules hundreds of URLs/sec per round on the
 same box and scales out by partitioning (frontier, url_seen, and filter
 state are all hash-partitioned; no driver-resident state).
+
+## Larger scale
+
+See BENCH/LARGE_SCALE.md (`bench_large.py`): the same scheduler soaked at a
+10^6- vs 10^7-URL frontier, batch 60k — per-round cost grows ~1.2-1.3x at
+10x the frontier (flat round-over-round), backing the O(batch + new) claim
+one order of magnitude beyond the sf bench.
 """
 
 
