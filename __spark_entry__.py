@@ -1240,6 +1240,108 @@ GROUP BY m.host ORDER BY m.host
 """
 
 
+def politeness_wallclock_q(spark, sf_dir):
+    """Wall-clock politeness gate (round 3: min_delay_seconds enforced
+    against last_fetch_ts in frontier/politeness.eligible_urls): hosts
+    fetched 10 s before the round's reference time (even host index) are
+    ineligible under a 30 s budget; hosts fetched 50 s ago pass. The
+    round-granularity rule is disabled (delay 0) so only the wall clock
+    decides."""
+    from cord19_crawler_spark.frontier import politeness
+
+    m = _messy_urls(spark, sf_dir)
+    hidx = F.substring("host", 5, 1).cast("int")
+    hs = (
+        m.select("host")
+        .distinct()
+        .withColumn("min_delay_rounds", F.lit(0))
+        .withColumn("max_in_flight", F.lit(3))
+        .withColumn("last_scheduled_round", F.lit(1))
+        .withColumn("min_delay_seconds", F.lit(30.0))
+        .withColumn(
+            "last_fetch_ts",
+            F.when(hidx % 2 == 0, F.lit(990.0)).otherwise(F.lit(950.0)),
+        )
+    )
+    elig = politeness.eligible_urls(
+        m.select("raw_url", "host"), hs, 2, now=1000.0
+    )
+    return (
+        elig.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_eligible"))
+        .orderBy("host")
+    )
+
+
+_POLITE_WALLCLOCK_SQL = """
+WITH m AS (
+  SELECT 'host' || (o_custkey % 7) || '.example.com' AS host FROM orders
+)
+SELECT host, count(*) AS n_eligible
+FROM m
+WHERE (CAST(substr(host, 5, 1) AS INTEGER) % 2) <> 0  -- ts=950: 50s >= 30s
+GROUP BY host ORDER BY host
+"""
+
+
+def psl_registrable_domain_q(spark, sf_dir):
+    """PSL registrable domains (round 3: frontier/psl.py): customer-derived
+    hosts under multi-label public suffixes (co.uk at depth 3, com.au at
+    depth 4) resolve by longest-suffix match against the broadcast PSL
+    dimension; .com hosts take the default last-two-labels rule."""
+    from cord19_crawler_spark.frontier.psl import (
+        load_psl,
+        with_registrable_domain,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    k5 = (F.col("c_custkey") % 5).cast("string")
+    k11 = (F.col("c_custkey") % 11).cast("string")
+    host = (
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.lit("sub"), k5, F.lit(".brand"), k11, F.lit(".co.uk")),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.concat(
+                F.lit("deep"), k5, F.lit(".sub"), k5,
+                F.lit(".brand"), k11, F.lit(".com.au"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("sub"), k5, F.lit(".brand"), k11, F.lit(".example.com"))
+        )
+    )
+    hosts = c.select(host.alias("host")).distinct()
+    out = with_registrable_domain(hosts, load_psl(spark))
+    return (
+        out.groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_hosts"))
+        .orderBy("domain")
+    )
+
+
+_PSL_DOMAIN_SQL = """
+WITH hosts AS (
+  SELECT DISTINCT
+    CASE c_custkey % 3
+      WHEN 0 THEN 'sub' || (c_custkey % 5) || '.brand' || (c_custkey % 11) || '.co.uk'
+      WHEN 1 THEN 'deep' || (c_custkey % 5) || '.sub' || (c_custkey % 5)
+                  || '.brand' || (c_custkey % 11) || '.com.au'
+      ELSE 'sub' || (c_custkey % 5) || '.brand' || (c_custkey % 11) || '.example.com'
+    END AS host,
+    CASE c_custkey % 3
+      WHEN 0 THEN 'brand' || (c_custkey % 11) || '.co.uk'
+      WHEN 1 THEN 'brand' || (c_custkey % 11) || '.com.au'
+      ELSE 'example.com'  -- no PSL rule: default last-two-labels
+    END AS domain
+  FROM customer
+)
+SELECT domain, count(*) AS n_hosts FROM hosts GROUP BY domain ORDER BY domain
+"""
+
+
 # ---------------------------------------------------------------------------
 # 4. Training-data pipeline: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
@@ -2136,6 +2238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_fetch_batch": frontier_fetch_batch,
         "hot_host_split_plan": hot_host_split_plan_q,
         "politeness_eligibility": politeness_eligibility_q,
+        "politeness_wallclock": politeness_wallclock_q,
+        "psl_registrable_domain": psl_registrable_domain_q,
         # training-data pipeline
         "dedup_exact_prefix": dedup_exact_prefix,
         "set_ops_vocab": set_ops_vocab,
@@ -2205,6 +2309,8 @@ def oracle_sql() -> dict[str, str]:
         "frontier_fetch_batch": _FETCH_BATCH_SQL,
         "hot_host_split_plan": _HOT_SPLIT_SQL,
         "politeness_eligibility": _POLITE_SQL,
+        "politeness_wallclock": _POLITE_WALLCLOCK_SQL,
+        "psl_registrable_domain": _PSL_DOMAIN_SQL,
         "dedup_exact_prefix": _DEDUP_EXACT_SQL,
         "set_ops_vocab": _SET_OPS_SQL,
         "dedup_minhash_signatures": _minhash_sql(),
