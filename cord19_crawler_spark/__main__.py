@@ -58,14 +58,25 @@ def _cmd_crawl(args: argparse.Namespace) -> None:
         n_docs = args.docs
         docs = generate_documents(spark, n_docs, partitions=args.shuffle_partitions or 32)
     docs = docs.cache()
+    extra = {"filter_kind": args.filter}
+    if args.budget_key != "host":
+        extra["budget_key"] = args.budget_key
     cfg = SchedulerConfig(
         batch_size=args.batch,
         seen_partitions=args.seen_partitions,
         min_delay_rounds=args.min_delay,
         max_in_flight=args.max_in_flight,
-        extra={"filter_kind": args.filter},
+        min_delay_seconds=args.min_delay_seconds,
+        extra=extra,
     )
-    sched = CrawlScheduler(spark, docs, args.checkpoint, cfg)
+    psl = None
+    if args.psl:
+        from cord19_crawler_spark.frontier.psl import load_psl
+
+        # "builtin" = the snapshot suffix list; anything else is a
+        # publicsuffix.org-format file path
+        psl = load_psl(spark, None if args.psl == "builtin" else args.psl)
+    sched = CrawlScheduler(spark, docs, args.checkpoint, cfg, psl=psl)
     seeds = seed_urls(spark, args.seeds, n_docs) if sched.store.latest_round() is None else None
     counters = sched.run(args.rounds, seeds=seeds)
     print(json.dumps({"rounds": counters, "crawl_order_len": len(sched.crawl_order())}))
@@ -157,8 +168,16 @@ def main(argv: list[str] | None = None) -> None:
     cr.add_argument("--master", default=None)
     cr.add_argument("--shuffle-partitions", type=int, default=None)
     cr.add_argument("--seen-partitions", type=int, default=16)
-    cr.add_argument("--min-delay", type=int, default=1)
+    cr.add_argument("--min-delay", type=int, default=1,
+                    help="politeness delay in ROUNDS (deterministic mode)")
+    cr.add_argument("--min-delay-seconds", type=float, default=None,
+                    help="wall-clock politeness: seconds per host between fetches")
     cr.add_argument("--max-in-flight", type=int, default=1000)
+    cr.add_argument("--budget-key", choices=["host", "domain"], default="host",
+                    help="politeness budget granularity")
+    cr.add_argument("--psl", default=None,
+                    help="public-suffix list for --budget-key domain: "
+                         "'builtin' or a publicsuffix.org-format file")
     cr.add_argument("--filter", choices=["bloom", "cuckoo"], default="bloom")
     cr.set_defaults(fn=_cmd_crawl)
 

@@ -94,6 +94,7 @@ class CrawlScheduler:
         clock=None,
         store=None,
         psl: DataFrame | None = None,
+        fetcher=None,
     ):
         self.spark = spark
         self.cfg = config or SchedulerConfig()
@@ -105,6 +106,9 @@ class CrawlScheduler:
         self.robots = robots
         # public-suffix dimension for budget_key="domain" (frontier/psl.py)
         self.psl = psl
+        # fetch seam (frontier/fetch.py): batch DF -> documents DF. Default
+        # is the corpus join; production slots an HTTP mapInPandas fetcher
+        self.fetcher = fetcher or self._corpus_fetch
         # injectable wall clock (epoch seconds) — tests force it for
         # deterministic wall-clock-politeness assertions
         import time as _time
@@ -156,6 +160,15 @@ class CrawlScheduler:
                     cfg.bloom_bits = fc["m_bits"]
                     cfg.bloom_k = fc["k"]
         return cls(spark, documents, checkpoint_dir, cfg, robots)
+
+    def _corpus_fetch(self, batch: DataFrame) -> DataFrame:
+        """Default fetcher: batch URLs → corpus documents (broadcast the
+        batch side — it is bounded by batch_size; the corpus scan is the
+        big side at any scale)."""
+        batch_docs = batch.withColumn(
+            "doc_id", F.regexp_extract(F.col("url"), r"/doc/(\d+)$", 1)
+        ).select("doc_id")
+        return self.documents.join(F.broadcast(batch_docs), "doc_id", "inner")
 
     # -- state helpers ------------------------------------------------------
 
@@ -439,12 +452,10 @@ class CrawlScheduler:
         # pre-write jobs)
         batch = batch.select("url", "url_id", "host", "priority", "attempt", "seq").cache()
 
-        # 3. "fetch": canonical URL path /doc/<id> → document; broadcast the
-        #    small batch side against the big corpus scan.
-        batch_docs = batch.withColumn(
-            "doc_id", F.regexp_extract(F.col("url"), r"/doc/(\d+)$", 1)
-        ).select("doc_id")
-        fetched = self.documents.join(F.broadcast(batch_docs), "doc_id", "inner")
+        # 3. "fetch" through the pluggable seam (default: canonical URL path
+        #    /doc/<id> → corpus document, broadcasting the small batch side
+        #    against the big corpus scan; frontier/fetch.py for the HTTP shape)
+        fetched = self.fetcher(batch)
 
         # 4. link extraction: ordered spans (≤ cap), text spans only,
         #    Arrow-batched extract + canonicalize, exact dedup.
