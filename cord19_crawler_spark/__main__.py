@@ -122,6 +122,20 @@ def _cmd_index(args: argparse.Namespace) -> None:
     print(json.dumps(meta))
 
 
+def _cmd_export_warc(args: argparse.Namespace) -> None:
+    """Interleaved documents parquet → WARC archives (the crawl-storage
+    format read_warc streams back; one gzip member per record)."""
+    from cord19_crawler_spark.session import get_spark
+    from cord19_crawler_spark.sources.warc import write_warc
+
+    spark = get_spark(app_name="export_warc", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    docs = spark.read.parquet(args.documents)
+    manifest = write_warc(docs, args.out, date=args.date,
+                          gzip_members=not args.plain)
+    print(json.dumps(manifest))
+
+
 def _cmd_search(args: argparse.Namespace) -> None:
     """Reference entry point 2 (GET /api/search): ranked TF-IDF search over
     a built index, lexicon-backed lemma expansion, barrel pruning."""
@@ -192,6 +206,16 @@ def main(argv: list[str] | None = None) -> None:
     ix.add_argument("--master", default=None)
     ix.add_argument("--shuffle-partitions", type=int, default=None)
     ix.set_defaults(fn=_cmd_index)
+
+    ew = sub.add_parser("export-warc", help="documents parquet → WARC archives")
+    ew.add_argument("--documents", required=True)
+    ew.add_argument("--out", required=True)
+    ew.add_argument("--date", default="2026-01-01T00:00:00Z",
+                    help="WARC-Date stamp (fixed, for reproducible archives)")
+    ew.add_argument("--plain", action="store_true", help="no gzip members")
+    ew.add_argument("--master", default=None)
+    ew.add_argument("--shuffle-partitions", type=int, default=None)
+    ew.set_defaults(fn=_cmd_export_warc)
 
     se = sub.add_parser("search", help="ranked search over a built index")
     se.add_argument("--index", required=True)

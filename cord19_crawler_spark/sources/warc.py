@@ -371,3 +371,126 @@ def read_sitemap_seeds(
     return sm.filter(F.col("loc").isNotNull()).select(
         F.col("loc").cast("string").alias("url"), pri.alias("priority")
     )
+
+
+# ---- WARC sink (write crawl output AS the canonical archive format) --------
+
+
+def build_warc_record(headers: dict[str, str], payload: bytes) -> bytes:
+    """Format one WARC/1.0 record (version line, headers, Content-Length,
+    CRLF CRLF, payload, record separator)."""
+    lines = ["WARC/1.0"]
+    lines += [f"{k}: {v}" for k, v in headers.items()]
+    lines.append(f"Content-Length: {len(payload)}")
+    return ("\r\n".join(lines) + "\r\n\r\n").encode() + payload + b"\r\n\r\n"
+
+
+def write_warc(
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    date: str = "2026-01-01T00:00:00Z",
+    gzip_members: bool = True,
+) -> list[dict]:
+    """Interleaved documents → WARC archives, one file per partition
+    (``part-<pid>.warc[.gz]``, one gzip member per record — the Common
+    Crawl layout the reader streams). Returns the write manifest
+    [{path, n_records, bytes}, ...].
+
+    Each document becomes a ``response`` record (text spans joined, UTF-8,
+    ``text/plain``; target URI = doc_id when it is already a URL, else
+    ``urn:doc:<id>``) plus one ``resource`` record per media span (the
+    media_ref as target). Record ids are md5-derived from the doc id —
+    deterministic, so re-writes are byte-identical (task retries are safe:
+    files land via write-then-rename). ``date`` is caller-supplied, never
+    wall-clock, for the same reason.
+
+    Reference analogue: the CSV corpus sink (S7) at crawl-archive fidelity;
+    round-trips through read_warc/warc_responses_to_documents.
+    """
+    import gzip as _gzip
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("n_records", T.LongType()),
+            T.StructField("bytes", T.LongType()),
+        ]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fh = None
+        pid = None
+        path = tmp = None
+        n = total = 0
+
+        def _emit(rec: bytes) -> int:
+            # mtime=0: no wall-clock in the member header, so re-writes
+            # of the same docs are byte-identical (determinism contract)
+            blob = _gzip.compress(rec, mtime=0) if gzip_members else rec
+            fh.write(blob)
+            return len(blob)
+
+        for pdf in batches:
+            for doc_id, spans, p in zip(pdf["doc_id"], pdf["spans"], pdf["_pid"]):
+                if fh is None:
+                    pid = int(p)
+                    ext = ".warc.gz" if gzip_members else ".warc"
+                    path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+                    tmp = path + ".inprogress"
+                    fh = open(tmp, "wb")
+                uri = (
+                    doc_id
+                    if isinstance(doc_id, str) and "://" in doc_id
+                    else f"urn:doc:{doc_id}"
+                )
+                rid = hashlib.md5(str(doc_id).encode()).hexdigest()
+                span_list = [] if spans is None else list(spans)
+                texts = [
+                    s["text"] for s in span_list if s["kind"] != "media" and s["text"]
+                ]
+                body = " ".join(texts).encode()
+                total += _emit(
+                    build_warc_record(
+                        {
+                            "WARC-Type": "response",
+                            "WARC-Record-ID": f"<urn:uuid:{rid}>",
+                            "WARC-Date": date,
+                            "WARC-Target-URI": uri,
+                            "Content-Type": "text/plain",
+                        },
+                        body,
+                    )
+                )
+                n += 1
+                for j, s in enumerate(span_list):
+                    if s["kind"] == "media" and s["media_ref"]:
+                        total += _emit(
+                            build_warc_record(
+                                {
+                                    "WARC-Type": "resource",
+                                    "WARC-Record-ID": f"<urn:uuid:{rid}-m{j}>",
+                                    "WARC-Date": date,
+                                    "WARC-Target-URI": s["media_ref"],
+                                    "Content-Type": "application/octet-stream",
+                                },
+                                b"",
+                            )
+                        )
+                        n += 1
+        if fh is None:
+            yield pd.DataFrame({"path": [], "n_records": [], "bytes": []})
+            return
+        fh.close()
+        os.replace(tmp, path)  # atomic publish per task
+        yield pd.DataFrame({"path": [path], "n_records": [n], "bytes": [total]})
+
+    manifest = (
+        docs.select("doc_id", "spans")
+        .withColumn("_pid", F.spark_partition_id())
+        .mapInPandas(_run, schema=schema)
+    )
+    return [r.asDict() for r in manifest.collect()]
