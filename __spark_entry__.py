@@ -772,9 +772,10 @@ def tfidf_multiword_search(spark, sf_dir):
     from cord19_crawler_spark.operators.search import tfidf_search
 
     d = _t(spark, sf_dir, "documents")
-    n = d.count()
     p = postings_tf(spark, sf_dir)
-    return tfidf_search(p, _QUERY_TERMS, n, k=20)
+    # pass the docs DF: N is counted INSIDE the plan (broadcast 1-row agg),
+    # so the query is one Spark job — no separate driver .count() action
+    return tfidf_search(p, _QUERY_TERMS, d, k=20)
 
 
 _TFIDF_SQL = f"""
@@ -826,7 +827,7 @@ def delta_merged_search(spark, sf_dir):
     delta_docs = d.filter(F.col("doc_id") >= 450).select("doc_id", "text")
     static_p = postings(tokens_from_text(static_docs))
     return search_with_delta(
-        static_p, delta_docs, _DELTA_TERMS, total_docs=d.count(), k=15
+        static_p, delta_docs, _DELTA_TERMS, total_docs=d, k=15
     )
 
 

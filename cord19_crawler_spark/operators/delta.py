@@ -54,7 +54,7 @@ def search_with_delta(
     static_postings: DataFrame,
     delta_docs: DataFrame,
     query_terms: list[str],
-    total_docs: int,
+    total_docs: int | DataFrame,
     k: int = 20,
 ) -> DataFrame:
     """End-to-end: a doc uploaded a second ago ranks alongside the static

@@ -32,7 +32,7 @@ def preprocess_query(query: str) -> list[str]:
 def tfidf_search(
     postings: DataFrame,
     query_terms: list[str],
-    total_docs: int,
+    total_docs: int | DataFrame,
     k: int = 20,
     variants: dict[str, list[str]] | None = None,
 ) -> DataFrame:
@@ -41,6 +41,12 @@ def tfidf_search(
 
     ``variants`` maps each query term to its lemma-variant list (P9); a
     doc's tf for a term is the MAX over variants (A10).
+
+    ``total_docs`` is either a precomputed scalar (index-build metadata —
+    the serving path, zero extra work per query) or a DataFrame whose row
+    count is N: the count then runs INSIDE this plan as a broadcast 1-row
+    aggregate cross-join, so the whole search is one Spark job with no
+    separate driver-side .count() action.
     """
     spark = postings.sparkSession
     rows = []
@@ -59,17 +65,22 @@ def tfidf_search(
     df_per_term = per_term.groupBy("term").agg(
         F.countDistinct("doc_id").alias("term_df")
     )
-    scored = per_term.join(F.broadcast(df_per_term), "term").withColumn(
+    joined = per_term.join(F.broadcast(df_per_term), "term")
+    if isinstance(total_docs, DataFrame):
+        n_df = total_docs.agg(F.count(F.lit(1)).alias("_n"))
+        joined = joined.crossJoin(F.broadcast(n_df))
+        n_col = F.col("_n")
+    else:
+        n_col = F.lit(total_docs)
+    scored = joined.withColumn(
         "tfidf",
         (
             F.when(F.col("f") > 1, 1.0 + F.log(F.col("f").cast("double"))).otherwise(
                 F.lit(1.0)
             )
         )
-        * (
-            F.log((F.lit(total_docs) + 1.0) / (F.col("term_df") + 1.0)) + F.lit(1.0)
-        ),
-    )
+        * (F.log((n_col + 1.0) / (F.col("term_df") + 1.0)) + F.lit(1.0)),
+    ).drop("_n")
     combined = scored.groupBy("doc_id").agg(
         F.sum("tfidf").alias("base"),
         F.count(F.lit(1)).alias("matched_terms"),
