@@ -29,20 +29,32 @@ RULES_TYPE = T.ArrayType(
 )
 
 
+_PARSED_TYPE = T.StructType(
+    [
+        T.StructField("rules", RULES_TYPE),
+        T.StructField("crawl_delay", T.DoubleType()),
+    ]
+)
+
+
 def parse_robots_txt(robots: DataFrame, txt_col: str = "robots_txt") -> DataFrame:
-    """(host, robots_txt) → (host, rules) — parse raw robots.txt bodies into
-    the rules dimension. Honors the stanza grammar for ``User-agent: *``
-    groups: Allow/Disallow lines, first matching agent group wins, empty
-    Disallow means allow-all. Stanza parsing is inherently sequential per
+    """(host, robots_txt) → (host, rules, crawl_delay) — parse raw
+    robots.txt bodies into the rules dimension. Honors the stanza grammar
+    for ``User-agent: *`` groups: Allow/Disallow lines, first matching
+    agent group wins, empty Disallow means allow-all, and ``Crawl-delay``
+    (seconds, de-facto standard) is extracted per host — the scheduler
+    feeds it into the wall-clock politeness budget as that host's
+    ``min_delay_seconds``. Stanza parsing is inherently sequential per
     document → one Arrow-batched pandas UDF over the (small) per-host table.
     """
 
-    @pandas_udf(RULES_TYPE)
-    def _parse(bodies: pd.Series) -> pd.Series:
-        def one(txt: str | None) -> list[dict]:
+    @pandas_udf(_PARSED_TYPE)
+    def _parse(bodies: pd.Series) -> pd.DataFrame:
+        def one(txt: str | None) -> tuple[list[dict], float | None]:
             if not txt:
-                return []
+                return [], None
             rules: list[dict] = []
+            delay: float | None = None
             in_star = False
             seen_star_group = False
             for raw in txt.splitlines():
@@ -62,11 +74,24 @@ def parse_robots_txt(robots: DataFrame, txt_col: str = "robots_txt") -> DataFram
                     rules.append(
                         {"allow": key == "allow", "path_prefix": val}
                     )
-            return rules
+                elif in_star and key == "crawl-delay":
+                    try:
+                        delay = float(val)
+                    except ValueError:
+                        pass  # malformed delay: tolerated, no constraint
+            return rules, delay
 
-        return bodies.map(one)
+        parsed = [one(b) for b in bodies]
+        return pd.DataFrame(
+            {"rules": [p[0] for p in parsed], "crawl_delay": [p[1] for p in parsed]}
+        )
 
-    return robots.select("host", _parse(F.col(txt_col)).alias("rules"))
+    out = robots.withColumn("_p", _parse(F.col(txt_col)))
+    return out.select(
+        "host",
+        F.col("_p.rules").alias("rules"),
+        F.col("_p.crawl_delay").alias("crawl_delay"),
+    )
 
 
 def _path_of(url: str) -> str:
@@ -112,7 +137,7 @@ def filter_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
     if robots is None:
         return candidates
     hosts = candidates.select("host").distinct()
-    pruned = robots.join(hosts, "host", "left_semi")
+    pruned = robots.select("host", "rules").join(hosts, "host", "left_semi")
     joined = candidates.join(F.broadcast(pruned), "host", "left")
     return (
         joined.withColumn("_allowed", robots_allowed(F.col("url"), F.col("rules")))

@@ -106,6 +106,11 @@ class CrawlScheduler:
         self.robots = robots
         # public-suffix dimension for budget_key="domain" (frontier/psl.py)
         self.psl = psl
+        # robots.txt Crawl-delay (parse_robots_txt emits it) feeds per-host
+        # wall-clock politeness; its presence alone turns the clock on
+        self._robots_delay = (
+            robots is not None and "crawl_delay" in robots.columns
+        )
         # fetch seam (frontier/fetch.py): batch DF -> documents DF. Default
         # is the corpus join; production slots an HTTP mapInPandas fetcher
         self.fetcher = fetcher or self._corpus_fetch
@@ -160,6 +165,24 @@ class CrawlScheduler:
                     cfg.bloom_bits = fc["m_bits"]
                     cfg.bloom_k = fc["k"]
         return cls(spark, documents, checkpoint_dir, cfg, robots)
+
+    def _apply_crawl_delay(self, hs: DataFrame) -> DataFrame:
+        """Override a fresh host's min_delay_seconds with its robots.txt
+        Crawl-delay (when the robots dimension carries one): the de-facto
+        directive maps 1:1 onto the wall-clock politeness budget. Config
+        default applies to hosts without a directive."""
+        if not self._robots_delay:
+            return hs
+        cd = self.robots.select("host", "crawl_delay")
+        return (
+            hs.join(cd, "host", "left")
+            .withColumn(
+                "min_delay_seconds",
+                F.coalesce(F.col("crawl_delay"), F.col("min_delay_seconds")),
+            )
+            .drop("crawl_delay")
+            .select(*politeness.HOST_STATE_COLS)
+        )
 
     def _corpus_fetch(self, batch: DataFrame) -> DataFrame:
         """Default fetcher: batch URLs → corpus documents (broadcast the
@@ -240,11 +263,13 @@ class CrawlScheduler:
         filter_state = self.bloom.insert(
             frontier, self.bloom.empty_state(self.spark)
         )
-        host_state = politeness.default_host_state(
-            frontier,
-            self.cfg.min_delay_rounds,
-            self.cfg.max_in_flight,
-            self.cfg.min_delay_seconds,
+        host_state = self._apply_crawl_delay(
+            politeness.default_host_state(
+                frontier,
+                self.cfg.min_delay_rounds,
+                self.cfg.max_in_flight,
+                self.cfg.min_delay_seconds,
+            )
         ).withColumn("_sr", F.lit(0))
         crawl_log = self.spark.createDataFrame(
             [],
@@ -433,7 +458,7 @@ class CrawlScheduler:
         #    predicate is a plan constant (deterministic within the round).
         now = (
             float(self.clock())
-            if self.cfg.min_delay_seconds is not None
+            if (self.cfg.min_delay_seconds is not None or self._robots_delay)
             else None
         )
         eligible = politeness.eligible_urls(pending, host_state, rnd, now=now)
@@ -718,11 +743,13 @@ class CrawlScheduler:
         already-known pending), so there is exactly one delta row per
         (host, round)."""
         known = host_state.select("host")
-        fresh = politeness.default_host_state(
-            new_urls.select("host").distinct().join(known, "host", "left_anti"),
-            self.cfg.min_delay_rounds,
-            self.cfg.max_in_flight,
-            self.cfg.min_delay_seconds,
+        fresh = self._apply_crawl_delay(
+            politeness.default_host_state(
+                new_urls.select("host").distinct().join(known, "host", "left_anti"),
+                self.cfg.min_delay_rounds,
+                self.cfg.max_in_flight,
+                self.cfg.min_delay_seconds,
+            )
         )
         touched = (
             host_state.join(batch.select("host").distinct(), "host")

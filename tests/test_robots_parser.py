@@ -50,3 +50,68 @@ def test_parse_and_match(spark):
         "https://b.com/anything",
         "https://c.com/whatever",
     }
+
+
+def test_crawl_delay_extraction(spark):
+    """Crawl-delay in the * group is extracted (seconds, float); malformed
+    values and non-* groups are ignored."""
+    raw = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nCrawl-delay: 7\nDisallow: /private\n"),
+            ("b.com", "User-agent: *\nCrawl-delay: 2.5\n"),
+            ("c.com", "User-agent: googlebot\nCrawl-delay: 99\n"
+                      "User-agent: *\nDisallow: /x\n"),
+            ("d.com", "User-agent: *\nCrawl-delay: soon\n"),
+            ("e.com", None),
+        ],
+        "host string, robots_txt string",
+    )
+    parsed = {r["host"]: r for r in parse_robots_txt(raw).collect()}
+    assert parsed["a.com"]["crawl_delay"] == 7.0
+    assert parsed["a.com"]["rules"][0]["path_prefix"] == "/private"
+    assert parsed["b.com"]["crawl_delay"] == 2.5
+    assert parsed["c.com"]["crawl_delay"] is None  # googlebot group, not *
+    assert parsed["c.com"]["rules"][0]["path_prefix"] == "/x"
+    assert parsed["d.com"]["crawl_delay"] is None  # malformed: tolerated
+    assert parsed["e.com"]["crawl_delay"] is None
+
+
+def test_crawl_delay_drives_scheduler_politeness(spark, tmp_path):
+    """A host's robots Crawl-delay becomes its wall-clock min_delay_seconds:
+    under a forced clock it stays blocked while a no-directive host (config
+    default 10 s) is schedulable again."""
+    from cord19_crawler_spark.datagen import generate_documents
+    from cord19_crawler_spark.frontier import CrawlScheduler, SchedulerConfig
+
+    docs = generate_documents(spark, 200, partitions=2).cache()
+    # host0 (hot) declares Crawl-delay 100; others inherit the 10 s default
+    robots = parse_robots_txt(spark.createDataFrame(
+        [("host0.example.com", "User-agent: *\nCrawl-delay: 100\n")],
+        "host string, robots_txt string",
+    ))
+    clock = {"t": 1000.0}
+    sched = CrawlScheduler(
+        spark, docs, str(tmp_path / "ck"),
+        SchedulerConfig(batch_size=30, seen_partitions=2, bloom_bits=1 << 14,
+                        min_delay_rounds=0, max_in_flight=5,
+                        min_delay_seconds=10.0),
+        robots=robots, clock=lambda: clock["t"],
+    )
+    from cord19_crawler_spark.datagen import seed_urls
+    sched.run(1, seeds=seed_urls(spark, 40, 200))
+    host_rounds = {}
+    for rnd, _, url in sched.crawl_order():
+        host_rounds.setdefault(url.split("/")[2], set()).add(rnd)
+    assert 1 in host_rounds.get("host0.example.com", set())  # scheduled in r1
+    clock["t"] = 1020.0  # 20 s later: default hosts eligible, host0 not
+    sched.run(2)
+    host_rounds = {}
+    for rnd, _, url in sched.crawl_order():
+        host_rounds.setdefault(url.split("/")[2], set()).add(rnd)
+    r2_hosts = {h for h, rs in host_rounds.items() if 2 in rs}
+    assert r2_hosts  # something was schedulable
+    assert "host0.example.com" not in r2_hosts  # 20 < its 100 s directive
+    clock["t"] = 1150.0  # past the directive: host0 schedulable again
+    sched.run(3)
+    r3_hosts = {u.split("/")[2] for r, _, u in sched.crawl_order() if r == 3}
+    assert "host0.example.com" in r3_hosts
