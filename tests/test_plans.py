@@ -176,3 +176,66 @@ def test_hot_host_plan_is_hot_only(spark):
     plan = skew.hot_host_plan(pending, threshold=100)
     got = {r["host"]: r["n_salt"] for r in plan.collect()}
     assert got == {"hot.com": 3}  # only the hot host; ceil(300/100)
+
+
+# ---- round-3 operator plan gates -------------------------------------------
+
+
+def test_warc_scan_prunes_content_column(spark, tmp_path):
+    """The WARC reader's binaryFile scan must read ONLY the path column —
+    reading `content` would materialize whole archives as rows (the exact
+    failure the streaming rewrite removes)."""
+    import gzip as _gzip
+
+    from cord19_crawler_spark.sources.warc import read_warc
+
+    d = tmp_path / "warcs"; d.mkdir()
+    (d / "a.warc.gz").write_bytes(_gzip.compress(
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"))
+    df = read_warc(spark, str(d))
+    plan = _plan(df)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "path" in read_schema
+    assert "content" not in read_schema, read_schema
+
+
+def test_psl_dimension_is_broadcast(spark):
+    """Registrable-domain resolution joins the PSL as a BROADCAST dimension
+    (suffix list ≪ hosts at any scale) — no host-sized shuffle for it."""
+    from cord19_crawler_spark.frontier.psl import load_psl, with_registrable_domain
+
+    hosts = spark.createDataFrame(
+        [(f"sub{i}.example.co.uk",) for i in range(50)], "host string"
+    )
+    out = with_registrable_domain(hosts, load_psl(spark))
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_near_dup_plan_is_bucketed(spark):
+    """Multi-table LSH pairs join on (table, bucket) — a hash join, never a
+    cartesian all-pairs product."""
+    from cord19_crawler_spark.operators.dedup import embedding_near_duplicates_lsh
+
+    emb = spark.createDataFrame(
+        [(f"v{i}", [float(i % 7) - 3.0] * 8) for i in range(40)],
+        "vec_id string, embedding array<double>",
+    )
+    out = embedding_near_duplicates_lsh(emb, dim=8, bits=4, n_tables=2)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tfidf_dataframe_n_stays_one_job_shape(spark, sf001):
+    """total_docs-as-DataFrame: N enters the plan as a broadcast one-row
+    aggregate (BroadcastNestedLoopJoin over 1 row is the intended shape),
+    not as a separate driver action."""
+    df = entry_mod.tfidf_multiword_search(spark, sf001)
+    plan = _plan(df)
+    # the count aggregate is inside this single plan…
+    assert plan.count("HashAggregate") >= 4
+    # …joined via a broadcast of the 1-row side
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
