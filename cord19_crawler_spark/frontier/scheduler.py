@@ -316,14 +316,20 @@ class CrawlScheduler:
         )
 
     def compact(self, rnd: int | None = None) -> int:
-        """Materialize url_seen + pending at a round boundary.
+        """Materialize the cumulative state at a round boundary: url_seen,
+        pending, host_state, PLUS the full crawl_log and frontier history
+        (the two tables whose complete past any reader may need —
+        crawl_order and requeue_failures).
 
-        Pure READ optimization: after 10^4 rounds the delta unions touch 10^4
-        file groups; a compaction snapshot caps that at (rounds since last
-        compact). Crawl results are bit-identical with or without compaction
-        (tested) — the derived state definitions don't change, only where the
-        prefix of the union is read from. Iceberg equivalent: snapshot
-        expiration + data-file compaction.
+        Read optimization AND storage-reclaim enabler: after 10^4 rounds the
+        delta unions touch 10^4 file groups; a compaction snapshot caps that
+        at (rounds since last compact), and because the snapshot is
+        CUMULATIVE, every round dir ≤ the compact point becomes redundant —
+        ``expire(upto)`` deletes them. Crawl results are bit-identical with
+        or without compaction/expiry (tested) — the derived state
+        definitions don't change, only where the prefix of each union is
+        read from. Iceberg equivalent: snapshot expiration + data-file
+        compaction.
         """
         if rnd is None:
             rnd = self.store.latest_round()
@@ -335,9 +341,53 @@ class CrawlScheduler:
                 "url_seen": self._read_url_seen(rnd),
                 "pending": self._read_pending(rnd),
                 "host_state": self._read_host_state_raw(rnd),
+                "crawl_log": self._read_crawl_log(rnd),
+                "frontier_all": self._read_frontier_all(rnd),
             },
         )
         return rnd
+
+    def expire(self, upto: int | None = None) -> list[int]:
+        """Reclaim expired round dirs (≤ the latest compaction snapshot) —
+        see CheckpointStore.expire_rounds. Returns the expired round ids."""
+        return self.store.expire_rounds(upto)
+
+    def _compact_base_for(self, upto_rnd: int, name: str) -> int | None:
+        """Latest compaction ≤ upto_rnd that actually carries ``name`` —
+        snapshots written before a table joined the compaction set (e.g.
+        crawl_log/frontier_all predate round 3) fall back to delta unions."""
+        base_rnd = self.store.latest_compact(upto=upto_rnd)
+        if base_rnd is None or not self.store.has_compact_table(base_rnd, name):
+            return None
+        return base_rnd
+
+    def _read_crawl_log(self, upto_rnd: int) -> DataFrame:
+        """FULL crawl log through round upto_rnd (compact-aware: cumulative
+        snapshot + trailing deltas, so expired round dirs are never read)."""
+        base_rnd = self._compact_base_for(upto_rnd, "crawl_log")
+        if base_rnd is None:
+            return self._read_deltas(upto_rnd, "crawl_log")
+        base = self.store.read_compact_table(self.spark, base_rnd, "crawl_log")
+        if base_rnd == upto_rnd:
+            return base
+        return base.unionByName(
+            self._read_deltas(upto_rnd, "crawl_log", from_rnd=base_rnd + 1)
+        )
+
+    def _read_frontier_all(self, upto_rnd: int) -> DataFrame:
+        """FULL frontier discovery log through round upto_rnd (compact-aware
+        like _read_crawl_log; requeue needs original priorities/attempts)."""
+        base_rnd = self._compact_base_for(upto_rnd, "frontier_all")
+        if base_rnd is None:
+            return self._read_deltas(upto_rnd, "frontier_new")
+        base = self.store.read_compact_table(
+            self.spark, base_rnd, "frontier_all"
+        )
+        if base_rnd == upto_rnd:
+            return base
+        return base.unionByName(
+            self._read_deltas(upto_rnd, "frontier_new", from_rnd=base_rnd + 1)
+        )
 
     def _read_pending(self, upto_rnd: int) -> DataFrame:
         """The pending frontier at the START of round upto_rnd+1, DERIVED
@@ -660,7 +710,7 @@ class CrawlScheduler:
             raise ValueError("init_from_seeds first")
         rnd = prev + 1
         # current attempt + original priority from the frontier log
-        frontier_all = self._read_deltas(prev, "frontier_new")
+        frontier_all = self._read_frontier_all(prev)
         latest = (
             frontier_all.join(failed_urls.select("url").distinct(), "url")
             .groupBy("url")
@@ -672,7 +722,7 @@ class CrawlScheduler:
         # idempotency guard: the latest attempt must exist in the crawl log
         # (i.e. it was scheduled and then failed); still-pending attempts and
         # double-submitted failure lists drop out here
-        scheduled = self._read_deltas(prev, "crawl_log").select("url", "attempt")
+        scheduled = self._read_crawl_log(prev).select("url", "attempt")
         latest = latest.join(scheduled, ["url", "attempt"], "left_semi")
         eligible = latest.filter(F.col("attempt") < max_retries)
         retry_rows = self._annotate(eligible.select("url")).join(
@@ -786,20 +836,19 @@ class CrawlScheduler:
         return out
 
     def crawl_order(self, upto_round: int | None = None) -> list[tuple[int, int, str]]:
-        """Full deterministic crawl order [(round, seq, url), ...]."""
+        """Full deterministic crawl order [(round, seq, url), ...] — one
+        compact-aware read (works after round expiry, and avoids 10^4
+        separate per-round jobs on a long crawl)."""
         last = self.store.latest_round()
         if last is None:
             return []
         if upto_round is not None:
             last = min(last, upto_round)
-        rows = []
-        for rnd in range(1, last + 1):
-            log = self._read(rnd, "crawl_log")
-            rows.extend(
-                (r["round"], r["seq"], r["url"])
-                for r in log.orderBy("seq").collect()
-            )
-        return rows
+        log = self._read_crawl_log(last).filter(F.col("round") <= last)
+        return [
+            (r["round"], r["seq"], r["url"])
+            for r in log.orderBy("round", "seq").collect()
+        ]
 
     def seen_set(self) -> set[str]:
         last = self.store.latest_round()

@@ -141,6 +141,46 @@ class CheckpointStore:
     def compact_table_path(self, rnd: int, name: str) -> str:
         return os.path.join(self._compact_dir(rnd), name)
 
+    def has_compact_table(self, rnd: int, name: str) -> bool:
+        """Whether snapshot ``rnd`` carries ``name`` — older snapshots may
+        predate a table joining the compaction set (readers then fall back
+        to the full delta union)."""
+        return os.path.isdir(self.compact_table_path(rnd, name))
+
+    def expire_rounds(self, upto: int | None = None) -> list[int]:
+        """Reclaim round delta dirs made redundant by a CUMULATIVE
+        compaction snapshot (one carrying crawl_log + frontier_all).
+
+        Never expired: round 0 (its _COMMITTED.json carries the
+        filter-config facets every resume validates) and the latest round
+        (the next round reads its filter_state). Refuses to expire past the
+        newest cumulative snapshot — without one, history reads would lose
+        rows. This is the parquet analogue of Iceberg snapshot expiration.
+        """
+        latest = self.latest_round()
+        compact = self.latest_compact()
+        while compact is not None and not (
+            self.has_compact_table(compact, "crawl_log")
+            and self.has_compact_table(compact, "frontier_all")
+        ):
+            compact = self.latest_compact(upto=compact - 1)
+        if compact is None:
+            raise ValueError(
+                "no cumulative compaction snapshot: run compact() first"
+            )
+        limit = min(
+            compact,
+            (latest or 0) - 1,
+            upto if upto is not None else compact,
+        )
+        removed: list[int] = []
+        for k in range(1, limit + 1):
+            d = self._round_dir(k)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                removed.append(k)
+        return removed
+
     def table_path(self, rnd: int, name: str) -> str:
         return os.path.join(self._round_dir(rnd), name)
 

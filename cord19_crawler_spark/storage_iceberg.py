@@ -254,6 +254,51 @@ class IcebergCheckpointStore:
             f"{self.ns}.compacts"
         ).append()
 
+    def has_compact_table(self, rnd: int, name: str) -> bool:
+        rows = self.spark.sql(
+            f"SELECT 1 FROM {self.ns}.compacts "
+            f"WHERE round = {int(rnd)} AND name = '{_check_ident(name)}'"
+        ).collect()
+        return bool(rows)
+
+    def expire_rounds(self, upto: int | None = None) -> list[int]:
+        """Iceberg analogue of the parquet store's round expiry: DELETE the
+        expired round partitions from every state table (row-level deletes
+        over the partition column — metadata-only in Iceberg), then reclaim
+        files via expire_snapshots. Same guardrails: round 0 and the latest
+        round are kept; only rounds covered by a cumulative snapshot go."""
+        latest = self.latest_round()
+        compact = self.latest_compact()
+        while compact is not None and not (
+            self.has_compact_table(compact, "crawl_log")
+            and self.has_compact_table(compact, "frontier_all")
+        ):
+            rows = self.spark.sql(
+                f"SELECT max(round) AS r FROM {self.ns}.compacts "
+                f"WHERE round < {int(compact)}"
+            ).collect()
+            compact = None if rows[0]["r"] is None else int(rows[0]["r"])
+        if compact is None:
+            raise ValueError(
+                "no cumulative compaction snapshot: run compact() first"
+            )
+        limit = min(
+            compact,
+            (latest or 0) - 1,
+            upto if upto is not None else compact,
+        )
+        if limit < 1:
+            return []
+        for name_row in self.spark.sql(f"SHOW TABLES IN {self.ns}").collect():
+            t = name_row["tableName"]
+            if t in ("commits", "compacts") or t.startswith("compact_"):
+                continue
+            self.spark.sql(
+                f"DELETE FROM {self.ns}.{t} "
+                f"WHERE {ROUND_COL} BETWEEN 1 AND {int(limit)}"
+            )
+        return list(range(1, limit + 1))
+
     def latest_compact(self, upto: int | None = None) -> int | None:
         pred = "" if upto is None else f" WHERE round <= {int(upto)}"
         row = self.spark.sql(

@@ -34,3 +34,62 @@ def test_compaction_bit_identical(spark, tmp_path):
     more_r = resumed.run(6)
     more_p = plain.run(6)
     assert more_r == more_p
+
+
+def test_expiry_reclaims_rounds_bit_identical(spark, tmp_path):
+    """Cumulative compaction + expire(): expired round dirs are deleted, yet
+    crawl order, seen set, pending, resume, and requeue are all identical to
+    an untouched run — storage is bounded by (rounds since last compact)."""
+    import os
+
+    docs = generate_documents(spark, 300, partitions=4).cache()
+
+    plain = CrawlScheduler(spark, docs, str(tmp_path / "plain"), _cfg())
+    plain.run(5, seeds=seed_urls(spark, 10, 300))
+
+    ex = CrawlScheduler(spark, docs, str(tmp_path / "ex"), _cfg())
+    ex.run(3, seeds=seed_urls(spark, 10, 300))
+    assert ex.compact() == 3
+    removed = ex.expire()
+    assert removed == [1, 2]  # round 0 (config) and round 3 (latest) kept
+    root = str(tmp_path / "ex")
+    assert not os.path.isdir(os.path.join(root, "round=1"))
+    assert os.path.isdir(os.path.join(root, "round=0"))
+    assert os.path.isdir(os.path.join(root, "round=3"))
+
+    # every reader still sees the full history
+    assert ex.crawl_order() == plain.crawl_order(upto_round=3)
+    ex.run(5)  # resume over the expired checkpoint
+    assert ex.crawl_order() == plain.crawl_order()
+    assert ex.seen_set() == plain.seen_set()
+    pe = sorted(r["url"] for r in ex.pending_frontier().collect())
+    pp = sorted(r["url"] for r in plain.pending_frontier().collect())
+    assert pe == pp
+
+    # requeue consults the (expired) frontier history through the snapshot
+    failed_e = [u for _, _, u in ex.crawl_order()[:3]]
+    failed_p = [u for _, _, u in plain.crawl_order()[:3]]
+    assert failed_e == failed_p
+    fdf = spark.createDataFrame([(u,) for u in failed_e], "url string")
+    ce = ex.requeue_failures(fdf)
+    cp = plain.requeue_failures(fdf)
+    assert ce["requeued"] == cp["requeued"] > 0
+
+
+def test_expire_refuses_without_cumulative_snapshot(spark, tmp_path):
+    import shutil
+
+    import pytest
+
+    docs = generate_documents(spark, 100, partitions=2).cache()
+    s = CrawlScheduler(spark, docs, str(tmp_path / "ck"), _cfg())
+    s.run(2, seeds=seed_urls(spark, 8, 100))
+    with pytest.raises(ValueError, match="cumulative"):
+        s.expire()  # no compaction at all
+    s.compact()
+    # simulate a LEGACY snapshot (pre-cumulative: no crawl_log table)
+    shutil.rmtree(s.store.compact_table_path(2, "crawl_log"))
+    with pytest.raises(ValueError, match="cumulative"):
+        s.expire()
+    # legacy snapshot still serves reads via delta-union fallback
+    assert len(s.crawl_order()) > 0
