@@ -148,6 +148,24 @@ def _cmd_search(args: argparse.Namespace) -> None:
     print(json.dumps([r.asDict() for r in rows], default=str))
 
 
+def _cmd_compact(args: argparse.Namespace) -> None:
+    """Checkpoint maintenance: cumulative compaction snapshot, optionally
+    reclaiming the round dirs it makes redundant."""
+    from cord19_crawler_spark.frontier import CrawlScheduler, SchedulerConfig
+    from cord19_crawler_spark.session import get_spark
+
+    spark = get_spark(app_name="compact", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    empty_docs = spark.createDataFrame(
+        [], "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+    )
+    sched = CrawlScheduler.open(spark, empty_docs, args.checkpoint, SchedulerConfig())
+    rnd = sched.compact()
+    expired = sched.expire() if args.expire else []
+    print(json.dumps({"compacted_round": rnd, "expired_rounds": expired}))
+
+
 def _cmd_metrics(args: argparse.Namespace) -> None:
     """Per-host frontier metrics over an existing crawl checkpoint."""
     from cord19_crawler_spark.frontier import CrawlScheduler, SchedulerConfig
@@ -224,6 +242,14 @@ def main(argv: list[str] | None = None) -> None:
     se.add_argument("--master", default=None)
     se.add_argument("--shuffle-partitions", type=int, default=None)
     se.set_defaults(fn=_cmd_search)
+
+    co = sub.add_parser("compact", help="compact a crawl checkpoint (optionally expire)")
+    co.add_argument("--checkpoint", required=True)
+    co.add_argument("--expire", action="store_true",
+                    help="delete round dirs covered by the new snapshot")
+    co.add_argument("--master", default=None)
+    co.add_argument("--shuffle-partitions", type=int, default=None)
+    co.set_defaults(fn=_cmd_compact)
 
     me = sub.add_parser("metrics", help="per-host frontier metrics from a checkpoint")
     me.add_argument("--checkpoint", required=True)

@@ -80,6 +80,9 @@ class SchedulerConfig:
     # group per round at read time — 10^4 rounds = 10^4-way fan-in. Results
     # are bit-identical with or without (tests/test_compaction.py).
     compact_every: int | None = 64
+    # reclaim expired round dirs right after each auto-compaction (storage
+    # bounded by rounds-since-last-compact; default off = keep full history)
+    expire_on_compact: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -833,6 +836,8 @@ class CrawlScheduler:
             out.append(self.run_round(rnd))
             if self.cfg.compact_every and rnd % self.cfg.compact_every == 0:
                 self.compact(rnd)
+                if self.cfg.expire_on_compact:
+                    self.expire()
         return out
 
     def crawl_order(self, upto_round: int | None = None) -> list[tuple[int, int, str]]:

@@ -93,3 +93,23 @@ def test_expire_refuses_without_cumulative_snapshot(spark, tmp_path):
         s.expire()
     # legacy snapshot still serves reads via delta-union fallback
     assert len(s.crawl_order()) > 0
+
+
+def test_expire_on_compact_auto(spark, tmp_path):
+    """expire_on_compact: the run loop reclaims redundant round dirs right
+    after each auto-compaction; results stay identical to a keep-everything
+    run."""
+    import os
+
+    docs = generate_documents(spark, 200, partitions=2).cache()
+    cfg = _cfg(); cfg.compact_every = 2; cfg.expire_on_compact = True
+    auto = CrawlScheduler(spark, docs, str(tmp_path / "auto"), cfg)
+    auto.run(4, seeds=seed_urls(spark, 10, 200))
+    root = str(tmp_path / "auto")
+    for k in (1, 2, 3):
+        assert not os.path.isdir(os.path.join(root, f"round={k}")), k
+    assert os.path.isdir(os.path.join(root, "round=4"))
+    plain = CrawlScheduler(spark, docs, str(tmp_path / "plain"), _cfg())
+    plain.run(4, seeds=seed_urls(spark, 10, 200))
+    assert auto.crawl_order() == plain.crawl_order()
+    assert auto.seen_set() == plain.seen_set()
