@@ -154,3 +154,31 @@ def test_resume_checkpoint_without_wallclock_columns(spark, tmp_path):
     resumed = CrawlScheduler(spark, docs, ck, cfg)
     out = resumed.run(3)
     assert len(out) == 2 and all(c["scheduled"] > 0 for c in out)
+
+
+def test_wall_clock_mode_two_run_equality(spark, tmp_path):
+    """Wall-clock politeness stays fully deterministic under a forced clock:
+    two independent runs with the same clock sequence produce identical
+    crawl order and seen set (the bit-identical guarantee extends to the
+    new mode)."""
+    from cord19_crawler_spark.datagen import generate_documents, seed_urls
+    from cord19_crawler_spark.frontier import CrawlScheduler, SchedulerConfig
+
+    docs = generate_documents(spark, 250, partitions=3).cache()
+    results = []
+    for run in ("a", "b"):
+        clock = {"t": 500.0}
+        s = CrawlScheduler(
+            spark, docs, str(tmp_path / f"ck_{run}"),
+            SchedulerConfig(batch_size=20, seen_partitions=3,
+                            bloom_bits=1 << 14, min_delay_rounds=0,
+                            max_in_flight=3, min_delay_seconds=25.0),
+            clock=lambda: clock["t"],
+        )
+        s.run(1, seeds=seed_urls(spark, 10, 250))
+        clock["t"] = 512.0
+        s.run(2)
+        clock["t"] = 531.0
+        s.run(3)
+        results.append((s.crawl_order(), s.seen_set()))
+    assert results[0] == results[1]

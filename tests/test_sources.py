@@ -398,3 +398,36 @@ def test_warc_sink_roundtrip(spark, tmp_path):
         name = os.path.basename(m["path"])
         with open(m["path"], "rb") as a, open(os.path.join(out2, name), "rb") as b:
             assert a.read() == b.read()
+
+
+def test_warc_carver_chunking_invariance_property():
+    """PROPERTY: however the byte stream is chunked, the streaming carver
+    yields exactly the records the whole-buffer parse yields — including
+    around malformed and oversized records."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cord19_crawler_spark.sources.warc import iter_warc_records
+
+    recs = [
+        ({"WARC-Type": "response", "WARC-Record-ID": f"<r{i}>",
+          "WARC-Target-URI": f"https://x.com/{i}"},
+         bytes([97 + i % 26]) * (7 + i * 13 % 200))
+        for i in range(12)
+    ]
+    bad = (b"WARC/1.0\r\nWARC-Record-ID: <bad>\r\nContent-Length: nope\r\n\r\n"
+           b"junk\r\n\r\n")
+    blob = (_make_warc_bytes(recs[:6]) + bad + _make_warc_bytes(recs[6:]))
+    want = [(h["warc-record-id"], p) for h, p in iter_warc_records([blob])]
+    assert len(want) == 12
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=len(blob)),
+                    min_size=0, max_size=12))
+    def check(cuts):
+        points = sorted({0, len(blob), *[c % len(blob) for c in cuts]})
+        chunks = [blob[a:b] for a, b in zip(points, points[1:]) if a < b]
+        got = [(h["warc-record-id"], p) for h, p in iter_warc_records(chunks)]
+        assert got == want
+
+    check()
