@@ -149,14 +149,16 @@ class CrawlScheduler:
         checkpoint_dir: str,
         config: SchedulerConfig | None = None,
         robots: DataFrame | None = None,
+        **kwargs,
     ) -> "CrawlScheduler":
         """Open an existing checkpoint ADOPTING its committed probe geometry
         (seen partitions, filter kind, bloom/cuckoo sizing) — the ergonomic
         resume path: run-time knobs (batch size, politeness, compaction)
         still come from ``config``, but the filter facets always match what
-        round 0 committed, so the fail-fast guard can never trip."""
+        round 0 committed, so the fail-fast guard can never trip.
+        ``kwargs`` pass through to the constructor (clock/store/psl/fetcher)."""
         cfg = config or SchedulerConfig()
-        store = CheckpointStore(checkpoint_dir)
+        store = kwargs.get("store") or CheckpointStore(checkpoint_dir)
         if store.latest_round() is not None:
             fc = store.read_counters(0).get("counters", {}).get("filter_config")
             if fc:
@@ -167,7 +169,7 @@ class CrawlScheduler:
                 else:
                     cfg.bloom_bits = fc["m_bits"]
                     cfg.bloom_k = fc["k"]
-        return cls(spark, documents, checkpoint_dir, cfg, robots)
+        return cls(spark, documents, checkpoint_dir, cfg, robots, **kwargs)
 
     def _apply_crawl_delay(self, hs: DataFrame) -> DataFrame:
         """Override a fresh host's min_delay_seconds with its robots.txt

@@ -93,3 +93,59 @@ def test_two_phase_topk_equals_plain_window(spark):
         r["url"] for r in split.collect()
     )
     assert plan.filter(F.col("n_salt") > 1).count() >= 1
+
+
+def test_soak_round3_features_together(spark, tmp_path):
+    """Round-3 features combined: wall-clock politeness under a stepping
+    forced clock, robots Crawl-delay overriding one host's budget, PSL
+    domain budget, auto-compaction WITH expiry — determinism (two-run
+    equality) must survive the whole stack."""
+    import os
+
+    from cord19_crawler_spark.frontier.psl import load_psl
+    from cord19_crawler_spark.frontier.robots import parse_robots_txt
+
+    docs = generate_documents(spark, 400, partitions=4).cache()
+    robots = parse_robots_txt(spark.createDataFrame(
+        [
+            ("host1.example.com", "User-agent: *\nDisallow: /\n"),
+            ("host2.example.com", "User-agent: *\nCrawl-delay: 1000\n"),
+        ],
+        "host string, robots_txt string",
+    ))
+
+    def cfg():
+        return SchedulerConfig(
+            batch_size=25, seen_partitions=4, bloom_bits=1 << 16,
+            min_delay_rounds=0, max_in_flight=6, min_delay_seconds=20.0,
+            compact_every=3, expire_on_compact=True,
+            extra={"budget_key": "domain"},
+        )
+
+    def drive(path):
+        t = {"v": 0.0}
+
+        def clock():
+            t["v"] += 30.0  # one tick per round: default hosts re-eligible
+            return t["v"]
+
+        s = CrawlScheduler(spark, docs, path, cfg(), robots=robots,
+                           clock=clock, psl=load_psl(spark))
+        s.run(6, seeds=seed_urls(spark, 14, 400))
+        return s
+
+    s = drive(str(tmp_path / "a"))
+    order = s.crawl_order()
+    urls = [u for _, _, u in order]
+    assert urls and len(urls) == len(set(urls))  # never re-scheduled
+    assert not any("host1.example.com" in u for u in urls)  # robots deny
+    # Crawl-delay 1000 ≫ clock range: host2 scheduled in at most one round
+    h2_rounds = {r for r, _, u in order if "host2.example.com" in u}
+    assert len(h2_rounds) <= 1
+    # expiry ran at the compaction points: early round dirs reclaimed
+    assert not os.path.isdir(os.path.join(str(tmp_path / "a"), "round=1"))
+    assert os.path.isdir(os.path.join(str(tmp_path / "a"), "round=0"))
+    # the full stack stays deterministic
+    s2 = drive(str(tmp_path / "b"))
+    assert s2.crawl_order() == order
+    assert s2.seen_set() == s.seen_set()
