@@ -65,13 +65,31 @@ def canonicalize_one(url: str) -> str | None:
     return urlunsplit((scheme, netloc, path, query, ""))
 
 
-# Fast-path grammar: scheme://host[:port]/path with NO userinfo, query or
+# Fast-path grammar: scheme://host[:port]/path[?query] with NO userinfo or
 # percent-weirdness (fragment allowed — it's dropped). Everything else takes
 # the exact per-row kernel. Batch-equality with canonicalize_one is pinned by
 # tests/test_urls.py (example + property tests).
 _SIMPLE_URL_RE = re.compile(
-    r"(?i)^(https?)://([A-Za-z0-9.\-]+)(?::(\d{1,5}))?(/[^?#]*)?(?:#.*)?$"
+    r"(?i)^(https?)://([A-Za-z0-9.\-]+)(?::(\d{1,5}))?(/[^?#]*)?"
+    r"(?:\?([^#]*))?(?:#.*)?$"
 )
+
+# A query whose every param is `safe-key=safe-value` round-trips IDENTICALLY
+# through parse_qsl + urlencode (no +, %, ;, stray =, or missing '=', which
+# would re-encode differently) — such queries only need a (key, value) sort.
+_SAFE_QUERY_RE = re.compile(
+    r"^[A-Za-z0-9_.\-~]+=[A-Za-z0-9_.\-~]*"
+    r"(?:&[A-Za-z0-9_.\-~]+=[A-Za-z0-9_.\-~]*)*$"
+)
+
+
+def _sort_safe_query(q: str) -> str:
+    # sort by (key, value) TUPLES — lexicographic sort of the raw "k=v"
+    # strings would order "a2=b" before "a=b" ('2' < '='), diverging from
+    # urlencode(sorted(parse_qsl(...)))
+    return "&".join(
+        "=".join(kv) for kv in sorted(p.split("=", 1) for p in q.split("&"))
+    )
 
 
 def _canonicalize_series(urls: pd.Series) -> pd.Series:
@@ -94,7 +112,17 @@ def _canonicalize_series(urls: pd.Series) -> pd.Series:
         (scheme == "https") & (port_num == 443)
     )
     port_ok = ~has_port | (port_num <= 65535)
-    simple = ex[0].notna() & host.notna() & host.ne("") & port_ok
+    # query handling: absent/empty queries drop; "safe" queries (plain
+    # k=v&k=v grammar — the overwhelming crawl case) need only a (key,
+    # value) param sort, done on single-param rows with zero work and on
+    # multi-param rows with a cheap split-sort (no urlsplit); anything
+    # percent-encoded or structurally odd falls to the exact kernel
+    qs = ex[4]
+    has_q = qs.notna() & qs.ne("")
+    q_safe = ~has_q
+    if has_q.any():
+        q_safe = q_safe | qs.fillna("").str.match(_SAFE_QUERY_RE)
+    simple = ex[0].notna() & host.notna() & host.ne("") & port_ok & q_safe
     # rebuild the port from its NUMERIC value (urlsplit semantics: '0443'
     # parses to 443 and default-strips)
     netloc = host.where(
@@ -105,6 +133,15 @@ def _canonicalize_series(urls: pd.Series) -> pd.Series:
     )
     path = ex[3].where(ex[3].notna() & ex[3].ne(""), "/")
     fast = scheme.str.cat(netloc, sep="://").str.cat(path)
+    if has_q.any():
+        multi = has_q & q_safe & qs.str.contains("&", regex=False)
+        canon_q = qs.where(~multi)
+        if multi.any():
+            canon_q = canon_q.astype("object")
+            canon_q.loc[multi] = qs[multi].map(_sort_safe_query)
+        fast = fast.where(
+            ~(has_q & q_safe), fast.str.cat(canon_q.fillna(""), sep="?")
+        )
     result = fast.where(simple)
     hard = ~simple
     if hard.any():

@@ -150,6 +150,14 @@ def test_vectorized_canonicalize_series_matches_per_row():
         # the batch fast path must agree (external seeds / sitemap locs)
         "http://a.com/pa\tth", "http://a\t.com/x", "http://a.com/x\r\n",
         "ht\ttp://a.com/x", "http://a.com/x?\tb=2&a=1",
+        # query grammar: safe k=v sorts vectorized; odd shapes go exact
+        "http://a.com/x?b=2&a=1", "http://a.com/x?a=1",
+        "http://a.com/x?a=1&a=0",            # dup keys kept, value-sorted
+        "http://a.com/x?a2=b&a=b",           # tuple sort ≠ string sort
+        "http://a.com/x?a=", "http://a.com/x?flag",       # blank value / no '='
+        "http://a.com/x?a=%20", "http://a.com/x?a=1&",    # percent / empty part
+        "http://a.com/x?=v", "http://a.com/x?a=b=c",      # empty key / stray '='
+        "http://a.com/x?a+b=c", "HTTP://A.com:080/x?b=2&a=1#f",
     ]
     s = pd.Series(cases, dtype="object")
     got = list(_canonicalize_series(s))
@@ -175,3 +183,21 @@ def test_vectorized_canonicalize_property(raw):
     url = "https://" + raw
     got = _canonicalize_series(pd.Series([url, raw], dtype="object"))
     assert list(got) == [canonicalize_one(url), canonicalize_one(raw)]
+
+
+@_settings(max_examples=300, deadline=None)
+@_given(_st.text(alphabet="ab=&%+;2._-~", min_size=0, max_size=24))
+def test_vectorized_canonicalize_query_property(q):
+    """PROPERTY focused on the query grammar: the batch kernel must agree
+    with canonicalize_one for ANY query string shape (safe-sortable,
+    percent-encoded, missing '=', duplicate keys, stray separators)."""
+    import pandas as pd
+
+    from cord19_crawler_spark.functions.urls import (
+        _canonicalize_series,
+        canonicalize_one,
+    )
+
+    url = "http://h.example.com/p?" + q
+    got = list(_canonicalize_series(pd.Series([url], dtype="object")))
+    assert got == [canonicalize_one(url)]
