@@ -150,10 +150,16 @@ def per_host_topk(
         if psl is not None:
             # proper registrable domain via the broadcast public-suffix
             # dimension (frontier/psl.py) — co.uk-style suffixes don't
-            # over-group; domain_of's last-two-labels is the PSL-less default
+            # over-group; domain_of's last-two-labels is the PSL-less
+            # default. Resolution runs over DISTINCT hosts (candidate-suffix
+            # explosion is O(hosts), not O(frontier rows)) and joins the
+            # tiny (host, domain) map back.
             from .psl import with_registrable_domain
 
-            work = with_registrable_domain(work, psl, "host", "_bkey")
+            host_map = with_registrable_domain(
+                work.select("host").distinct(), psl, "host", "_bkey"
+            )
+            work = work.join(host_map, "host", "left")
         else:
             work = work.withColumn("_bkey", domain_of(F.col("host")))
     else:

@@ -109,10 +109,16 @@ class CrawlScheduler:
         self.robots = robots
         # public-suffix dimension for budget_key="domain" (frontier/psl.py)
         self.psl = psl
-        # robots.txt Crawl-delay (parse_robots_txt emits it) feeds per-host
-        # wall-clock politeness; its presence alone turns the clock on
+        # robots.txt Crawl-delay (parse_robots_txt emits it) OVERRIDES a
+        # host's min_delay_seconds — but only when wall-clock mode is
+        # explicitly enabled via cfg.min_delay_seconds (use 0.0 for
+        # "directives only, no default delay"). The directive alone never
+        # flips the mode: rounds-only crawls must stay bit-identical across
+        # runs/resume, and wall-clock inherently reads a real clock.
         self._robots_delay = (
-            robots is not None and "crawl_delay" in robots.columns
+            robots is not None
+            and "crawl_delay" in robots.columns
+            and self.cfg.min_delay_seconds is not None
         )
         # fetch seam (frontier/fetch.py): batch DF -> documents DF. Default
         # is the corpus join; production slots an HTTP mapInPandas fetcher
@@ -366,32 +372,48 @@ class CrawlScheduler:
             return None
         return base_rnd
 
-    def _read_crawl_log(self, upto_rnd: int) -> DataFrame:
-        """FULL crawl log through round upto_rnd (compact-aware: cumulative
-        snapshot + trailing deltas, so expired round dirs are never read)."""
-        base_rnd = self._compact_base_for(upto_rnd, "crawl_log")
+    def _newer_cumulative_base(self, name: str) -> int | None:
+        """Newest snapshot (at ANY round) carrying ``name`` — the read path
+        for history BELOW the compaction point after expire() deleted the
+        per-round dirs (a cumulative table filtered by round answers any
+        prefix query)."""
+        base_rnd = self.store.latest_compact()
+        if base_rnd is not None and self.store.has_compact_table(base_rnd, name):
+            return base_rnd
+        return None
+
+    def _read_cumulative(
+        self, upto_rnd: int, compact_name: str, delta_name: str, round_col: str
+    ) -> DataFrame:
+        """Cumulative history table through round upto_rnd: snapshot +
+        trailing deltas when one exists at ≤ upto_rnd; a NEWER snapshot
+        filtered on ``round_col`` when the prefix rounds were expired;
+        plain delta union otherwise."""
+        base_rnd = self._compact_base_for(upto_rnd, compact_name)
         if base_rnd is None:
-            return self._read_deltas(upto_rnd, "crawl_log")
-        base = self.store.read_compact_table(self.spark, base_rnd, "crawl_log")
+            newer = self._newer_cumulative_base(compact_name)
+            if newer is not None and newer >= upto_rnd:
+                return self.store.read_compact_table(
+                    self.spark, newer, compact_name
+                ).filter(F.col(round_col) <= int(upto_rnd))
+            return self._read_deltas(upto_rnd, delta_name)
+        base = self.store.read_compact_table(self.spark, base_rnd, compact_name)
         if base_rnd == upto_rnd:
             return base
         return base.unionByName(
-            self._read_deltas(upto_rnd, "crawl_log", from_rnd=base_rnd + 1)
+            self._read_deltas(upto_rnd, delta_name, from_rnd=base_rnd + 1)
         )
+
+    def _read_crawl_log(self, upto_rnd: int) -> DataFrame:
+        """FULL crawl log through round upto_rnd (compact-aware: works for
+        any prefix even after expire() reclaimed the round dirs)."""
+        return self._read_cumulative(upto_rnd, "crawl_log", "crawl_log", "round")
 
     def _read_frontier_all(self, upto_rnd: int) -> DataFrame:
         """FULL frontier discovery log through round upto_rnd (compact-aware
         like _read_crawl_log; requeue needs original priorities/attempts)."""
-        base_rnd = self._compact_base_for(upto_rnd, "frontier_all")
-        if base_rnd is None:
-            return self._read_deltas(upto_rnd, "frontier_new")
-        base = self.store.read_compact_table(
-            self.spark, base_rnd, "frontier_all"
-        )
-        if base_rnd == upto_rnd:
-            return base
-        return base.unionByName(
-            self._read_deltas(upto_rnd, "frontier_new", from_rnd=base_rnd + 1)
+        return self._read_cumulative(
+            upto_rnd, "frontier_all", "frontier_new", "discovered_round"
         )
 
     def _read_pending(self, upto_rnd: int) -> DataFrame:
@@ -513,7 +535,7 @@ class CrawlScheduler:
         #    predicate is a plan constant (deterministic within the round).
         now = (
             float(self.clock())
-            if (self.cfg.min_delay_seconds is not None or self._robots_delay)
+            if self.cfg.min_delay_seconds is not None
             else None
         )
         eligible = politeness.eligible_urls(pending, host_state, rnd, now=now)

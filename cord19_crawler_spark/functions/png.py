@@ -32,10 +32,16 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(data: bytes) -> np.ndarray:
+def decode_png(data: bytes, max_pixel_bytes: int = 1 << 28) -> np.ndarray:
     """PNG bytes → uint8 array of shape (h, w) for grayscale or
     (h, w, channels) for RGB/RGBA. Raises PngError on malformed or
-    unsupported input (record-level fail-loud; callers catch per row)."""
+    unsupported input (record-level fail-loud; callers catch per row).
+
+    Decompression-bomb safe: the declared IHDR dimensions are capped at
+    ``max_pixel_bytes`` BEFORE any allocation, and the IDAT inflate is
+    bounded to the declared pixel size — a tiny crafted record raises
+    PngError instead of OOMing the executor (the per-row error contract
+    decode_mode='real' promises)."""
     if data[:8] != _SIG:
         raise PngError("not a PNG (bad signature)")
     pos = 8
@@ -67,9 +73,20 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if width is None or channels is None:
         raise PngError("missing IHDR")
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) < height * (stride + 1):
+    expected = height * (stride + 1)
+    if expected > max_pixel_bytes:
+        raise PngError(
+            f"declared dimensions {width}x{height}x{channels} exceed "
+            f"max_pixel_bytes={max_pixel_bytes}"
+        )
+    # bounded inflate: never materialize more than the declared pixel size
+    # (+1 so over-long streams are detected), whatever the IDAT expands to
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) > expected:
+        raise PngError("pixel data exceeds declared dimensions")
+    if len(raw) < expected:
         raise PngError("truncated pixel data")
     out = np.empty((height, stride), dtype=np.uint8)
     prev = bytearray(stride)

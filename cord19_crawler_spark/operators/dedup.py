@@ -362,6 +362,10 @@ def lsh_bucket_plan(
     collide = p**b
     if collide >= 1.0:
         return b, 1
+    if target_recall >= 1.0:
+        # exhaustive recall is asymptotic for LSH — cap at max_tables
+        # instead of log(0)
+        return b, max_tables
     tables = math.ceil(
         math.log(1.0 - target_recall) / math.log(1.0 - collide)
     )

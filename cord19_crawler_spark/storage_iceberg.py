@@ -78,12 +78,17 @@ def append_round_sql(table: str, rnd: int, source_view: str) -> str:
 
 
 def overwrite_round_sql(table: str, rnd: int, source_view: str) -> str:
-    """Dynamic-partition overwrite of ONE round's partition — the idempotent
-    re-commit path after a mid-commit crash (Iceberg INSERT OVERWRITE with
-    dynamic mode replaces only partitions present in the source)."""
+    """Overwrite ONE round's partition — the idempotent re-commit path
+    after a mid-commit crash. The partition is named with an EXPLICIT
+    static ``PARTITION (_round = k)`` clause: unlike a bare INSERT
+    OVERWRITE (whose scope depends on
+    ``spark.sql.sources.partitionOverwriteMode`` — under the default
+    static mode it would truncate the WHOLE table), a static partition
+    spec replaces exactly that partition in every mode."""
     return (
         f"INSERT OVERWRITE {_check_ident(table)} "
-        f"SELECT *, {int(rnd)} AS {ROUND_COL} FROM {_check_ident(source_view)}"
+        f"PARTITION ({ROUND_COL} = {int(rnd)}) "
+        f"SELECT * FROM {_check_ident(source_view)}"
     )
 
 

@@ -57,8 +57,10 @@ def test_expiry_reclaims_rounds_bit_identical(spark, tmp_path):
     assert os.path.isdir(os.path.join(root, "round=0"))
     assert os.path.isdir(os.path.join(root, "round=3"))
 
-    # every reader still sees the full history
+    # every reader still sees the full history — including a prefix query
+    # ENTIRELY below the expiry point (served by the cumulative snapshot)
     assert ex.crawl_order() == plain.crawl_order(upto_round=3)
+    assert ex.crawl_order(upto_round=2) == plain.crawl_order(upto_round=2)
     ex.run(5)  # resume over the expired checkpoint
     assert ex.crawl_order() == plain.crawl_order()
     assert ex.seen_set() == plain.seen_set()

@@ -158,3 +158,32 @@ def test_real_resize_roundtrips_pixels(spark):
         dim=8, decode_mode="real",
     ).collect()
     assert feats[0]["decode_status"] == "ok" and len(feats[0]["feature"]) == 8
+
+
+def test_png_decompression_bomb_rejected():
+    """A tiny crafted PNG whose IDAT inflates enormously (or whose IHDR
+    declares absurd dimensions) raises PngError BEFORE any large
+    allocation — per-row containment, not an executor OOM."""
+    # absurd declared dimensions: rejected before touching the IDAT
+    ihdr = struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 2, 0, 0, 0)
+    def chunk(ctype, payload):
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF))
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 1000)) + chunk(b"IEND", b""))
+    with pytest.raises(PngError, match="max_pixel_bytes"):
+        decode_png(bomb)
+    # plausible dims but an over-long inflate stream: bounded + rejected
+    ihdr2 = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    overlong = zlib.compress(b"\x00" * (4 * 5 + 10_000))
+    bomb2 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr2)
+             + chunk(b"IDAT", overlong) + chunk(b"IEND", b""))
+    with pytest.raises(PngError, match="exceeds declared"):
+        decode_png(bomb2)
+
+
+def test_lsh_bucket_plan_full_recall_clamps():
+    from cord19_crawler_spark.operators.dedup import lsh_bucket_plan
+
+    b, tables = lsh_bucket_plan(1_000_000, target_recall=1.0, max_tables=32)
+    assert b >= 1 and tables == 32  # capped, not math-domain-error

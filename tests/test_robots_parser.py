@@ -115,3 +115,31 @@ def test_crawl_delay_drives_scheduler_politeness(spark, tmp_path):
     sched.run(3)
     r3_hosts = {u.split("/")[2] for r, _, u in sched.crawl_order() if r == 3}
     assert "host0.example.com" in r3_hosts
+
+
+def test_crawl_delay_never_flips_rounds_mode(spark, tmp_path):
+    """A robots dimension carrying Crawl-delay must NOT silently switch a
+    rounds-only crawl into wall-clock mode: the clock is never read (it
+    raises here) and committed host_state carries no fetch timestamps —
+    bit-identical determinism is preserved unless min_delay_seconds opts in."""
+    from cord19_crawler_spark.datagen import generate_documents, seed_urls
+    from cord19_crawler_spark.frontier import CrawlScheduler, SchedulerConfig
+
+    docs = generate_documents(spark, 150, partitions=2).cache()
+    robots = parse_robots_txt(spark.createDataFrame(
+        [("host0.example.com", "User-agent: *\nCrawl-delay: 5\n")],
+        "host string, robots_txt string",
+    ))
+
+    def forbidden_clock():
+        raise AssertionError("clock read in rounds-only mode")
+
+    s = CrawlScheduler(
+        spark, docs, str(tmp_path / "ck"),
+        SchedulerConfig(batch_size=15, seen_partitions=2, bloom_bits=1 << 14),
+        robots=robots, clock=forbidden_clock,
+    )
+    out = s.run(2, seeds=seed_urls(spark, 8, 150))
+    assert all(c["scheduled"] > 0 for c in out)
+    hs = s._read_host_state(2)
+    assert hs.filter(hs.last_fetch_ts.isNotNull()).count() == 0

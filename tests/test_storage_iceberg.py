@@ -21,8 +21,12 @@ def test_sql_builders():
     assert append_round_sql("crawl.f.url_seen_new", 7, "v") == (
         "INSERT INTO crawl.f.url_seen_new SELECT *, 7 AS _round FROM v"
     )
+    # static PARTITION clause: replaces exactly one round in EVERY
+    # partitionOverwriteMode (a bare INSERT OVERWRITE would truncate the
+    # whole table under the default static mode)
     assert overwrite_round_sql("crawl.f.crawl_log", 3, "batch_v") == (
-        "INSERT OVERWRITE crawl.f.crawl_log SELECT *, 3 AS _round FROM batch_v"
+        "INSERT OVERWRITE crawl.f.crawl_log PARTITION (_round = 3) "
+        "SELECT * FROM batch_v"
     )
     assert create_state_table_sql("crawl.f.frontier_new", "url string") == (
         "CREATE TABLE IF NOT EXISTS crawl.f.frontier_new (url string, "
