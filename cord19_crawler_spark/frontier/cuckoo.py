@@ -78,8 +78,17 @@ class CuckooSeenFilter:
         )
 
         def _probe(cand: pd.DataFrame, st: pd.DataFrame) -> pd.DataFrame:
-            if cand.empty or st.empty:
-                return cand.assign(maybe_seen=np.zeros(len(cand), dtype=bool))
+            if cand.empty:
+                return cand.assign(maybe_seen=np.zeros(0, dtype=bool))
+            if st.empty:
+                # mirror seen.py: a geometry mismatch must be LOUD — a
+                # silent maybe_seen=False re-admits already-seen URLs
+                raise ValueError(
+                    "cuckoo probe: no filter state for partition "
+                    f"{int(cand['partition'].iloc[0])} — candidate "
+                    "partitioning does not match the committed filter "
+                    "geometry (seen_partitions mismatch?)"
+                )
             table = self._table(bytes(st["bitset"].iloc[0]))
             ids = cand["url_id"].to_numpy()
             fps = _fingerprints(ids)

@@ -80,8 +80,20 @@ class BloomSeenFilter:
         )
 
         def _probe(cand: pd.DataFrame, st: pd.DataFrame) -> pd.DataFrame:
-            if cand.empty or st.empty:
-                return cand.assign(maybe_seen=np.zeros(len(cand), dtype=bool))
+            if cand.empty:
+                return cand.assign(maybe_seen=np.zeros(0, dtype=bool))
+            if st.empty:
+                # a candidate partition with NO filter state means the
+                # candidates were partitioned under a different geometry
+                # than the committed filter — returning maybe_seen=False
+                # here would silently re-admit already-seen URLs, the one
+                # failure this module must never allow quietly
+                raise ValueError(
+                    "bloom probe: no filter state for partition "
+                    f"{int(cand['partition'].iloc[0])} — candidate "
+                    "partitioning does not match the committed filter "
+                    "geometry (seen_partitions mismatch?)"
+                )
             bits = np.unpackbits(
                 np.frombuffer(bytes(st["bitset"].iloc[0]), dtype=np.uint8)
             )

@@ -131,12 +131,15 @@ def compress_postings_df(postings: DataFrame) -> DataFrame:
 
     def _compress(pdf: pd.DataFrame) -> pd.DataFrame:
         word = pdf["word"].iloc[0]
-        ids = pdf["doc_int_id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
+        # compress_posting_list owns the doc-id ordering (it sorts ids and
+        # aligns freqs itself) — pre-sorting here would just triple the
+        # sort work per word
         blob = compress_posting_list(
-            ids[order].tolist(), pdf["tf"].to_numpy()[order].tolist()
+            pdf["doc_int_id"].tolist(), pdf["tf"].tolist()
         )
-        return pd.DataFrame({"word": [word], "blob": [blob], "n_docs": [len(ids)]})
+        return pd.DataFrame(
+            {"word": [word], "blob": [blob], "n_docs": [len(pdf)]}
+        )
 
     return postings.groupBy("word").applyInPandas(_compress, schema=_ENC_SCHEMA)
 

@@ -52,13 +52,24 @@ def discovered_links_stream(doc_stream: DataFrame, span_cap: int = 50) -> DataFr
 
 
 def run_ingest_available_now(
-    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    span_cap: int = 50,
 ) -> None:
     """Drain all currently-available files into the discoveries sink, then
     stop. Exactly-once via the streaming file-sink commit log + checkpoint;
     re-running after new files land processes ONLY the new files (the
-    incremental-ingest semantics the frontier merge needs)."""
-    links = discovered_links_stream(read_document_stream(spark, input_dir))
+    incremental-ingest semantics the frontier merge needs).
+
+    ``span_cap`` MUST match the crawl's ``SchedulerConfig.span_cap`` —
+    streaming and batch walking different span prefixes would make
+    streaming-discovered links diverge from what a batch-only crawl could
+    ever find (batch/streaming equivalence)."""
+    links = discovered_links_stream(
+        read_document_stream(spark, input_dir), span_cap=span_cap
+    )
     q = (
         links.writeStream.format("parquet")
         .option("path", output_dir)

@@ -46,28 +46,27 @@ def _dedup_group(
 ) -> Iterator[pd.DataFrame]:
     seen: set[str] = set(state.get[0]) if state.exists else set()
     for pdf in pdfs:
-        novel_rows = []
-        for _, row in pdf.iterrows():
-            u = row["url"]
-            if u not in seen:
-                seen.add(u)
-                novel_rows.append(row)
-        if novel_rows:
-            out = pd.DataFrame(novel_rows)
-            yield out[["partition", "url", "url_id", "host"]]
+        # vectorized first-occurrence filter: isin mask against state +
+        # drop_duplicates(keep='first') within the batch — identical
+        # semantics to a per-row loop, no Python-level row iteration
+        novel = pdf.loc[~pdf["url"].isin(seen)].drop_duplicates("url")
+        if len(novel):
+            seen.update(novel["url"])
+            yield novel[["partition", "url", "url_id", "host"]]
     state.update((sorted(seen),))
 
 
 def first_seen_urls(link_stream: DataFrame, n_partitions: int = 8) -> DataFrame:
     """Streaming first-occurrence filter over (url, url_id, host) links.
 
-    Groups by the url-hash partition (same formula as the batch seen set) so
-    state shards evenly; emits each canonical URL exactly once across the
+    Groups by the url-hash partition (literally the batch seen set's
+    ``with_partition`` — one formula, no comment-enforced drift) so state
+    shards evenly; emits each canonical URL exactly once across the
     lifetime of the stream (state survives restarts via the checkpoint).
     """
-    with_part = link_stream.withColumn(
-        "partition", F.pmod(F.col("url_id"), F.lit(n_partitions)).cast("int")
-    )
+    from ..frontier.seen import with_partition
+
+    with_part = with_partition(link_stream, n_partitions)
     return with_part.groupBy("partition").applyInPandasWithState(
         _dedup_group,
         outputStructType=OUTPUT_SCHEMA,

@@ -65,3 +65,24 @@ def test_scheduler_identical_under_cuckoo(spark, tmp_path):
     s_cuckoo.run(3, seeds=seed_urls(spark, 8, 200))
     assert s_bloom.crawl_order() == s_cuckoo.crawl_order()
     assert s_bloom.seen_set() == s_cuckoo.seen_set()
+
+
+def test_probe_geometry_mismatch_is_loud(spark):
+    """Probing candidates partitioned under a DIFFERENT geometry than the
+    committed filter must raise, not silently return maybe_seen=False
+    (which would re-admit already-seen URLs past the bloom fast path)."""
+    import pytest
+
+    from cord19_crawler_spark.frontier.seen import BloomSeenFilter, with_partition
+
+    f8 = BloomSeenFilter(n_partitions=8, m_bits=1 << 12, k=3)
+    urls = spark.createDataFrame(
+        [(f"https://h{i}.com/x",) for i in range(60)], "url string"
+    ).withColumn("url_id", F.xxhash64("url"))
+    state8 = f8.insert(with_partition(urls, 8), f8.empty_state(spark))
+    mis = with_partition(urls, 16)  # 16-way candidates vs 8-way state
+    with pytest.raises(Exception, match="filter state for partition"):
+        f8.probe(mis, state8).collect()
+    # matched geometry still probes cleanly
+    ok = f8.probe(with_partition(urls, 8), state8)
+    assert ok.filter("maybe_seen").count() == 60
