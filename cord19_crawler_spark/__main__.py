@@ -106,7 +106,10 @@ def _cmd_index(args: argparse.Namespace) -> None:
             "doc_id",
             F.array_join(
                 F.transform(
-                    F.filter(F.col("spans"), lambda s: s["kind"] == "text"),
+                    F.filter(
+                        F.col("spans"),
+                        lambda s: (s["kind"] != "media") & s["text"].isNotNull(),
+                    ),
                     lambda s: s["text"],
                 ),
                 " ",

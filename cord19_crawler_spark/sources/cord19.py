@@ -77,7 +77,11 @@ def read_tar_json_members(spark: SparkSession, tar_glob: str) -> DataFrame:
                         f = tf.extractfile(member)
                         if f is None:
                             continue
-                        names.append(os.path.basename(member.name).replace(".json", ""))
+                        # strip both '.json' and '.xml' so PMC parse members
+                        # ('PMC35282.xml.json') normalize to the pmcid key,
+                        # matching the reference (src/crawler.py:111)
+                        base = os.path.basename(member.name)
+                        names.append(base.replace(".json", "").replace(".xml", ""))
                         bodies.append(f.read().decode("utf-8", errors="replace"))
                 yield pd.DataFrame({"member_name": names, "json_str": bodies})
 
@@ -85,22 +89,43 @@ def read_tar_json_members(spark: SparkSession, tar_glob: str) -> DataFrame:
 
 
 def read_metadata_csv(spark: SparkSession, path: str) -> DataFrame:
-    """S2: metadata.csv scan (header, explicit columns the reference uses)."""
-    return spark.read.csv(path, header=True).select(
-        "cord_uid", "sha", "title", "abstract", "pdf_json_files", "pmc_json_files"
+    """S2: metadata.csv scan (header, the columns the reference consumes).
+
+    ``multiLine=True`` + quote escaping: CORD-19 abstracts/titles contain
+    embedded newlines inside quoted fields — without it each physical line
+    parses as a record and those rows shred into garbage mappings."""
+    return (
+        spark.read.option("multiLine", True)
+        .option("escape", '"')
+        .csv(path, header=True)
+        .select("cord_uid", "sha", "pmcid", "title", "abstract")
     )
 
 
 def sha_lookup(metadata: DataFrame) -> DataFrame:
-    """P6: one row per sha — ``row['sha'].split(';')``
-    (src/crawler.py:93-95) as explode(split)."""
-    return metadata.select(
-        F.explode(F.split(F.col("sha"), ";")).alias("sha_raw"),
+    """P6: one row per parse-file key. The reference registers BOTH the
+    ';'-split shas AND the pmcid for every paper (src/crawler.py:93-95:
+    ``meta_lookup[s.strip()] = row`` and ``meta_lookup[row['pmcid']] =
+    row``), so PMC-only papers resolve too. explode(split) ∪ pmcid rows;
+    blanks dropped; a key claimed by several papers keeps the first
+    (min cord_uid) — one lookup row per key like the reference dict."""
+    sha_rows = metadata.select(
+        F.explode(F.split(F.col("sha"), ";")).alias("key_raw"),
         "cord_uid",
         "title",
-    ).select(F.trim(F.col("sha_raw")).alias("sha"), "cord_uid", "title").filter(
-        F.col("sha") != ""
     )
+    pmc_rows = metadata.select(
+        F.col("pmcid").alias("key_raw"), "cord_uid", "title"
+    )
+    keys = (
+        sha_rows.unionByName(pmc_rows)
+        .select(F.trim(F.col("key_raw")).alias("sha"), "cord_uid", "title")
+        .filter(F.col("sha").isNotNull() & (F.col("sha") != ""))
+    )
+    first = keys.groupBy("sha").agg(
+        F.min(F.struct("cord_uid", "title")).alias("m")
+    )
+    return first.select("sha", F.col("m.cord_uid").alias("cord_uid"), F.col("m.title").alias("title"))
 
 
 def parse_and_join(tar_docs: DataFrame, metadata: DataFrame) -> DataFrame:
@@ -113,11 +138,25 @@ def parse_and_join(tar_docs: DataFrame, metadata: DataFrame) -> DataFrame:
     parsed = tar_docs.withColumn(
         "doc", F.from_json(F.col("json_str"), CORD19_JSON_SCHEMA)
     )
-    return parsed.join(
+    joined = parsed.join(
         sha_lookup(metadata),
         parsed.member_name == F.col("sha"),
         "inner",
-    ).select("cord_uid", "title", "doc")
+    ).select("cord_uid", "title", "doc", "member_name")
+    # one document per paper: a paper with several parses (pdf sha + pmc
+    # file) must not yield duplicate doc_ids — the reference skips dups
+    # ('if doc_id in forward_index: continue', src/index.py:62-63). Keep the
+    # lexicographically-first parse (deterministic; the reference keeps tar
+    # arrival order). Window partitioned by cord_uid — shuffles on the doc
+    # key, no global sort.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cord_uid").orderBy("member_name")
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cord_uid", "title", "doc")
+    )
 
 
 def to_interleaved_documents(joined: DataFrame, span_cap: int = 50) -> DataFrame:
@@ -187,7 +226,10 @@ def write_corpus_csv(documents: DataFrame, path: str, span_cap: int = 50) -> Non
             F.transform(
                 F.filter(
                     F.slice(F.col("spans"), 1, span_cap),
-                    lambda s: s["kind"] == "text",
+                    # text-bearing spans: WARC docs use kind='text', cord19
+                    # docs use title/abstract/body — everything except media
+                    # spans (which carry no text) is corpus text
+                    lambda s: (s["kind"] != "media") & s["text"].isNotNull(),
                 ),
                 lambda s: s["text"],
             ),

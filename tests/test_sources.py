@@ -10,19 +10,34 @@ from cord19_crawler_spark.sources.cord19 import ingest_cord19
 
 def _make_fixture(tmp_path):
     docs = {
-        "shaA": {
+        "pdf_json/shaA.json": {
             "paper_id": "shaA",
             "metadata": {"title": "Title A"},
             "abstract": [{"text": "abs A1"}, {"text": "abs A2"}],
             "body_text": [{"text": f"body A{i}"} for i in range(60)],  # > cap
         },
-        "shaB": {
+        # second parse of the SAME paper (sha ';' list) — must NOT produce a
+        # duplicate doc_id (reference skips dups, src/index.py:62-63)
+        "pdf_json/shaA2.json": {
+            "paper_id": "shaA2",
+            "metadata": {"title": "Title A dup parse"},
+            "abstract": [],
+            "body_text": [{"text": "dup body"}],
+        },
+        "pdf_json/shaB.json": {
             "paper_id": "shaB",
             "metadata": {"title": None},
             "abstract": [],
             "body_text": [{"text": "body B0 http://X.com/b"}],
         },
-        "shaZ": {  # not in metadata → dropped by the inner join
+        # PMC-only paper: member key comes from the pmcid (.xml.json strip)
+        "pmc_json/PMC35282.xml.json": {
+            "paper_id": "PMC35282",
+            "metadata": {"title": None},
+            "abstract": [],
+            "body_text": [{"text": "pmc body C"}],
+        },
+        "pdf_json/shaZ.json": {  # not in metadata → dropped by the inner join
             "paper_id": "shaZ",
             "metadata": {"title": "orphan"},
             "abstract": [],
@@ -31,9 +46,9 @@ def _make_fixture(tmp_path):
     }
     tar_path = tmp_path / "parses.tar.gz"
     with tarfile.open(tar_path, "w:gz") as tf:
-        for sha, payload in docs.items():
+        for member_name, payload in docs.items():
             body = json.dumps(payload).encode()
-            info = tarfile.TarInfo(name=f"pdf_json/{sha}.json")
+            info = tarfile.TarInfo(name=member_name)
             info.size = len(body)
             tf.addfile(info, io.BytesIO(body))
         # non-json member must be skipped
@@ -41,10 +56,13 @@ def _make_fixture(tmp_path):
         info.size = 2
         tf.addfile(info, io.BytesIO(b"hi"))
     meta_path = tmp_path / "metadata.csv"
+    # uidC's title contains an embedded newline inside the quoted field —
+    # requires multiLine CSV parsing (real CORD-19 metadata has these)
     meta_path.write_text(
-        "cord_uid,sha,title,abstract,pdf_json_files,pmc_json_files\n"
-        "uidA,shaA; shaA2,Meta Title A,absA,pdf/a.json,\n"
-        "uidB,shaB,Meta Title B,absB,pdf/b.json,\n"
+        "cord_uid,sha,pmcid,title,abstract\n"
+        "uidA,shaA; shaA2,,Meta Title A,absA\n"
+        "uidB,shaB,,Meta Title B,absB\n"
+        'uidC,,PMC35282,"Title C\nsecond line",absC\n'
     )
     return str(tar_path), str(meta_path)
 
@@ -52,10 +70,15 @@ def _make_fixture(tmp_path):
 def test_ingest_cord19_end_to_end(spark, tmp_path):
     tar_path, meta_path = _make_fixture(tmp_path)
     docs = ingest_cord19(spark, tar_path, meta_path, span_cap=50)
-    rows = {r["doc_id"]: r["spans"] for r in docs.collect()}
-    assert set(rows) == {"uidA", "uidB"}  # orphan sha dropped by join
+    collected = docs.collect()
+    rows = {r["doc_id"]: r["spans"] for r in collected}
+    # orphan sha dropped by join; PMC-only paper kept; NO duplicate doc_ids
+    # even though uidA has two parse members (shaA + shaA2)
+    assert set(rows) == {"uidA", "uidB", "uidC"}
+    assert len(collected) == 3
 
     a = rows["uidA"]
+    # the deterministic keeper is the lexicographically-first parse (shaA),
     # span order: title → abstract → body; cap at 50 (reference
     # src/crawler.py:59-82, cap at :80)
     assert len(a) == 50
@@ -71,6 +94,12 @@ def test_ingest_cord19_end_to_end(spark, tmp_path):
     assert b[0]["text"] == "Meta Title B"
     assert b[1]["text"] == "body B0 http://X.com/b"
 
+    c = rows["uidC"]
+    # PMC-only paper (matched via pmcid, '.xml.json' stripped); metadata
+    # title with the embedded newline survives multiLine CSV parsing
+    assert c[0]["text"] == "Title C\nsecond line"
+    assert c[1]["text"] == "pmc body C"
+
 
 def test_multi_sha_split(spark, tmp_path):
     from cord19_crawler_spark.sources.cord19 import read_metadata_csv, sha_lookup
@@ -78,7 +107,8 @@ def test_multi_sha_split(spark, tmp_path):
     _, meta_path = _make_fixture(tmp_path)
     lut = sha_lookup(read_metadata_csv(spark, meta_path)).collect()
     shas = {r["sha"] for r in lut}
-    assert {"shaA", "shaA2", "shaB"} == shas  # ';' split + trim
+    # ';' split + trim, plus pmcid keys (reference registers both)
+    assert {"shaA", "shaA2", "shaB", "PMC35282"} == shas
 
 
 def test_csv_corpus_sink_roundtrip(spark, tmp_path):
@@ -97,6 +127,12 @@ def test_csv_corpus_sink_roundtrip(spark, tmp_path):
         Row(doc_id="d2", spans=[
             Row(kind="text", text="only, one \"quoted\"", media_ref=None, offset=0),
         ]),
+        # cord19-style interleaved kinds must export too (not just 'text')
+        Row(doc_id="d3", spans=[
+            Row(kind="title", text="T3", media_ref=None, offset=0),
+            Row(kind="abstract", text="A3", media_ref=None, offset=1),
+            Row(kind="body", text="B3", media_ref=None, offset=2),
+        ]),
     ])
     out = str(tmp_path / "corpus_csv")
     write_corpus_csv(docs, out)
@@ -104,6 +140,7 @@ def test_csv_corpus_sink_roundtrip(spark, tmp_path):
     rows = {r["doc_id"]: r for r in back.collect()}
     assert rows["d1"]["text"] == "hello world" and rows["d1"]["n_spans"] == "3"
     assert rows["d2"]["text"] == 'only, one "quoted"'  # csv quoting survives
+    assert rows["d3"]["text"] == "T3 A3 B3"
 
 
 def test_title_truncation(spark):
