@@ -658,26 +658,38 @@ FROM orders WHERE o_custkey < 50
 # 2. Search-engine family (documents table): lexicon, postings, TF-IDF, ...
 # ---------------------------------------------------------------------------
 
-_TOKENS_CTE = """
+def _stops_sql() -> str:
+    from cord19_crawler_spark.functions.text import STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+# Mirrors indexing.tokens_from_text EXACTLY (the library index tokenizer):
+# [a-z0-9]{2,} runs from lowercased text (punctuation splits off, like the
+# reference's spaCy + is_punct drop), pos assigned BEFORE the drop filters,
+# then standalone digit runs and stopwords dropped (is_stop/like_num,
+# reference src/crawler.py:190-193).
+_TOKENS_CTE = f"""
 tokens AS (
   SELECT doc_id, CAST(t.pos - 1 AS INTEGER) AS pos, t.word
   FROM (
-    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word,
-           generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]{{2,}}')) AS word,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]{{2,}}'), 1) AS pos
     FROM documents
   ) t(doc_id, word, pos)
-  WHERE length(t.word) >= 2 AND NOT regexp_matches(t.word, '^[0-9]+$')
+  WHERE NOT regexp_matches(t.word, '^[0-9]+$')
+    AND t.word NOT IN ({_stops_sql()})
 )
 """
 
 
 def _tokens(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    ex = d.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "word"),
-    )
-    return ex.filter((F.length("word") >= 2) & ~F.col("word").rlike(r"^\d+$"))
+    # the LIBRARY tokenizer, not a local replica — the driver gate then
+    # checks indexing.tokens_from_text itself against _TOKENS_CTE
+    from cord19_crawler_spark.operators.indexing import tokens_from_text
+
+    return tokens_from_text(_t(spark, sf_dir, "documents"))
 
 
 def lexicon_first_encounter(spark, sf_dir):
@@ -1772,8 +1784,7 @@ WITH base AS (
   FROM documents WHERE doc_id < 200
 ), m AS (
   SELECT doc_id, n, alpha, len(toks) AS n_toks,
-         len(list_distinct(list_filter(toks, t -> list_contains([{stops}], t))))
-           AS stop_hits
+         len(list_filter(toks, t -> list_contains([{stops}], t))) AS stop_hits
   FROM base
 )
 SELECT doc_id,
@@ -1950,16 +1961,16 @@ FROM m CROSS JOIN dims
 """
 
 
-_POS_DIST_SQL = """
+_POS_DIST_SQL = f"""
 WITH toks AS (
-  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]{2,}')) AS tok
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]{{2,}}')) AS tok
   FROM documents WHERE doc_id < 100
 )
-SELECT CASE WHEN regexp_matches(tok, '^[0-9]+$') THEN 'NUM'
-            WHEN tok LIKE '%ing' THEN 'VERB'
-            ELSE 'NOUN' END AS pos_tag,
+SELECT CASE WHEN tok LIKE '%ing' THEN 'VERB' ELSE 'NOUN' END AS pos_tag,
        count(*) AS cnt
-FROM toks GROUP BY 1 ORDER BY cnt DESC, pos_tag
+FROM toks
+WHERE NOT regexp_matches(tok, '^[0-9]+$') AND tok NOT IN ({_stops_sql()})
+GROUP BY 1 ORDER BY cnt DESC, pos_tag
 """
 
 
@@ -1989,11 +2000,11 @@ WITH toks AS (
   FROM documents WHERE doc_id < 100
 )
 SELECT {_lemma_case_sql("tok")} AS lemma,
-       CASE WHEN regexp_matches(tok, '^[0-9]+$') THEN 'NUM'
-            WHEN tok LIKE '%ing' THEN 'VERB'
-            ELSE 'NOUN' END AS pos_tag,
+       CASE WHEN tok LIKE '%ing' THEN 'VERB' ELSE 'NOUN' END AS pos_tag,
        count(*) AS cnt
-FROM toks GROUP BY 1, 2
+FROM toks
+WHERE NOT regexp_matches(tok, '^[0-9]+$') AND tok NOT IN ({_stops_sql()})
+GROUP BY 1, 2
 """
 
 
@@ -2022,13 +2033,16 @@ WITH toks AS (
          unnest(regexp_extract_all(lower(text), '[a-z0-9]{{2,}}')) AS tok,
          generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]{{2,}}'), 1) AS ord
   FROM documents WHERE doc_id < 50
+), kept AS (
+  SELECT doc_id, tok, ord FROM toks
+  WHERE NOT regexp_matches(tok, '^[0-9]+$') AND tok NOT IN ({_stops_sql()})
 )
-SELECT doc_id, CAST(ord - 1 AS INTEGER) AS seq,
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1
+            AS INTEGER) AS seq,
        {_lemma_case_sql("tok")} AS lemma,
-       CASE WHEN regexp_matches(tok, '^[0-9]+$') THEN 'NUM'
-            WHEN tok LIKE '%ing' THEN 'VERB'
-            ELSE 'NOUN' END AS pos_tag
-FROM toks
+       CASE WHEN tok LIKE '%ing' THEN 'VERB' ELSE 'NOUN' END AS pos_tag
+FROM kept
 """
 
 
@@ -2071,11 +2085,10 @@ def index_stats_q(spark, sf_dir):
 _INDEX_STATS_SQL = f"""
 WITH {_TOKENS_CTE},
 postoks AS (
-  SELECT CASE WHEN regexp_matches(tok, '^[0-9]+$') THEN 'NUM'
-              WHEN tok LIKE '%ing' THEN 'VERB'
-              ELSE 'NOUN' END AS pos
+  SELECT CASE WHEN tok LIKE '%ing' THEN 'VERB' ELSE 'NOUN' END AS pos
   FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]{{2,}}')) AS tok
         FROM documents)
+  WHERE NOT regexp_matches(tok, '^[0-9]+$') AND tok NOT IN ({_stops_sql()})
 )
 SELECT
   (SELECT count(*) FROM documents) AS total_papers_indexed,
@@ -2184,9 +2197,10 @@ WITH assigned AS ({_BARREL_GREEDY_SQL})
 SELECT DISTINCT t.doc_id, a.barrel_id
 FROM (
   SELECT DISTINCT doc_id, word FROM (
-    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]{{2,}}')) AS word
     FROM documents
-  ) WHERE length(word) >= 2 AND NOT regexp_matches(word, '^[0-9]+$')
+  ) WHERE NOT regexp_matches(word, '^[0-9]+$')
+    AND word NOT IN ({_stops_sql()})
 ) t JOIN assigned a USING (word)
 """
 

@@ -82,17 +82,23 @@ def token_count(colname: str) -> Column:
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
+def _stop_hits(toks: Column) -> Column:
+    """OCCURRENCE count of stopword tokens (``array_intersect`` would dedup:
+    a 5,000-token English document can contain at most 82 DISTINCT stopwords,
+    capping the ratio at 82/5000 and misclassifying every long English doc)."""
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+
+
 def quality_score(colname: str) -> Column:
     """Heuristic document quality in [0,1]: length factor, alpha ratio,
-    stopword ratio. Pure Catalyst — no UDF."""
+    stopword ratio (occurrences, not distinct). Pure Catalyst — no UDF."""
     text = F.col(colname)
     n = F.length(text)
     alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
     toks = tokenize_name(colname)
     stop_ratio = F.when(
-        F.size(toks) > 0,
-        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS])))
-        / F.size(toks),
+        F.size(toks) > 0, _stop_hits(toks) / F.size(toks)
     ).otherwise(F.lit(0.0))
     len_factor = F.least(n / F.lit(500.0), F.lit(1.0))
     alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
@@ -102,11 +108,13 @@ def quality_score(colname: str) -> Column:
 
 
 def lang_id(colname: str) -> Column:
-    """Language-ID heuristic: English-stopword hit-ratio over tokens.
-    >= 0.05 → 'en' else 'other'. (n-gram-free, shufflle-free, codegen'd)."""
+    """Language-ID heuristic: English-stopword OCCURRENCE ratio over tokens
+    (length-invariant — distinct-hit counting saturates on long docs).
+    >= 0.05 → 'en' else 'other'. (n-gram-free, shuffle-free, codegen'd)."""
     toks = tokenize_name(colname)
-    hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in _EN_MARKERS])))
-    ratio = F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+    ratio = F.when(
+        F.size(toks) > 0, _stop_hits(toks) / F.size(toks)
+    ).otherwise(F.lit(0.0))
     return F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other"))
 
 
@@ -164,19 +172,27 @@ _TOKENS_TYPE = T.ArrayType(
 )
 
 
+_STOP_SET = frozenset(STOPWORDS)
+
+
 @pandas_udf(_TOKENS_TYPE)
 def lemmatize_tokens(texts: pd.Series) -> pd.Series:
     """Arrow-batched tokenize+lemmatize (reference F1 shape: per-doc ordered
     token structs, src/crawler.py:196-200 keeps only lemma; we add a cheap
-    POS guess to carry the reference's pos_counts shape, src/index.py:86)."""
+    POS guess to carry the reference's pos_counts shape, src/index.py:86).
+    Applies the reference's index-time token filter (src/crawler.py:190-193:
+    is_stop / like_num dropped) so the backward index stores only KEPT
+    tokens, like the reference's ``indexed_tokens``."""
 
     def _run(text: str | None) -> list[dict]:
         if not text:
             return []
         out = []
         for tok in _TOKEN_RE.findall(text.lower()):
+            if tok in _STOP_SET or tok.isdigit():
+                continue
             lemma = _lemma_one(tok)
-            pos = "NUM" if tok.isdigit() else ("VERB" if tok.endswith("ing") else "NOUN")
+            pos = "VERB" if tok.endswith("ing") else "NOUN"
             out.append({"lemma": lemma, "pos": pos})
         return out
 

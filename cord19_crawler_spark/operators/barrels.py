@@ -59,25 +59,30 @@ def assign_barrels(stats: DataFrame, num_barrels: int = 10, top_n: int = 5000) -
     """
 
     def _assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(
             ["doc_freq", "word"], ascending=[False, True]
         ).reset_index(drop=True)
-        barrel = [0] * len(pdf)
-        loads = [0] * num_barrels  # total_doc_freq per barrel
-        # head: round-robin
-        head = min(top_n, len(pdf))
-        for i in range(head):
-            b = i % num_barrels
-            barrel[i] = b
-            loads[b] += int(pdf.loc[i, "doc_freq"])
-        # tail: least-loaded (min doc_freq load, tie → lowest barrel id,
-        # matching Python min() semantics in the reference)
-        heap = [(loads[b], b) for b in range(num_barrels)]
+        n = len(pdf)
+        freqs = pdf["doc_freq"].to_numpy()  # ONE column pull — no per-row .loc
+        barrel = np.zeros(n, dtype="int32")
+        # head: round-robin (vectorized)
+        head = min(top_n, n)
+        barrel[:head] = np.arange(head, dtype="int64") % num_barrels
+        loads = np.bincount(
+            barrel[:head], weights=freqs[:head], minlength=num_barrels
+        ).astype("int64")
+        # tail: least-loaded greedy (min doc_freq load, tie → lowest barrel
+        # id, matching Python min() semantics in the reference). Inherently
+        # sequential — but over a plain numpy array + heap, not per-row
+        # pandas indexing.
+        heap = [(int(loads[b]), b) for b in range(num_barrels)]
         heapq.heapify(heap)
-        for i in range(head, len(pdf)):
+        for i in range(head, n):
             load, b = heapq.heappop(heap)
             barrel[i] = b
-            heapq.heappush(heap, (load + int(pdf.loc[i, "doc_freq"]), b))
+            heapq.heappush(heap, (load + int(freqs[i]), b))
         pdf = pdf.assign(barrel_id=pd.Series(barrel, dtype="int32"))
         return pdf[["word", "doc_freq", "total_freq", "barrel_id"]]
 

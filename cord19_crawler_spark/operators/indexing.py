@@ -18,17 +18,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def tokens_from_text(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, pos, word): lowercase split on whitespace, empty dropped,
-    min-length 2 + standalone digits dropped (reference token filter,
-    src/crawler.py:190-193)."""
+def tokens_from_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drop_stopwords: bool = True,
+) -> DataFrame:
+    """(doc_id, pos, word): ``[a-z0-9]{2,}`` token runs from the lowercased
+    text — punctuation splits off and vanishes exactly like the reference's
+    spaCy tokenizer + ``token.is_punct`` drop ('pandemic.' indexes as
+    'pandemic', so index tokens and query tokens agree,
+    src/multiwordSearch.py:46-52) — then standalone digit runs dropped
+    (``like_num``) and stopwords dropped (``token.is_stop``), the reference
+    index-time filter at src/crawler.py:190-193. ``pos`` is the token's
+    index in the stream BEFORE the drop filters (order preserved). Pure JVM
+    expressions, no Python UDF."""
+    from ..functions.text import STOPWORDS, tokenize_name
+
     exploded = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "word"),
+        F.posexplode(tokenize_name(text_col)).alias("pos", "word"),
     )
-    return exploded.filter(
-        (F.length("word") >= 2) & ~F.col("word").rlike(r"^\d+$")
-    )
+    out = exploded.filter(~F.col("word").rlike(r"^\d+$"))
+    if drop_stopwords:
+        out = out.filter(~F.col("word").isin(STOPWORDS))
+    return out
 
 
 def lexicon(tokens: DataFrame) -> DataFrame:

@@ -54,7 +54,15 @@ def tfidf_search(
         for v in (variants or {}).get(t, [t]):
             rows.append((t, v))
     if not rows:
-        return spark.createDataFrame([], "doc_id long, score double, matched_terms int")
+        # empty result with the SAME schema as the non-empty branch —
+        # doc_id keeps the postings' type (string cord_uid, long, ...), so
+        # callers can union results across queries
+        return (
+            postings.select("doc_id")
+            .limit(0)
+            .withColumn("score", F.lit(0.0))
+            .withColumn("matched_terms", F.lit(0).cast("int"))
+        )
     terms = spark.createDataFrame(rows, "term string, word string")
 
     hits = postings.join(F.broadcast(terms), "word", "inner")

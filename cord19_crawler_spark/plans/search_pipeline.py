@@ -49,6 +49,9 @@ def build_index(
       <out>/titles/                  doc_id, title      (if title_col given)
       <out>/_INDEX.json              stats (doc count, vocab size, barrels)
     """
+    import time
+
+    t_build_start = time.time()
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).transform(lambda d: indexing.tokens_from_text(d))
@@ -83,23 +86,30 @@ def build_index(
     postings.unpersist()
     with open(os.path.join(out_dir, "_INDEX.json"), "w") as f:
         json.dump(meta, f)
-    _write_index_statistics(docs, meta, out_dir, text_col)
+    _write_index_statistics(
+        docs, meta, out_dir, text_col, build_start=t_build_start
+    )
     return meta
 
 
 def _write_index_statistics(
-    docs: DataFrame, meta: dict, out_dir: str, text_col: str
+    docs: DataFrame, meta: dict, out_dir: str, text_col: str,
+    build_start: float | None = None,
 ) -> None:
     """Consolidated stats artifact with the reference's field names
     (index_statistics.json, src/index.py:174-199) so a user can diff the
     two engines' builds: totals, POS distribution through the lemmatizer,
-    on-disk sizes. One extra aggregation job at build time."""
+    on-disk sizes. One extra aggregation job at build time.
+
+    ``processing_time_minutes`` / ``papers_per_second`` cover the WHOLE
+    build (from ``build_index`` entry through this stats job), matching
+    what the reference's fields measure — not just this one aggregation."""
     import time
 
     from ..functions.text import lemmatize_tokens
     from ..operators.indexing import pos_distribution
 
-    t0 = time.time()
+    t0 = build_start if build_start is not None else time.time()
     pos_rows = pos_distribution(
         docs.select(
             F.explode(lemmatize_tokens(F.col(text_col))).alias("tok")
@@ -119,7 +129,7 @@ def _write_index_statistics(
         "total_unique_words": meta["vocabulary"],
         "inverted_index_terms": meta["vocabulary"],
         "created_at": time.strftime("%Y-%m-%d %H:%M:%S"),
-        "processing_time_minutes": round(elapsed / 60),
+        "processing_time_minutes": round(elapsed / 60, 3),
         "papers_per_second": round(meta["total_docs"] / elapsed, 1)
         if elapsed > 0
         else 0.0,
@@ -212,7 +222,19 @@ def search(
         meta = json.load(f)
     terms = preprocess_query(query)
     if not terms:
-        return spark.createDataFrame([], "doc_id long, score double, matched_terms int")
+        # same schema as the non-empty branch (doc_id type from the stored
+        # postings; title column present iff the index has titles) so
+        # all-stopword queries union cleanly with real results
+        empty = (
+            spark.read.parquet(os.path.join(index_dir, "postings"))
+            .select("doc_id")
+            .limit(0)
+            .withColumn("score", F.lit(0.0))
+            .withColumn("matched_terms", F.lit(0).cast("int"))
+        )
+        if meta.get("has_titles"):
+            empty = empty.withColumn("title", F.lit(None).cast("string"))
+        return empty
     # P9: lexicon-backed lemma expansion (reference expand_word_with_lemmas —
     # the stored lemma field decides), then the heuristic strip family as
     # stub-compensation: the deterministic lemma stub is cruder than the

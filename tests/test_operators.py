@@ -261,6 +261,48 @@ def test_lemmatizer_plumbing(spark):
     assert rows[1]["t"] == []
 
 
+def test_lemmatizer_applies_reference_token_filter(spark):
+    """The backward index stores only KEPT tokens (reference
+    src/crawler.py:190-193: is_stop / like_num dropped)."""
+    df = spark.createDataFrame(
+        [("the running of 42 big trials",)], "text string"
+    )
+    rows = df.select(lemmatize_tokens(F.col("text")).alias("t")).collect()
+    lemmas = [t["lemma"] for t in rows[0]["t"]]
+    # 'the'/'of' (stopwords) and '42' (digits) dropped; order preserved
+    assert lemmas == ["runn", "big", "trial"]
+    assert all(t["pos"] in ("NOUN", "VERB") for t in rows[0]["t"])
+
+
+def test_index_tokenizer_punctuation_and_stopwords(spark):
+    """Sentence-final words index WITHOUT attached punctuation (so the query
+    tokenizer finds them) and stopwords are not indexed — the reference's
+    spaCy tokenize + is_punct/is_stop drop (src/crawler.py:190-193)."""
+    docs = spark.createDataFrame(
+        [(1, "The covid pandemic. It ended, (eventually)!")], "doc_id long, text string"
+    )
+    toks = indexing.tokens_from_text(docs)
+    words = [r["word"] for r in toks.orderBy("pos").collect()]
+    assert words == ["covid", "pandemic", "it", "ended", "eventually"]
+    # the query path now matches: 'pandemic' query hits the doc
+    p = indexing.postings(toks)
+    res = search.tfidf_search(p, ["pandemic"], 1, k=5).collect()
+    assert [r["doc_id"] for r in res] == [1]
+
+
+def test_lang_id_long_document_occurrence_counting(spark):
+    """A long English document must classify 'en': stopword hits are counted
+    by OCCURRENCE (array_intersect-style distinct counting caps hits at the
+    stopword-list size and misclassifies every doc over ~1,640 tokens)."""
+    body = "the cat sat on the mat and it was very happy there " * 400  # ~4,800 tokens
+    df = spark.createDataFrame([(body,)], "text string")
+    row = df.select(
+        lang_id("text").alias("lang"), quality_score("text").alias("q")
+    ).first()
+    assert row["lang"] == "en"
+    assert row["q"] > 0.3  # stop_ratio contributes, not saturated to ~0
+
+
 def test_multimodal_plumbing(spark):
     from cord19_crawler_spark.datagen import generate_documents
 

@@ -50,7 +50,14 @@ def test_multi_word_coverage_boost(spark, index_dir):
 
 
 def test_stopword_only_query_empty(spark, index_dir):
-    assert search(spark, index_dir, "the and of", k=5).count() == 0
+    empty = search(spark, index_dir, "the and of", k=5)
+    assert empty.count() == 0
+    # SAME schema as a real result (doc_id keeps the postings' type, title
+    # present because this index has titles) — unionable across queries
+    real = search(spark, index_dir, "covid", k=5)
+    assert [f.name for f in empty.schema.fields] == [f.name for f in real.schema.fields]
+    assert [f.dataType for f in empty.schema.fields] == [f.dataType for f in real.schema.fields]
+    assert real.unionByName(empty).count() == real.count()
 
 
 def test_lemma_variant_expansion(spark, index_dir):
@@ -92,3 +99,7 @@ def test_index_statistics_sink(index_dir):
         "lexicon", "forward_index", "inverted_index", "backward_index"
     }
     assert stats["pos_distribution"].get("NOUN", 0) > 0
+    # timing covers the WHOLE build (index writes + stats job), so even a
+    # tiny 5-doc build registers non-zero minutes and a sane papers/sec
+    assert stats["processing_time_minutes"] > 0
+    assert 0 < stats["papers_per_second"] < 1000
