@@ -1436,12 +1436,14 @@ GROUP BY fp HAVING count(*) > 1 ORDER BY fp
 
 _SHINGLE_CTE = """
 words AS (
-  SELECT doc_id, w.word, w.pos
+  SELECT doc_id, word,
+         row_number() OVER (PARTITION BY doc_id ORDER BY raw_pos) AS pos
   FROM (
     SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word,
-           generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+           generate_subscripts(string_split(lower(text), ' '), 1) AS raw_pos
     FROM documents WHERE doc_id < 60
-  ) w(doc_id, word, pos)
+  ) w(doc_id, word, raw_pos)
+  WHERE word <> ''
 ),
 shingles AS (
   SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS shingle

@@ -171,6 +171,31 @@ def per_host_topk(
         # DUPLICATES the upstream eligibility subplan into two branches —
         # measured 1.5x slower per round than one extra partitioned window
         # pass over the cold rows.
+        if budget_key == "domain":
+            # per-row thresholds can DIFFER within one domain group (each
+            # host carries its own max_in_flight). The pre-phase must keep
+            # the GROUP-max top-k per salt: filtering each row by its own
+            # threshold can promote a row the unsalted window rejects
+            # (hostA m=1 with 6 urls split over 2 salts + hostB m=5 ranked
+            # 7th: per-row pre-drop shrinks the final window to 3 rows and
+            # hostB lands rank 3 ≤ 5, while unsalted rank 7 > 5 drops it).
+            # The (host → max) map is host-scale, broadcastable.
+            gmax = (
+                work.select("_bkey", "host", "max_in_flight")
+                .dropDuplicates(["host"])
+                .groupBy("_bkey")
+                .agg(
+                    F.max(F.coalesce(F.col("max_in_flight"), F.lit(1))).alias(
+                        "_kmax"
+                    )
+                )
+            )
+            work = work.join(F.broadcast(gmax), "_bkey", "left")
+            pre_k = F.coalesce(F.col("_kmax"), F.lit(1))
+        else:
+            # host budget: threshold is constant within the (host) group —
+            # per-row filtering IS the group threshold
+            pre_k = F.coalesce(F.col("max_in_flight"), F.lit(1))
         work = work.join(F.broadcast(split_plan), "host", "left").withColumn(
             "_salt",
             F.pmod(F.xxhash64(F.col("url")), F.coalesce(F.col("n_salt"), F.lit(1))),
@@ -180,9 +205,11 @@ def per_host_topk(
         )
         work = (
             work.withColumn("_pre_rank", F.row_number().over(w_pre))
-            .filter(F.col("_pre_rank") <= F.coalesce(F.col("max_in_flight"), F.lit(1)))
+            .filter(F.col("_pre_rank") <= pre_k)
             .drop("_pre_rank", "_salt", "n_salt")
         )
+        if budget_key == "domain":
+            work = work.drop("_kmax")
     w = Window.partitionBy("_bkey").orderBy(F.desc("priority"), F.asc("url"))
     return (
         work.withColumn("host_rank", F.row_number().over(w))

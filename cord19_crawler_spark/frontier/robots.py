@@ -55,8 +55,8 @@ def parse_robots_txt(robots: DataFrame, txt_col: str = "robots_txt") -> DataFram
                 return [], None
             rules: list[dict] = []
             delay: float | None = None
-            in_star = False
-            seen_star_group = False
+            in_star = False          # current group's agents include '*'
+            in_group_header = False  # consecutive UA lines extend one group
             for raw in txt.splitlines():
                 line = raw.split("#", 1)[0].strip()
                 if not line or ":" not in line:
@@ -64,21 +64,30 @@ def parse_robots_txt(robots: DataFrame, txt_col: str = "robots_txt") -> DataFram
                 key, _, val = line.partition(":")
                 key, val = key.strip().lower(), val.strip()
                 if key == "user-agent":
-                    if seen_star_group and not in_star:
-                        break  # first * group wins; later groups ignored
-                    in_star = val == "*"
-                    seen_star_group = seen_star_group or in_star
-                elif in_star and key in ("allow", "disallow"):
-                    if val == "":
-                        continue  # empty Disallow = allow all (no rule)
-                    rules.append(
-                        {"allow": key == "allow", "path_prefix": val}
-                    )
-                elif in_star and key == "crawl-delay":
-                    try:
-                        delay = float(val)
-                    except ValueError:
-                        pass  # malformed delay: tolerated, no constraint
+                    # RFC 9309: consecutive User-agent lines share ONE rule
+                    # block ('User-agent: *\nUser-agent: Foo\nDisallow: /x'
+                    # applies to * too); a UA line AFTER directives begins a
+                    # new group
+                    if not in_group_header:
+                        if in_star:
+                            break  # the * group just ended; first one wins
+                        in_star = False
+                        in_group_header = True
+                    in_star = in_star or val == "*"
+                else:
+                    if key in ("allow", "disallow", "crawl-delay"):
+                        in_group_header = False
+                    if in_star and key in ("allow", "disallow"):
+                        if val == "":
+                            continue  # empty Disallow = allow all (no rule)
+                        rules.append(
+                            {"allow": key == "allow", "path_prefix": val}
+                        )
+                    elif in_star and key == "crawl-delay":
+                        try:
+                            delay = float(val)
+                        except ValueError:
+                            pass  # malformed delay: tolerated, no constraint
             return rules, delay
 
         parsed = [one(b) for b in bodies]

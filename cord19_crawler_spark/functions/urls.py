@@ -231,11 +231,31 @@ def canonicalize_url_sql(col: Column) -> Column:
     scheme = F.lower(F.regexp_extract(base, r"(?i)^(https?)://", 1))
     hostpath = F.regexp_extract(base, r"(?i)^https?://([^/]*)(/.*)?$", 1)
     path = F.regexp_extract(base, r"(?i)^https?://[^/]*(/.*)?$", 1)
-    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    # sort params by (key, value) TUPLES, matching the pandas kernel's
+    # _sort_safe_query — array_sort over the raw "k=v" strings would order
+    # "page2=x" before "page=y" ('2' < '='), giving the same URL two
+    # different canonical forms depending on which canonicalizer ran.
+    # A param with no '=' re-emits as "k=" (parse_qsl keep_blank_values
+    # semantics, same as the exact kernel).
+    kv = F.transform(
+        F.split(query, "&"),
+        lambda p: F.struct(
+            F.substring_index(p, "=", 1).alias("k"),
+            F.substr(
+                p, F.length(F.substring_index(p, "=", 1)) + 2
+            ).alias("v"),
+        ),
+    )
+    sorted_q = F.array_join(
+        F.transform(
+            F.array_sort(kv), lambda s: F.concat_ws("=", s["k"], s["v"])
+        ),
+        "&",
+    )
     return F.concat(
         scheme,
         F.lit("://"),
         F.lower(hostpath),
         F.when(path == "", F.lit("/")).otherwise(path),
-        F.when(sorted_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
     )

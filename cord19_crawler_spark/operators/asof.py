@@ -38,21 +38,29 @@ def asof_join_backward(
     """Left as-of-backward join; returns the left rows (ts column renamed
     back to ``left_ts``) with ``payload_cols`` filled from the most recent
     right row at or before each left timestamp (null if none)."""
-    right_types = dict(right.dtypes)
+    from pyspark.sql import types as T
+
     left_types = dict(left.dtypes)
     left_extra = [c for c in left.columns if c not in set(key_cols) | {left_ts}]
+    # payloads travel as ONE struct per right row: last(struct) can never mix
+    # columns from different right rows, and a matched row whose payload
+    # value is genuinely NULL stays NULL (per-column last(c, ignorenulls)
+    # would skip it and resurrect a stale older value)
+    payload_type = T.StructType(
+        [right.schema[c] for c in payload_cols]
+    )
     l = left.select(
         *key_cols,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right_types[c]).alias(c) for c in payload_cols],
+        F.lit(None).cast(payload_type).alias("_payload"),
         *left_extra,
     )
     r = right.select(
         *key_cols,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *payload_cols,
+        F.struct(*payload_cols).alias("_payload"),
         *[F.lit(None).cast(left_types[c]).alias(c) for c in left_extra],
     )
     u = l.unionByName(r)
@@ -66,10 +74,14 @@ def asof_join_backward(
         "_ts",
         "_side",
         *left_extra,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+        F.last("_payload", ignorenulls=True).over(w).alias("_payload"),
     )
     return (
         filled.filter(F.col("_side") == 1)
-        .withColumnRenamed("_ts", left_ts)
-        .drop("_side")
+        .select(
+            *key_cols,
+            F.col("_ts").alias(left_ts),
+            *left_extra,
+            *[F.col(f"_payload.{c}").alias(c) for c in payload_cols],
+        )
     )

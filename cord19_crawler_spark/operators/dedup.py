@@ -44,7 +44,12 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
     """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.lower(F.col(text_col)), r"\s+").alias("w"),
+        # drop the empty token leading/trailing whitespace produces, so
+        # " a b c" and "a b c" shingle identically (simhash filters the
+        # same way)
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+        ).alias("w"),
     )
     # docs with fewer than n tokens contribute no shingles (guard: an
     # unclamped sequence(0, size-n) would go negative and crash slice())
@@ -121,7 +126,11 @@ def minhash_near_duplicates(
     """Full MinHash-LSH pipeline: shingle → sign → band → candidate pairs →
     EXACT Jaccard verification ≥ threshold. Returns
     (doc_a, doc_b, jaccard)."""
-    sh = shingles(docs, id_col, text_col, ngram).cache()
+    # reused by signatures AND verification; localCheckpoint (not cache)
+    # so the blocks are reference-tracked and freed on GC — a cached DF
+    # would pin the exploded-shingle set in executor storage until an
+    # explicit unpersist this lazy API can never safely issue
+    sh = shingles(docs, id_col, text_col, ngram).localCheckpoint(eager=False)
     sig = minhash_signatures(sh, num_perm)
     cand = lsh_candidate_pairs(sig, bands)
     return verify_jaccard(cand, sh, threshold)
@@ -253,6 +262,11 @@ def simhash_near_duplicates(
     if max_hamming >= bands:
         raise ValueError(
             "pigeonhole requires max_hamming < bands (else recall is lost)"
+        )
+    if bands > bits:
+        raise ValueError(
+            f"bands={bands} > bits={bits}: chunk width would truncate to 0, "
+            "putting every doc in one bucket (O(n²) self-join)"
         )
     chunk = bits // bands
     fp = simhash(docs, id_col, text_col, bits)

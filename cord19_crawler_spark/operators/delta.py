@@ -32,11 +32,29 @@ def upsert_documents(
     src/dynamic_indexer.py:65-66). Pass ``static_ids`` (a DF with the id
     column) to also reject ids already in the static index, preventing a
     doc from being postings-indexed twice across static+delta."""
+    from pyspark.sql import Window
+
     guard = delta_docs.select(id_col).distinct()
     if static_ids is not None:
         guard = guard.unionByName(
             static_ids.select(F.col(static_ids.columns[0]).alias(id_col)).distinct()
         )
+    # in-batch duplicate guard: the same doc_id twice in ONE new_docs batch
+    # (e.g. a doc discovered via two URLs in one round) must index once —
+    # the reference's sequential 'if doc_id in forward_index' guard rejects
+    # the second copy; here keep the deterministically-smallest row
+    others = [c for c in new_docs.columns if c != id_col]
+    if others:
+        w = Window.partitionBy(id_col).orderBy(
+            F.struct(*[F.col(c) for c in others])
+        )
+        new_docs = (
+            new_docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        new_docs = new_docs.distinct()
     fresh = new_docs.join(guard, id_col, "left_anti")
     return delta_docs.unionByName(fresh)
 

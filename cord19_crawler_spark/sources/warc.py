@@ -173,20 +173,29 @@ def parse_warc_records(data: bytes) -> list[tuple[dict, bytes]]:
 
 def gunzip_member_chunks(
     raw_chunks: Iterable[bytes],
+    max_chunk_bytes: int = 1 << 20,
 ) -> Iterator[bytes]:
     """Incremental multi-member gzip decode: yields decompressed chunks,
     restarting the decompressor at each member boundary (WARC .gz archives
-    are one gzip member per record, concatenated)."""
+    are one gzip member per record, concatenated).
+
+    Decompression is BOUNDED per call (``max_chunk_bytes``): one
+    highly-compressed member (a ~1000:1 gzip bomb) emerges as a stream of
+    capped chunks the downstream carver can skip record-by-record, never as
+    one multi-GiB allocation — the bounded-memory contract holds against
+    adversarial archives, not just large ones."""
     d = zlib.decompressobj(zlib.MAX_WBITS | 16)
     for chunk in raw_chunks:
         data = chunk
         while data:
-            out = d.decompress(data)
+            out = d.decompress(data, max_chunk_bytes)
             if out:
                 yield out
             if d.eof:
                 data = d.unused_data
                 d = zlib.decompressobj(zlib.MAX_WBITS | 16)
+            elif d.unconsumed_tail:
+                data = d.unconsumed_tail
             else:
                 data = b""
     out = d.flush()

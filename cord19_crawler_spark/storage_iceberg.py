@@ -294,6 +294,28 @@ class IcebergCheckpointStore:
         )
         if limit < 1:
             return []
+        # report only rounds that actually existed (had a commit marker) —
+        # not a blind range over already-expired / never-written rounds
+        removed = [
+            int(r["round"])
+            for r in self.spark.sql(
+                f"SELECT DISTINCT round FROM {self.ns}.commits "
+                f"WHERE round BETWEEN 1 AND {int(limit)} ORDER BY round"
+            ).collect()
+        ]
+        if not removed:
+            return []
+        # markers go FIRST (mirror image of commit order, where the marker
+        # is written LAST): a marker must never outlive its round's data —
+        # readers treat marker-present as round-readable, and an expired
+        # round with a live marker would read as silently-empty instead of
+        # falling back to the compaction snapshot. A crash between the two
+        # deletes leaves data without markers = uncommitted, which readers
+        # already handle.
+        self.spark.sql(
+            f"DELETE FROM {self.ns}.commits "
+            f"WHERE round BETWEEN 1 AND {int(limit)}"
+        )
         for name_row in self.spark.sql(f"SHOW TABLES IN {self.ns}").collect():
             t = name_row["tableName"]
             if t in ("commits", "compacts") or t.startswith("compact_"):
@@ -302,7 +324,7 @@ class IcebergCheckpointStore:
                 f"DELETE FROM {self.ns}.{t} "
                 f"WHERE {ROUND_COL} BETWEEN 1 AND {int(limit)}"
             )
-        return list(range(1, limit + 1))
+        return removed
 
     def latest_compact(self, upto: int | None = None) -> int | None:
         pred = "" if upto is None else f" WHERE round <= {int(upto)}"

@@ -371,6 +371,32 @@ def test_minhash_estimates_jaccard(spark):
     assert all(sig2[1][f"mh_{i}"] == sig2[2][f"mh_{i}"] for i in range(16))
 
 
+def test_shingles_ignore_leading_trailing_whitespace(spark):
+    """' a b c d' and 'a b c d' must shingle identically: the empty token
+    split() yields for a leading space would otherwise create a divergent
+    ' a b'-style shingle and break near-dup detection at the boundary."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, " a b c d"), (3, "a  b c\td ")],
+        "doc_id long, text string",
+    )
+    sets = (
+        dedup.shingles(docs, n=3)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("shingle")).alias("sh"))
+        .collect()
+    )
+    by_id = {r["doc_id"]: r["sh"] for r in sets}
+    assert by_id[1] == by_id[2] == by_id[3] == ["a b c", "b c d"]
+
+
+def test_simhash_bands_guard(spark):
+    """bands > bits would truncate the chunk width to 0 (every doc in one
+    bucket = O(n²) self-join) — rejected loudly."""
+    docs = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="chunk width"):
+        dedup.simhash_near_duplicates(docs, bits=16, bands=20, max_hamming=3)
+
+
 def test_asof_join_backward_edges(spark):
     """As-of join edge cases: inclusive match at equal ts, null when no
     prior right row, latest-of-several wins, keys independent."""
@@ -397,6 +423,29 @@ def test_asof_join_backward_edges(spark):
     # left extra columns survive
     tags = {r["tag"] for r in asof_join_backward(left, right, ["k"], "ts", "ts", ["v"]).collect()}
     assert tags == {"L0", "L1", "L2", "L3"}
+
+
+def test_asof_join_null_payload_and_row_integrity(spark):
+    """The matched right row wins AS A ROW: a genuinely-NULL payload value
+    on the most recent right row stays NULL (per-column last(ignorenulls)
+    would resurrect a stale older value), and multiple payload columns never
+    mix across right rows (no franken-rows)."""
+    from cord19_crawler_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([("k", 3), ("k", 1)], "k string, ts long")
+    right = spark.createDataFrame(
+        [("k", 1, 10.0, "old"), ("k", 2, None, "new")],
+        "k string, ts long, v double, s string",
+    )
+    out = {
+        r["ts"]: (r["v"], r["s"])
+        for r in asof_join_backward(
+            left, right, ["k"], "ts", "ts", ["v", "s"]
+        ).collect()
+    }
+    # ts=3 matches the ts=2 right row: v is its real NULL, s its real 'new'
+    assert out[3] == (None, "new")
+    assert out[1] == (10.0, "old")
 
 
 def test_asof_join_matches_bruteforce_randomized(spark):

@@ -51,6 +51,42 @@ def test_domain_budget_with_split_plan(spark):
     )
 
 
+def test_domain_budget_split_plan_heterogeneous_max_in_flight(spark):
+    """Two-phase (salted) top-k must equal the unsalted window when hosts of
+    ONE domain carry DIFFERENT max_in_flight: the pre-phase keeps the
+    GROUP-max top-k per salt. Per-row pre-filtering diverges here: hostA
+    (m=1, 6 urls, salted 2 ways) would shrink the final window so hostB's
+    low-priority row (m=5, true domain rank 7) sneaks in at rank 3."""
+    rows = [
+        (f"https://a.corp.com/p{i}", "a.corp.com", 1.0 - i * 0.01, 1)
+        for i in range(6)
+    ] + [("https://b.corp.com/low", "b.corp.com", 0.01, 5)]
+    elig = (
+        spark.createDataFrame(
+            rows, "url string, host string, priority double, max_in_flight int"
+        )
+        .withColumn("min_delay_rounds", F.lit(1))
+        .withColumn("last_scheduled_round", F.lit(None).cast("int"))
+    )
+    plan = spark.createDataFrame(
+        [("a.corp.com", 2)], "host string, n_salt int"
+    )
+    without = sorted(
+        r["url"]
+        for r in politeness.per_host_topk(elig, budget_key="domain").collect()
+    )
+    with_plan = sorted(
+        r["url"]
+        for r in politeness.per_host_topk(
+            elig, split_plan=plan, budget_key="domain"
+        ).collect()
+    )
+    assert with_plan == without
+    # and the unsalted semantics itself: only the domain's top row survives
+    # its own threshold; hostB's rank-7 row must NOT be scheduled
+    assert without == ["https://a.corp.com/p0"]
+
+
 # ---- wall-clock politeness (min_delay_seconds vs last_fetch_ts) ------------
 
 

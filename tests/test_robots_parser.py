@@ -52,6 +52,31 @@ def test_parse_and_match(spark):
     }
 
 
+def test_consecutive_user_agent_lines_share_rules(spark):
+    """RFC 9309 group shape: several User-agent lines stacked over ONE rule
+    block apply to every listed agent — including * wherever it appears in
+    the header — and a UA line after directives starts a NEW group."""
+    raw = spark.createDataFrame(
+        [
+            # '*' first in a multi-UA header
+            ("a.com", "User-agent: *\nUser-agent: googlebot\nDisallow: /private\n"),
+            # '*' last in a multi-UA header
+            ("b.com", "User-agent: googlebot\nUser-agent: *\nDisallow: /secret\nCrawl-delay: 3\n"),
+            # '*' NOT in the header → rules don't apply to *
+            ("c.com", "User-agent: googlebot\nUser-agent: bingbot\nDisallow: /x\n"),
+            # directives end the group: second header is a separate group
+            ("d.com", "User-agent: googlebot\nDisallow: /g\nUser-agent: *\nDisallow: /y\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    parsed = {r["host"]: r for r in parse_robots_txt(raw).collect()}
+    assert [x["path_prefix"] for x in parsed["a.com"]["rules"]] == ["/private"]
+    assert [x["path_prefix"] for x in parsed["b.com"]["rules"]] == ["/secret"]
+    assert parsed["b.com"]["crawl_delay"] == 3.0
+    assert parsed["c.com"]["rules"] == []
+    assert [x["path_prefix"] for x in parsed["d.com"]["rules"]] == ["/y"]
+
+
 def test_crawl_delay_extraction(spark):
     """Crawl-delay in the * group is extracted (seconds, float); malformed
     values and non-* groups are ignored."""

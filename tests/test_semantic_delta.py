@@ -49,6 +49,24 @@ def test_delta_upsert_and_read_time_merge(spark):
     assert by_id[99] > by_id[1]  # tf=3 beats tf=2
 
 
+def test_delta_upsert_in_batch_duplicate_guard(spark):
+    """T5 covers duplicates WITHIN one new_docs batch too (the same doc
+    discovered via two URLs in one round): one copy survives — the
+    deterministically-smallest row — so tf never double-counts."""
+    empty_delta = spark.createDataFrame([], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(7, "virus virus"), (7, "zebra text"), (8, "other")],
+        "doc_id long, text string",
+    )
+    d = delta.upsert_documents(empty_delta, new)
+    rows = {r["doc_id"]: r["text"] for r in d.collect()}
+    assert d.count() == 2
+    assert rows[7] == "virus virus"  # smallest row wins, deterministic
+    # and the postings contain doc 7 exactly once per word
+    p = indexing.postings(indexing.tokens_from_text(d))
+    assert p.filter((F.col("word") == "virus") & (F.col("doc_id") == 7)).first()["tf"] == 2
+
+
 def test_word2vec_save_load_roundtrip(spark, tmp_path):
     """Model persistence (reference saves/mmap-loads the model,
     src/train_semantic.py:70-76, src/semantic_search.py:20): synonyms are

@@ -437,6 +437,26 @@ def test_warc_sink_roundtrip(spark, tmp_path):
             assert a.read() == b.read()
 
 
+def test_gunzip_member_bounded_chunks_against_bomb():
+    """A ~1000:1 gzip member (decompression bomb) must stream out as capped
+    chunks, never one archive-sized allocation — the bounded-memory contract
+    against adversarial archives."""
+    import gzip as _gzip
+
+    from cord19_crawler_spark.sources.warc import gunzip_member_chunks
+
+    bomb = _gzip.compress(b"\x00" * (8 << 20))  # 8 MiB of zeros, ~8 KiB gz
+    assert len(bomb) < 64 << 10
+    cap = 1 << 16
+    chunks = list(gunzip_member_chunks([bomb], max_chunk_bytes=cap))
+    assert max(len(c) for c in chunks) <= cap
+    assert sum(len(c) for c in chunks) == 8 << 20
+    # multi-member stream (member boundary mid-bomb) still decodes fully
+    two = bomb + _gzip.compress(b"tail")
+    out = b"".join(gunzip_member_chunks([two], max_chunk_bytes=cap))
+    assert out == b"\x00" * (8 << 20) + b"tail"
+
+
 def test_warc_carver_chunking_invariance_property():
     """PROPERTY: however the byte stream is chunked, the streaming carver
     yields exactly the records the whole-buffer parse yields — including

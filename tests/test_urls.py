@@ -83,6 +83,11 @@ def test_catalyst_fast_path_matches_python_kernel(spark):
         "http://example.com/p?b=2&a=1",
         "http://example.com",
         "https://x.org/a/b?z=9&y=8&a=1#frag",
+        # key-prefix hazard: raw-string sort would put "page2=x" before
+        # "page=y" ('2' < '='); both paths must sort by (key, value) tuples
+        "http://a.com/p?page2=x&page=y",
+        # valueless param re-emits as "k=" (parse_qsl keep_blank_values)
+        "http://a.com/p?flag&a=1",
     ]
     df = spark.createDataFrame([(u,) for u in simple], "url string")
     both = df.select(
