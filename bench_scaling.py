@@ -20,8 +20,10 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-CORPUS = "/tmp/scale_corpus_parquet"
 N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "1500000"))
+# size-keyed path: a different SPARK_GRAFT_SCALE_DOCS generates fresh data
+# instead of silently reusing a stale corpus under the reported n_docs
+CORPUS = f"/tmp/scale_corpus_parquet_{N_DOCS}"
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
 
 _WORKER = r"""
@@ -83,6 +85,9 @@ print(json.dumps({"cpus": cpus, "elapsed_sec": round(elapsed, 2),
 
 
 def gen_corpus() -> None:
+    # CORPUS encodes N_DOCS (see its definition), so changing
+    # SPARK_GRAFT_SCALE_DOCS can never silently reuse a stale corpus of a
+    # different size; delete the dir by hand after datagen.py changes.
     if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
         return
     sys.path.insert(0, REPO)
@@ -101,8 +106,13 @@ def run_level(cpus: int) -> dict:
         [sys.executable, "-c", script, str(cpus)],
         capture_output=True, text=True, env=env, timeout=1800,
     )
-    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"scale worker (cpus={cpus}) failed rc={out.returncode}; "
+            f"stderr tail:\n{out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def finalize(runs_low: list[dict], runs_high: list[dict]) -> None:

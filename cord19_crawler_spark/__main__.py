@@ -52,12 +52,15 @@ def _cmd_crawl(args: argparse.Namespace) -> None:
     spark = get_spark(app_name="crawl", master=args.master,
                       shuffle_partitions=args.shuffle_partitions)
     if args.documents:
-        docs = spark.read.parquet(args.documents)
+        # cache BEFORE counting: the count materializes the (possibly
+        # TB-scale external) parquet into the cache, so the scheduler's
+        # first action reads the cached copy instead of re-scanning
+        docs = spark.read.parquet(args.documents).cache()
         n_docs = docs.count()
     else:
         n_docs = args.docs
         docs = generate_documents(spark, n_docs, partitions=args.shuffle_partitions or 32)
-    docs = docs.cache()
+        docs = docs.cache()
     extra = {"filter_kind": args.filter}
     if args.budget_key != "host":
         extra["budget_key"] = args.budget_key
@@ -103,7 +106,9 @@ def _cmd_index(args: argparse.Namespace) -> None:
 
         wdocs = warc_responses_to_documents(read_warc(spark, args.warc))
         docs = wdocs.select(
-            "doc_id",
+            # WARC docs carry their id as 'doc_id'; honor --id-col by
+            # aliasing so build_index resolves whatever name was requested
+            F.col("doc_id").alias(args.id_col),
             F.array_join(
                 F.transform(
                     F.filter(

@@ -29,7 +29,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 N_HOSTS = 20
-SPAN_CAP = 50  # reference truncates at 50 spans: src/crawler.py:80
 
 DOC_SCHEMA = T.StructType(
     [

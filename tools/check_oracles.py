@@ -39,6 +39,12 @@ def main(only: list[str] | None = None):
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
     qs, osql = entry.queries(), entry.oracle_sql()
+    if only:
+        unknown = set(only) - set(qs)
+        if unknown:
+            # a typo'd name must not become a silent green gate
+            print(f"==> UNKNOWN QUERY NAMES: {sorted(unknown)}")
+            return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -47,11 +53,16 @@ def main(only: list[str] | None = None):
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
-            # rows via collect (python types: None stays None, no numpy
-            # scalars to poison the repr-keyed sort); toPandas only for the
-            # dtype gate
-            spdf = sdf.toPandas()
-            srows = [tuple(norm(v) for v in r) for r in sdf.collect()]
+            # persist so the TWO faithful actions (toPandas for the driver-
+            # mirroring dtype gate, collect for python-native values — no
+            # numpy scalars to poison the repr-keyed sort) compute the query
+            # ONCE instead of twice
+            sdf = sdf.persist()
+            try:
+                spdf = sdf.toPandas()
+                srows = [tuple(norm(v) for v in r) for r in sdf.collect()]
+            finally:
+                sdf.unpersist()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
@@ -64,6 +75,9 @@ def main(only: list[str] | None = None):
             res = con.execute(sql)
             ocols = [d[0] for d in res.description]
             orows = [tuple(norm(v) for v in r) for r in res.fetchall()]
+            # second (cheap, duckdb-local) execution purely for the pandas
+            # dtype gate — .df() and fetchall can't share one result set,
+            # and hand-mapping dtypes would risk gate drift
             opdf = con.execute(sql).df()
         except Exception as e:
             failures.append(name)

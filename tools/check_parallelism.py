@@ -39,8 +39,13 @@ def run(cpus: int, ckpt: str) -> dict:
         [sys.executable, "-c", script, str(cpus), ckpt],
         capture_output=True, text=True, env=env, timeout=1200,
     )
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT")][-1]
-    return json.loads(line[len("RESULT"):])
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"parallelism worker (cpus={cpus}) failed rc={out.returncode}; "
+            f"stderr tail:\n{out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1][len("RESULT"):])
 
 
 def main() -> None:
