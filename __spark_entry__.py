@@ -630,6 +630,60 @@ FROM clicks c ASOF LEFT JOIN buys b
 """
 
 
+def events_asof_null_payload(spark, sf_dir):
+    """AS-OF with NULLABLE payload + row integrity, vs DuckDB's native ASOF:
+    the matched right row must win AS A ROW — a genuinely-NULL payload value
+    stays NULL (not resurrected from an older row) and the second payload
+    column (the matched row's own ts) can never mix with another row's
+    value. Pins the struct-payload carry in operators/asof.py."""
+    from cord19_crawler_spark.operators.asof import asof_join_backward
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    buys = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+        .select(
+            "user_id",
+            "ts",
+            # deterministically NULL ~20% of payloads (value-derived, so
+            # nulls vary WITHIN a user's purchase timeline)
+            F.when(
+                F.round(F.col("v") * 100).cast("long") % 5 == 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(F.col("v"))
+            .alias("pv"),
+            F.col("ts").alias("src_ts"),
+        )
+    )
+    out = asof_join_backward(
+        clicks, buys, ["user_id"], "ts", "ts", ["pv", "src_ts"]
+    )
+    return out.select("user_id", "click_id", "pv", "src_ts")
+
+
+_ASOF_NULL_SQL = """
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'
+), buys AS (
+  SELECT user_id, ts,
+         CASE WHEN CAST(round(v * 100) AS BIGINT) % 5 = 0 THEN NULL ELSE v END AS pv,
+         ts AS src_ts
+  FROM (
+    SELECT user_id, ts, max(value) AS v
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+  )
+)
+SELECT c.user_id, c.click_id, b.pv, b.src_ts
+FROM clicks c ASOF LEFT JOIN buys b
+  ON c.user_id = b.user_id AND c.ts >= b.ts
+"""
+
+
 def running_total_per_customer(spark, sf_dir):
     """C6 shape: prefix-sum window (running revenue per customer <50)."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
@@ -2235,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": events_json_props,
         "events_range_join": events_range_join,
         "events_asof_join": events_asof_join,
+        "events_asof_null_payload": events_asof_null_payload,
         "running_total_per_customer": running_total_per_customer,
         # search-engine family
         "lexicon_first_encounter": lexicon_first_encounter,
@@ -2308,6 +2363,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_props": _EVENTS_JSON_SQL,
         "events_range_join": _RANGE_JOIN_SQL,
         "events_asof_join": _ASOF_SQL,
+        "events_asof_null_payload": _ASOF_NULL_SQL,
         "running_total_per_customer": _RUNNING_SQL,
         "lexicon_first_encounter": _LEXICON_SQL,
         "forward_index_rows": _FWD_INDEX_SQL,
