@@ -1828,9 +1828,7 @@ def text_quality_scores(spark, sf_dir):
 
 
 def _text_quality_sql() -> str:
-    from cord19_crawler_spark.functions.text import STOPWORDS
-
-    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stops = _stops_sql()
     return f"""
 WITH base AS (
   SELECT doc_id,
@@ -2120,6 +2118,10 @@ def index_stats_q(spark, sf_dir):
         .agg(
             F.sum((F.col("tok.pos") == "NOUN").cast("long")).alias("noun_count"),
             F.sum((F.col("tok.pos") == "VERB").cast("long")).alias("verb_count"),
+            # structurally 0 since the lemmatizer's reference filter drops
+            # digit tokens (like_num); the column is kept because the
+            # reference stats artifact carries the NUM slot — the oracle's
+            # FILTER (pos = 'NUM') is identically dead
             F.sum((F.col("tok.pos") == "NUM").cast("long")).alias("num_count"),
         )
     )

@@ -71,7 +71,7 @@ def crawl_benchmark(spark, n_docs: int = 60000, rounds: int = 3, batch: int = 80
 
     Best-of-N (default 3, $SPARK_GRAFT_CRAWL_REPEATS): this box is shared
     and background tenant load routinely swings single-run wall time ±30%;
-    min-of-2 measures the engine, not the noisiest co-tenant. Crawl results
+    min-of-N measures the engine, not the noisiest co-tenant. Crawl results
     are asserted identical across repeats (determinism double-check)."""
     from cord19_crawler_spark.datagen import generate_documents, seed_urls
     from cord19_crawler_spark.frontier import CrawlScheduler, SchedulerConfig

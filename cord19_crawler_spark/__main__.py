@@ -52,11 +52,15 @@ def _cmd_crawl(args: argparse.Namespace) -> None:
     spark = get_spark(app_name="crawl", master=args.master,
                       shuffle_partitions=args.shuffle_partitions)
     if args.documents:
-        # cache BEFORE counting: the count materializes the (possibly
-        # TB-scale external) parquet into the cache, so the scheduler's
-        # first action reads the cached copy instead of re-scanning
-        docs = spark.read.parquet(args.documents).cache()
+        # count BEFORE caching, deliberately: a parquet count() prunes to
+        # zero columns (metadata-only, near-free at any scale), while a
+        # cached count would materialize the full-width corpus — for a
+        # TB-scale external input that fill can evict before the scheduler
+        # reads it, paying the materialization AND the re-scan. The cache
+        # fills lazily from the scheduler's first real (column-pruned) use.
+        docs = spark.read.parquet(args.documents)
         n_docs = docs.count()
+        docs = docs.cache()
     else:
         n_docs = args.docs
         docs = generate_documents(spark, n_docs, partitions=args.shuffle_partitions or 32)

@@ -28,9 +28,6 @@ STOPWORDS = (
     "than too very s t just now"
 ).split()
 
-# English function words used by the n-gram-free language-ID heuristic.
-_EN_MARKERS = set(STOPWORDS)
-
 # Punct class stripped by the reference's clean_text:
 # /root/reference/src/crawler.py:13 — '"#$%&*+/<=>@[\]^_`{|}~'
 _PUNCT_CLASS = r'["#$%&*+/<=>@\[\\\]^_`{|}~]'

@@ -237,8 +237,11 @@ def canonicalize_url_sql(col: Column) -> Column:
     # different canonical forms depending on which canonicalizer ran.
     # A param with no '=' re-emits as "k=" (parse_qsl keep_blank_values
     # semantics, same as the exact kernel).
+    # parse_qsl drops empty params entirely ('a=1&&b=2' → a=1, b=2) — filter
+    # them BEFORE the tuple build, else '&&' re-emits as a spurious '='
+    params = F.filter(F.split(query, "&"), lambda p: p != "")
     kv = F.transform(
-        F.split(query, "&"),
+        params,
         lambda p: F.struct(
             F.substring_index(p, "=", 1).alias("k"),
             F.substr(
@@ -257,5 +260,7 @@ def canonicalize_url_sql(col: Column) -> Column:
         F.lit("://"),
         F.lower(hostpath),
         F.when(path == "", F.lit("/")).otherwise(path),
-        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
+        F.when(F.size(params) == 0, F.lit("")).otherwise(
+            F.concat(F.lit("?"), sorted_q)
+        ),
     )

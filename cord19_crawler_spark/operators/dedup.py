@@ -122,15 +122,32 @@ def minhash_near_duplicates(
     bands: int = 4,
     threshold: float = 0.7,
     ngram: int = 3,
+    shingle_storage: str = "localCheckpoint",
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band → candidate pairs →
     EXACT Jaccard verification ≥ threshold. Returns
-    (doc_a, doc_b, jaccard)."""
-    # reused by signatures AND verification; localCheckpoint (not cache)
-    # so the blocks are reference-tracked and freed on GC — a cached DF
-    # would pin the exploded-shingle set in executor storage until an
-    # explicit unpersist this lazy API can never safely issue
-    sh = shingles(docs, id_col, text_col, ngram).localCheckpoint(eager=False)
+    (doc_a, doc_b, jaccard).
+
+    The shingle set is consumed by three subplans (signatures + both sides
+    of the verify join — measured: no ReusedExchange without persistence,
+    6× the shingle work). ``shingle_storage`` picks the reuse mechanism:
+
+    * ``"localCheckpoint"`` (default): blocks are reference-tracked and
+      freed on GC — no storage leak from this lazy API — but lineage is
+      truncated, so a LOST executor's blocks cannot be recomputed. Right
+      for stable executors (local, on-demand clusters).
+    * ``"cache"``: lineage-preserving (recomputes on executor loss) but
+      pinned in the CacheManager until the CALLER unpersists — use on
+      preemptible/spot clusters and own the unpersist.
+    * ``"none"``: no reuse; recomputes shingles per consumer.
+    """
+    sh = shingles(docs, id_col, text_col, ngram)
+    if shingle_storage == "localCheckpoint":
+        sh = sh.localCheckpoint(eager=False)
+    elif shingle_storage == "cache":
+        sh = sh.cache()
+    elif shingle_storage != "none":
+        raise ValueError(f"unknown shingle_storage: {shingle_storage!r}")
     sig = minhash_signatures(sh, num_perm)
     cand = lsh_candidate_pairs(sig, bands)
     return verify_jaccard(cand, sh, threshold)

@@ -107,8 +107,10 @@ def sha_lookup(metadata: DataFrame) -> DataFrame:
     ';'-split shas AND the pmcid for every paper (src/crawler.py:93-95:
     ``meta_lookup[s.strip()] = row`` and ``meta_lookup[row['pmcid']] =
     row``), so PMC-only papers resolve too. explode(split) ∪ pmcid rows;
-    blanks dropped; a key claimed by several papers keeps the first
-    (min cord_uid) — one lookup row per key like the reference dict."""
+    blanks dropped. A key claimed by several papers keeps ONE row like the
+    reference dict — but deterministically (min cord_uid), a deliberate
+    difference: the reference's ``meta_lookup[key] = row`` keeps whichever
+    row the CSV iteration saw last, which has no distributed analogue."""
     sha_rows = metadata.select(
         F.explode(F.split(F.col("sha"), ";")).alias("key_raw"),
         "cord_uid",

@@ -303,8 +303,10 @@ class IcebergCheckpointStore:
                 f"WHERE round BETWEEN 1 AND {int(limit)} ORDER BY round"
             ).collect()
         ]
-        if not removed:
-            return []
+        # NO early-exit when no markers remain: a crash between the marker
+        # delete and the data deletes must be repairable by re-running —
+        # the data-table DELETEs below are idempotent and also sweep
+        # marker-less orphan rows
         # markers go FIRST (mirror image of commit order, where the marker
         # is written LAST): a marker must never outlive its round's data —
         # readers treat marker-present as round-readable, and an expired

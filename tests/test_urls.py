@@ -88,6 +88,10 @@ def test_catalyst_fast_path_matches_python_kernel(spark):
         "http://a.com/p?page2=x&page=y",
         # valueless param re-emits as "k=" (parse_qsl keep_blank_values)
         "http://a.com/p?flag&a=1",
+        # EMPTY params are dropped entirely (parse_qsl), never a bare '='
+        "http://a.com/p?a=1&&b=2",
+        "http://a.com/p?a=1&",
+        "http://a.com/p?&",
     ]
     df = spark.createDataFrame([(u,) for u in simple], "url string")
     both = df.select(
