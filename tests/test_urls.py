@@ -194,6 +194,38 @@ def test_vectorized_canonicalize_property(raw):
     assert list(got) == [canonicalize_one(url), canonicalize_one(raw)]
 
 
+def test_catalyst_fast_path_query_battery(spark):
+    """Combinatorial battery over the SAFE query grammar (the grammar
+    canonicalize_url_sql supports: plain keys/values, valueless params,
+    empty params, duplicate and prefix keys): the Catalyst path must agree
+    with the exact Python kernel on every combination — one Spark job."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from cord19_crawler_spark.functions.urls import (
+        canonicalize_one,
+        canonicalize_url_sql,
+    )
+
+    parts = ["a=1", "a=2", "a2=x", "a=", "flag", "", "b.c-d~_=v2", "=v"]
+    queries = {""}
+    for n in (1, 2, 3):
+        for combo in itertools.product(parts, repeat=n):
+            queries.add("&".join(combo))
+    urls = sorted(f"http://h.example.com/p?{q}" for q in queries)
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r["c"]
+        for r in df.select("url", canonicalize_url_sql(F.col("url")).alias("c"))
+        .orderBy("url")
+        .collect()
+    ]
+    want = [canonicalize_one(u) for u in urls]
+    diffs = [(u, g, w) for u, g, w in zip(urls, got, want) if g != w]
+    assert not diffs, diffs[:5]
+
+
 @_settings(max_examples=300, deadline=None)
 @_given(_st.text(alphabet="ab=&%+;2._-~", min_size=0, max_size=24))
 def test_vectorized_canonicalize_query_property(q):
