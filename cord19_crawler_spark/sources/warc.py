@@ -382,6 +382,61 @@ def read_sitemap_seeds(
     )
 
 
+def read_sitemap_index(spark: SparkSession, paths: str | list[str]) -> list[str]:
+    """``<sitemapindex>`` → child sitemap locations. Driver-side collect is
+    the right shape here: the sitemap spec caps an index at 50,000 entries,
+    so the result is bounded small. Files without ``<sitemap>`` tags (leaf
+    urlsets) contribute zero rows — the explicit schema keeps the combined
+    load inference-free."""
+    idx = (
+        spark.read.format("xml")
+        .option("rowTag", "sitemap")
+        .schema("loc STRING")
+        .load(paths)
+    )
+    return [
+        r["loc"]
+        for r in idx.filter(F.col("loc").isNotNull()).select("loc").collect()
+    ]
+
+
+def read_sitemap_seeds_recursive(
+    spark: SparkSession,
+    paths: str | list[str],
+    default_priority: float = 0.5,
+    max_depth: int = 3,
+) -> DataFrame:
+    """Sitemap INDEX expansion (the sitemaps.org two-level layout, which
+    large sites use because one urlset caps at 50k URLs): walk
+    ``<sitemapindex>`` levels down to leaf urlsets (depth-capped against
+    cycles), then read EVERY reachable urlset in one load.
+
+    Child ``<loc>`` values must be Spark-loadable paths/URIs (file:, hdfs:,
+    s3a:) — in a live crawl, fetch remote sitemaps to storage first via the
+    fetch seam (frontier/fetch.py), then point this at the archive dir.
+    Index files in the final load contribute zero seed rows (explicit
+    schema, no inference)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    leaves, frontier = list(paths), list(paths)
+    for _ in range(max_depth):
+        children = read_sitemap_index(spark, frontier)
+        if not children:
+            break
+        leaves.extend(children)
+        frontier = children
+    sm = (
+        spark.read.format("xml")
+        .option("rowTag", "url")
+        .schema("loc STRING, priority DOUBLE")
+        .load(leaves)
+    )
+    return sm.filter(F.col("loc").isNotNull()).select(
+        F.col("loc").alias("url"),
+        F.coalesce(F.col("priority"), F.lit(default_priority)).alias("priority"),
+    )
+
+
 # ---- WARC sink (write crawl output AS the canonical archive format) --------
 
 

@@ -260,6 +260,56 @@ def test_sitemap_seeds_feed_the_scheduler(spark, tmp_path):
     }
 
 
+def test_sitemap_index_recursion(spark, tmp_path):
+    """<sitemapindex> → child sitemaps → leaf urlsets, depth-capped; mixed
+    dirs (an index next to a plain urlset) resolve in one read."""
+    from cord19_crawler_spark.sources.warc import read_sitemap_seeds_recursive
+
+    def urlset(*locs_pri):
+        rows = "".join(
+            f"<url><loc>{u}</loc>" + (f"<priority>{p}</priority>" if p else "")
+            + "</url>"
+            for u, p in locs_pri
+        )
+        return (
+            '<?xml version="1.0"?><urlset '
+            f'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">{rows}</urlset>'
+        )
+
+    leaf_a = tmp_path / "leaf_a.xml"
+    leaf_a.write_text(urlset(("https://a.com/1", "0.8"), ("https://a.com/2", None)))
+    leaf_b = tmp_path / "leaf_b.xml"
+    leaf_b.write_text(urlset(("https://b.com/1", None)))
+    child_idx = tmp_path / "child_idx.xml"
+    child_idx.write_text(
+        '<?xml version="1.0"?><sitemapindex>'
+        f"<sitemap><loc>{leaf_b}</loc></sitemap></sitemapindex>"
+    )
+    root_idx = tmp_path / "root.xml"
+    root_idx.write_text(
+        '<?xml version="1.0"?><sitemapindex>'
+        f"<sitemap><loc>{leaf_a}</loc></sitemap>"
+        f"<sitemap><loc>{child_idx}</loc></sitemap></sitemapindex>"
+    )
+    got = {
+        r["url"]: r["priority"]
+        for r in read_sitemap_seeds_recursive(spark, str(root_idx)).collect()
+    }
+    assert got == {
+        "https://a.com/1": 0.8,
+        "https://a.com/2": 0.5,   # default priority
+        "https://b.com/1": 0.5,   # two levels deep
+    }
+    # depth cap: max_depth=1 resolves only the first index level
+    shallow = {
+        r["url"]
+        for r in read_sitemap_seeds_recursive(
+            spark, str(root_idx), max_depth=1
+        ).collect()
+    }
+    assert shallow == {"https://a.com/1", "https://a.com/2"}
+
+
 # ---- streaming WARC ingest (bounded memory) --------------------------------
 
 
