@@ -55,6 +55,10 @@ class CuckooSeenFilter:
         self.n_buckets = n_buckets
         self.max_kicks = max_kicks
 
+    def state_bytes(self) -> int:
+        """Per-partition blob size (uint16 table) for the resume guard."""
+        return self.n_buckets * self.SLOTS * 2
+
     # serialized table: uint16 array (n_buckets * SLOTS)
     def empty_state(self, spark: SparkSession) -> DataFrame:
         # zero tables built JVM-side (see BloomSeenFilter.empty_state)
@@ -134,11 +138,18 @@ class CuckooSeenFilter:
 
         def _insert(cand: pd.DataFrame, st: pd.DataFrame) -> pd.DataFrame:
             if st.empty:
-                part = int(cand["partition"].iloc[0])
-                table = np.zeros((nb, slots), dtype=np.uint16)
-            else:
-                part = int(st["partition"].iloc[0])
-                table = self._table(bytes(st["bitset"].iloc[0])).copy()
+                # mirror seen.py: fabricating a fresh table for a candidate
+                # partition missing from the (complete-by-construction)
+                # state would write corrupt extra-partition state that masks
+                # the geometry mismatch from future probes
+                raise ValueError(
+                    "cuckoo insert: no filter state for partition "
+                    f"{int(cand['partition'].iloc[0])} — candidate "
+                    "partitioning does not match the committed filter "
+                    "geometry (seen_partitions mismatch?)"
+                )
+            part = int(st["partition"].iloc[0])
+            table = self._table(bytes(st["bitset"].iloc[0])).copy()
             if not cand.empty:
                 ids = cand["url_id"].to_numpy()
                 fps = _fingerprints(ids)

@@ -145,7 +145,38 @@ class CrawlScheduler:
                 k=self.cfg.bloom_k,
             )
         self._config_checked = False
+        self._geometry_checked = False
         self._verify_checkpoint_config()
+
+    def _verify_filter_geometry(self, filter_state: DataFrame) -> None:
+        """Resume guard, run once per scheduler instance before the first
+        probe: the committed filter_state's partition COUNT and per-
+        partition blob SIZE must match this config's probe geometry. The
+        in-kernel empty-group guard only fires in the GROW direction (a
+        candidate partition with no state row); a seen_partitions DECREASE
+        or an m_bits / bucket-count mismatch would otherwise silently probe
+        the wrong bitset and re-admit already-seen URLs. One tiny job over
+        P rows. ``k`` is not derivable from the state — it is covered by
+        the persisted filter_config facets (_verify_checkpoint_config)."""
+        row = filter_state.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.length("bitset")).alias("lo"),
+            F.max(F.length("bitset")).alias("hi"),
+        ).collect()[0]
+        want_n = self.cfg.seen_partitions
+        want_b = self.bloom.state_bytes()
+        if (
+            int(row["n"]) != want_n
+            or int(row["lo"]) != want_b
+            or int(row["hi"]) != want_b
+        ):
+            raise ValueError(
+                "checkpoint filter geometry mismatch: committed state has "
+                f"{row['n']} partitions × {row['lo']}..{row['hi']} bytes, "
+                f"config expects {want_n} × {want_b} — resume with the "
+                "committed geometry (CrawlScheduler.open adopts it) or "
+                "start a fresh checkpoint"
+            )
 
     @classmethod
     def open(
@@ -163,7 +194,13 @@ class CrawlScheduler:
         still come from ``config``, but the filter facets always match what
         round 0 committed, so the fail-fast guard can never trip.
         ``kwargs`` pass through to the constructor (clock/store/psl/fetcher)."""
-        cfg = config or SchedulerConfig()
+        import dataclasses
+
+        base_cfg = config or SchedulerConfig()
+        # COPY before adopting committed facets — mutating the caller's
+        # config object would leak this checkpoint's geometry into any
+        # other scheduler the caller builds from the same config
+        cfg = dataclasses.replace(base_cfg, extra=dict(base_cfg.extra))
         store = kwargs.get("store") or CheckpointStore(checkpoint_dir)
         if store.latest_round() is not None:
             fc = store.read_counters(0).get("counters", {}).get("filter_config")
@@ -400,6 +437,23 @@ class CrawlScheduler:
         base = self.store.read_compact_table(self.spark, base_rnd, compact_name)
         if base_rnd == upto_rnd:
             return base
+        if not self.store.has_round(base_rnd + 1):
+            # the trailing deltas after THIS snapshot were expired (a later
+            # cumulative snapshot authorized reclaiming them) — serve the
+            # prefix from that newer snapshot instead of crashing on the
+            # deleted round dirs; expiry removes a contiguous 1..limit
+            # prefix, so testing the first needed round suffices
+            newer = self._newer_cumulative_base(compact_name)
+            if newer is not None and newer >= upto_rnd:
+                return self.store.read_compact_table(
+                    self.spark, newer, compact_name
+                ).filter(F.col(round_col) <= int(upto_rnd))
+            raise ValueError(
+                f"{compact_name} through round {upto_rnd}: delta rounds "
+                f"{base_rnd + 1}..{upto_rnd} were expired and no cumulative "
+                "snapshot covers them — compact() before expire(), or read "
+                "at a covered round"
+            )
         return base.unionByName(
             self._read_deltas(upto_rnd, delta_name, from_rnd=base_rnd + 1)
         )
@@ -427,6 +481,17 @@ class CrawlScheduler:
         MERGE-maintained table read, and on parquet it is co-partitioned by
         the uniform url hash (no skew)."""
         base_rnd = self.store.latest_compact(upto=upto_rnd)
+        deltas_expired = upto_rnd >= 1 and not self.store.has_round(
+            (base_rnd + 1) if base_rnd is not None else 1
+        )
+        if deltas_expired and (base_rnd is None or base_rnd < upto_rnd):
+            # the needed delta rounds were expired under a LATER cumulative
+            # snapshot — reconstruct pending from the cumulative logs (the
+            # same discovered-minus-scheduled definition; both readers have
+            # the newer-snapshot fallback)
+            frontier_all = self._read_frontier_all(upto_rnd)
+            scheduled = self._read_crawl_log(upto_rnd).select("url", "attempt")
+            return frontier_all.join(scheduled, ["url", "attempt"], "left_anti")
         if base_rnd is None:
             frontier_all = self._read_deltas(upto_rnd, "frontier_new")
             scheduled = self._read_deltas(upto_rnd, "crawl_log").select(
@@ -466,6 +531,12 @@ class CrawlScheduler:
                 self.spark, base_rnd, "host_state"
             )
             if base_rnd < upto_rnd:
+                if not self.store.has_round(base_rnd + 1):
+                    raise ValueError(
+                        f"host_state through round {upto_rnd}: delta rounds "
+                        f"{base_rnd + 1}..{upto_rnd} were expired — read at "
+                        "a compaction snapshot round or at the current head"
+                    )
                 allr = allr.unionByName(
                     self._read_deltas(
                         upto_rnd, "host_state", from_rnd=base_rnd + 1,
@@ -511,6 +582,13 @@ class CrawlScheduler:
         base = self.store.read_compact_table(self.spark, base_rnd, "url_seen")
         if base_rnd == upto_rnd:
             return base
+        if not self.store.has_round(base_rnd + 1):
+            raise ValueError(
+                f"url_seen through round {upto_rnd}: delta rounds "
+                f"{base_rnd + 1}..{upto_rnd} were expired — the seen set "
+                "below the expiry point is only materialized at compaction "
+                "snapshots; read at a snapshot round or at the current head"
+            )
         return base.unionByName(
             self._read_deltas(upto_rnd, "url_seen_new", from_rnd=base_rnd + 1)
         )
@@ -522,9 +600,19 @@ class CrawlScheduler:
         prev = rnd - 1
         url_seen = self._read_url_seen(prev)
         filter_state = self._read(prev, "filter_state")
+        if not self._geometry_checked:
+            self._verify_filter_geometry(filter_state)
+            self._geometry_checked = True
         host_state = self._read_host_state(prev)
 
-        pending = self._read_pending(prev)
+        # persisted for the round: TWO consumers (the hot-host plan agg and
+        # the eligibility chain) would otherwise each recompute the full
+        # delta-union + anti-join derivation — the dominant read on a long
+        # crawl. MEMORY_AND_DISK: at the 10^10-URL point this is the round's
+        # working set spread over the cluster; unpersisted at round end.
+        from pyspark import StorageLevel
+
+        pending = self._read_pending(prev).persist(StorageLevel.MEMORY_AND_DISK)
 
         # hot-host split plan (one small agg; broadcast) — used to split the
         # skewed per-host window two-phase
@@ -549,9 +637,10 @@ class CrawlScheduler:
             psl=self.psl,
         )
         batch = politeness.global_batch(ranked, self.cfg.batch_size)
-        # cached: reused by the fetch join, crawl_log, and host_state update;
-        # counts come from the written parquet footers post-commit (no extra
-        # pre-write jobs)
+        # cached: reused by the fetch join, crawl_log, and host_state
+        # update. Populated eagerly by the new_urls.count() below (whose
+        # lineage passes through this cache) BEFORE commit_round launches
+        # its concurrent writes — see the note there.
         batch = batch.select("url", "url_id", "host", "priority", "attempt", "seq").cache()
 
         # 3. "fetch" through the pluggable seam (default: canonical URL path
@@ -572,9 +661,16 @@ class CrawlScheduler:
         # salting needed here (salting guards HOST-keyed shuffles only)
         discovered = self._annotate(canon_links).dropDuplicates(["url"])
 
-        # 5. URL-seen: bloom prefilter → exact backstop
+        # 5. URL-seen: bloom prefilter → exact backstop. The eager count
+        # populates the new_urls cache AND (through its lineage) the batch
+        # cache + pending persist before commit_round launches the state
+        # writes CONCURRENTLY: concurrent jobs hitting an unpopulated
+        # cached partition on DIFFERENT executors each recompute the full
+        # lineage — with a real HTTP fetcher that would re-fetch the batch
+        # once per write job (a politeness violation, not just waste).
         flagged = self.bloom.probe(discovered, filter_state)
         new_urls = exact_new(flagged, url_seen).cache()
+        new_urls.count()
 
         # 6. frontier merge is append-only: the round's crawl_log IS the
         #    done-marking (derived pending excludes it); only the newly
@@ -626,6 +722,7 @@ class CrawlScheduler:
         )
         batch.unpersist()
         new_urls.unpersist()
+        pending.unpersist()
         return counters
 
     def frontier_metrics(self) -> DataFrame:
@@ -665,6 +762,9 @@ class CrawlScheduler:
         rnd = prev + 1
         url_seen = self._read_url_seen(prev)
         filter_state = self._read(prev, "filter_state")
+        if not self._geometry_checked:
+            self._verify_filter_geometry(filter_state)
+            self._geometry_checked = True
         host_state = self._read_host_state(prev)
 
         canon = (
@@ -675,7 +775,10 @@ class CrawlScheduler:
         )
         cand = self._annotate(canon)
         flagged = self.bloom.probe(cand, filter_state)
+        # eager cache fill before the concurrent commit writes (see
+        # run_round's new_urls note)
         new_urls = exact_new(flagged, url_seen).cache()
+        new_urls.count()
 
         frontier_new = (
             new_urls.withColumn("priority", F.lit(float(priority)))

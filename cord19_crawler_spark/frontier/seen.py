@@ -53,9 +53,22 @@ class BloomSeenFilter:
     """Per-partition bloom bitsets manipulated in applyInPandas."""
 
     def __init__(self, n_partitions: int = 8, m_bits: int = 1 << 20, k: int = 5):
+        if m_bits % 8 != 0 or m_bits <= 0:
+            # empty_state sizes the bitset as m_bits // 8 BYTES while
+            # _bit_positions generates positions up to m_bits - 1: a
+            # non-multiple-of-8 would IndexError inside applyInPandas —
+            # fail here with an actionable message instead
+            raise ValueError(f"bloom m_bits must be a positive multiple of 8, got {m_bits}")
+        if k < 1:
+            raise ValueError(f"bloom k must be >= 1, got {k}")
         self.n_partitions = n_partitions
         self.m_bits = m_bits
         self.k = k
+
+    def state_bytes(self) -> int:
+        """Per-partition blob size — the resume geometry guard compares the
+        committed state against this."""
+        return self.m_bits // 8
 
     def empty_state(self, spark: SparkSession) -> DataFrame:
         # zero bitsets built JVM-side (unhex(repeat)) — shipping megabytes of
@@ -117,11 +130,20 @@ class BloomSeenFilter:
 
         def _insert(cand: pd.DataFrame, st: pd.DataFrame) -> pd.DataFrame:
             if st.empty:
-                part = int(cand["partition"].iloc[0])
-                packed = np.zeros(n_bytes, dtype=np.uint8)
-            else:
-                part = int(st["partition"].iloc[0])
-                packed = np.frombuffer(bytes(st["bitset"].iloc[0]), dtype=np.uint8)
+                # the state table is COMPLETE by construction (empty_state
+                # seeds every partition; insert passes untouched partitions
+                # through) — a candidate partition with no state row means
+                # mismatched geometry. Fabricating a fresh bitset here
+                # would write corrupt extra-partition state that MASKS the
+                # mismatch from future probes; fail loudly like probe().
+                raise ValueError(
+                    "bloom insert: no filter state for partition "
+                    f"{int(cand['partition'].iloc[0])} — candidate "
+                    "partitioning does not match the committed filter "
+                    "geometry (seen_partitions mismatch?)"
+                )
+            part = int(st["partition"].iloc[0])
+            packed = np.frombuffer(bytes(st["bitset"].iloc[0]), dtype=np.uint8)
             if cand.empty:
                 return pd.DataFrame({"partition": [part], "bitset": [packed.tobytes()]})
             bits = np.unpackbits(packed)

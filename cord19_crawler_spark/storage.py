@@ -96,6 +96,15 @@ class CheckpointStore:
         os.rename(tmp, final)
         return final_counters
 
+    def has_round(self, rnd: int) -> bool:
+        """True iff round ``rnd`` is committed AND its delta dirs still
+        exist (False after expire_rounds reclaimed it). Expiry removes a
+        CONTIGUOUS 1..limit prefix, so readers can test just the first
+        round of a needed range."""
+        return os.path.exists(
+            os.path.join(self._round_dir(rnd), "_COMMITTED.json")
+        )
+
     def latest_round(self) -> int | None:
         best = None
         if not os.path.isdir(self.root):

@@ -199,6 +199,15 @@ class IcebergCheckpointStore:
         ).collect()[0]
         return None if row["r"] is None else int(row["r"])
 
+    def has_round(self, rnd: int) -> bool:
+        """True iff the round's commit marker exists (expire_rounds deletes
+        markers for expired rounds FIRST, so marker-present == readable)."""
+        row = self.spark.sql(
+            f"SELECT count(*) AS c FROM {self.ns}.commits "
+            f"WHERE round = {int(rnd)}"
+        ).collect()[0]
+        return int(row["c"]) > 0
+
     def read_table(self, spark: SparkSession, rnd: int, name: str) -> DataFrame:
         # partition-pruned: _round is the partition column
         return (

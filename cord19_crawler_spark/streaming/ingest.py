@@ -82,11 +82,18 @@ def run_ingest_available_now(
 
 
 def discovery_rate(
-    spark: SparkSession, input_dir: str, window: str = "10 seconds"
+    spark: SparkSession,
+    input_dir: str,
+    window: str = "10 seconds",
+    span_cap: int = 50,
 ) -> DataFrame:
     """Watermarked event-time windowed discovery-rate aggregation (late data
-    beyond 30s dropped) — returns the streaming DF; caller starts the sink."""
-    links = discovered_links_stream(read_document_stream(spark, input_dir))
+    beyond 30s dropped) — returns the streaming DF; caller starts the sink.
+    ``span_cap`` must match the ingest/crawl cap (SchedulerConfig.span_cap)
+    so the metrics count exactly the links the crawl can discover."""
+    links = discovered_links_stream(
+        read_document_stream(spark, input_dir), span_cap=span_cap
+    )
     return (
         links.withWatermark("discovered_at", "30 seconds")
         .groupBy(F.window("discovered_at", window), F.col("host"))

@@ -78,6 +78,37 @@ def test_expiry_reclaims_rounds_bit_identical(spark, tmp_path):
     assert ce["requeued"] == cp["requeued"] > 0
 
 
+def test_prefix_reads_between_two_compaction_points_after_expiry(spark, tmp_path):
+    """History reads whose base snapshot is an OLDER compact point and whose
+    trailing delta rounds were expired under a NEWER cumulative snapshot are
+    served from the newer snapshot (not a crash on deleted round dirs)."""
+    docs = generate_documents(spark, 300, partitions=4).cache()
+
+    plain = CrawlScheduler(spark, docs, str(tmp_path / "plain"), _cfg())
+    plain.run(6, seeds=seed_urls(spark, 10, 300))
+
+    ex = CrawlScheduler(spark, docs, str(tmp_path / "ex"), _cfg())
+    ex.run(2, seeds=seed_urls(spark, 10, 300))
+    assert ex.compact() == 2          # older compact point
+    ex.run(6)
+    assert ex.compact() == 6          # newer cumulative snapshot
+    removed = ex.expire()
+    assert removed == [1, 2, 3, 4, 5]
+    # upto=4 resolves base=compact(2) + deltas 3..4 — which were expired;
+    # the newer snapshot at 6 must serve the prefix
+    assert ex.crawl_order(upto_round=4) == plain.crawl_order(upto_round=4)
+    # requeue reads frontier history at the head (same machinery) — smoke
+    failed = [u for _, _, u in ex.crawl_order()[:2]]
+    fdf = spark.createDataFrame([(u,) for u in failed], "url string")
+    assert ex.requeue_failures(fdf)["requeued"] > 0
+    # historical url_seen below the expiry point is NOT reconstructable —
+    # must fail loudly, not return silently-wrong rows
+    import pytest
+
+    with pytest.raises(ValueError, match="expired"):
+        ex._read_url_seen(4).count()
+
+
 def test_expire_refuses_without_cumulative_snapshot(spark, tmp_path):
     import shutil
 

@@ -104,6 +104,11 @@ def test_open_adopts_committed_filter_config(spark, tmp_path):
 
     with pytest.raises(ValueError, match="filter config"):
         CrawlScheduler(spark, docs, ckpt, SchedulerConfig())
-    s2 = CrawlScheduler.open(spark, docs, ckpt, SchedulerConfig())
+    caller_cfg = SchedulerConfig()
+    s2 = CrawlScheduler.open(spark, docs, ckpt, caller_cfg)
     assert s2.cfg.bloom_bits == 1 << 17
     assert s2.run(2)[0]["scheduled"] >= 0
+    # open() must NOT mutate the caller's config: a later scheduler built
+    # from the same object would silently inherit this checkpoint's geometry
+    assert caller_cfg.bloom_bits == SchedulerConfig().bloom_bits
+    assert "filter_kind" not in caller_cfg.extra

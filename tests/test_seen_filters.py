@@ -86,3 +86,60 @@ def test_probe_geometry_mismatch_is_loud(spark):
     # matched geometry still probes cleanly
     ok = f8.probe(with_partition(urls, 8), state8)
     assert ok.filter("maybe_seen").count() == 60
+    # INSERT is equally loud: fabricating a fresh bitset for a mis-mapped
+    # partition would write corrupt extra-partition state that MASKS the
+    # mismatch from future probes
+    with pytest.raises(Exception, match="filter state for partition"):
+        f8.insert(mis, state8).collect()
+
+
+def test_bloom_bits_must_be_multiple_of_8():
+    import pytest
+
+    from cord19_crawler_spark.frontier.seen import BloomSeenFilter
+
+    with pytest.raises(ValueError, match="multiple of 8"):
+        BloomSeenFilter(m_bits=999_999)
+    with pytest.raises(ValueError, match="k must be"):
+        BloomSeenFilter(m_bits=1 << 12, k=0)
+
+
+def test_resume_geometry_guard_catches_shrink_on_legacy_checkpoint(spark, tmp_path):
+    """A checkpoint WITHOUT persisted filter_config facets (legacy) resumed
+    with FEWER seen_partitions: every candidate partition has state, so the
+    in-kernel empty-group guard never fires — the one-time resume geometry
+    check (state row count × blob size vs config) must catch it."""
+    import json
+    import os
+
+    import pytest
+
+    from cord19_crawler_spark.datagen import generate_documents, seed_urls
+    from cord19_crawler_spark.frontier import CrawlScheduler, SchedulerConfig
+
+    docs = generate_documents(spark, 150, partitions=2).cache()
+    ck = str(tmp_path / "ck")
+    s4 = CrawlScheduler(
+        spark, docs, ck,
+        SchedulerConfig(batch_size=10, seen_partitions=4, bloom_bits=1 << 14),
+    )
+    s4.run(1, seeds=seed_urls(spark, 6, 150))
+    # simulate a legacy checkpoint: strip the persisted config facets so
+    # the construction-time fail-fast cannot see the mismatch
+    marker = os.path.join(ck, "round=0", "_COMMITTED.json")
+    data = json.load(open(marker))
+    data.get("counters", {}).pop("filter_config", None)
+    json.dump(data, open(marker, "w"))
+
+    s2 = CrawlScheduler(
+        spark, docs, ck,
+        SchedulerConfig(batch_size=10, seen_partitions=2, bloom_bits=1 << 14),
+    )
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        s2.run(2)
+    # same config as committed → resumes cleanly (guard passes)
+    s_ok = CrawlScheduler(
+        spark, docs, ck,
+        SchedulerConfig(batch_size=10, seen_partitions=4, bloom_bits=1 << 14),
+    )
+    s_ok.run(2)
