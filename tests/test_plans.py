@@ -239,3 +239,55 @@ def test_tfidf_dataframe_n_stays_one_job_shape(spark, sf001):
     # …joined via a broadcast of the 1-row side
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_single_shuffle_no_range_explosion(spark):
+    """The union-tag as-of composition promises ONE shuffle on the key and
+    no row multiplication: exactly one Exchange hashpartitioning over the
+    union, one Window, and no join operator at all (the naive range-join +
+    argmax composition would show a join + a second exchange)."""
+    from cord19_crawler_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [("k", i, i) for i in range(20)], "k string, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [("k", i * 2, float(i)) for i in range(10)], "k string, ts long, v double"
+    )
+    out = asof_join_backward(left, right, ["k"], "ts", "ts", ["v"])
+    plan = _plan(out)
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join_op not in plan, join_op
+    # one Window, one hash Exchange on the key (the union is shuffle-free);
+    # formatted-mode tree nodes read "Window (8)" / "Exchange (6)"
+    assert plan.count("Window (") == 1
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning" in plan
+
+
+def test_salted_domain_budget_broadcasts_group_max(spark):
+    """The salted domain-budget pre-phase joins its (domain -> group-max
+    in-flight) map and the hot-host split plan as BROADCASTS — candidate
+    rows never shuffle for either — and stays cartesian-free."""
+    from cord19_crawler_spark.frontier import politeness
+
+    rows = [
+        (f"https://h{i % 4}.corp.com/p{i}", f"h{i % 4}.corp.com", 1.0 - i * 0.001, 2)
+        for i in range(40)
+    ]
+    elig = (
+        spark.createDataFrame(
+            rows, "url string, host string, priority double, max_in_flight int"
+        )
+        .withColumn("min_delay_rounds", F.lit(1))
+        .withColumn("last_scheduled_round", F.lit(None).cast("int"))
+    )
+    plan_df = spark.createDataFrame([("h0.corp.com", 2)], "host string, n_salt int")
+    out = politeness.per_host_topk(elig, split_plan=plan_df, budget_key="domain")
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    # gmax map + split plan both broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+    # pre-window partitions on the salted composite key
+    assert "_salt" in plan
