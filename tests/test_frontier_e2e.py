@@ -130,21 +130,23 @@ def test_fetch_miss_404_analogue(spark, docs, tmp_path):
     (in crawl_log, not re-scheduled) exactly like a fetched-but-dead page."""
     from pyspark.sql import functions as F
 
+    dead_urls = [f"https://host9.example.com/doc/{99000 + i}" for i in range(5)]
     dead = spark.createDataFrame(
-        [(f"https://host9.example.com/doc/{99000 + i}", 5.0) for i in range(5)],
-        "url string, priority double",
+        [(u, 5.0) for u in dead_urls], "url string, priority double"
     )
     live = seed_urls(spark, 5, N_DOCS)
     sched = CrawlScheduler(spark, docs, str(tmp_path / "miss"), make_cfg())
     sched.run(3, seeds=dead.unionByName(live))
     order = sched.crawl_order()
     urls = [u for _, _, u in order]
-    # dead URLs scheduled once (high priority), never again; crawl continued
-    assert sum("/doc/99" in u for u in urls) == 5
+    # dead URLs scheduled once (high priority), never again; crawl continued.
+    # Match the EXACT dead URLs — a substring like '/doc/99' would also
+    # match live doc 99 and misfire when the crawl happens to discover it.
+    assert sum(u in set(dead_urls) for u in urls) == 5
     assert len(urls) == len(set(urls))
     assert len(urls) > 10  # live seeds kept expanding the frontier
     pend = sched.pending_frontier()
-    assert pend.filter(F.col("url").contains("/doc/99")).count() == 0
+    assert pend.filter(F.col("url").isin(dead_urls)).count() == 0
 
 
 def test_frontier_metrics(spark, docs, tmp_path):

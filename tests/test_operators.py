@@ -352,7 +352,7 @@ def test_multimodal_resize_plumbing(spark):
 def test_minhash_estimates_jaccard(spark):
     """The LSH math contract: P(mh_i(A) == mh_i(B)) = J(A,B), so the
     fraction of agreeing signature components estimates Jaccard. With 64
-    permutations, a true J=0.5 pair should estimate within ±0.2."""
+    permutations, a true J=1/3 pair should estimate within ±0.2."""
     words_a = " ".join(f"tok{i}" for i in range(40))
     words_b = " ".join(f"tok{i}" for i in range(20, 60))  # J = 20/60 ≈ 0.333
     docs = spark.createDataFrame([(1, words_a), (2, words_b)], "doc_id long, text string")

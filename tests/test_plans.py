@@ -19,7 +19,10 @@ def _plan(df) -> str:
 
 @pytest.fixture(scope="module")
 def sf001():
-    return "/root/testdata/sf0.001"
+    # honors the same relocation knob as conftest's sf_dir
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
 
 
 def test_q1_pushdown_and_pruning(spark, sf001):
@@ -134,6 +137,7 @@ def test_host_state_join_not_forced_broadcast(spark):
         [(f"h{i}.com", 1, 3, None) for i in range(50)],
         "host string, min_delay_rounds int, max_in_flight int, last_scheduled_round int",
     )
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         plan_default = _plan(politeness.eligible_urls(pending, hs, 5))
@@ -141,7 +145,7 @@ def test_host_state_join_not_forced_broadcast(spark):
             politeness.eligible_urls(pending, hs, 5, broadcast_state=True)
         )
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
     assert "SortMergeJoin" in plan_default
     assert "BroadcastHashJoin" not in plan_default
     assert "BroadcastHashJoin" in plan_forced

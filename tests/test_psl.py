@@ -67,7 +67,7 @@ def test_psl_file_format(spark, tmp_path):
     assert got["x.city.kawasaki.jp"] == "city.kawasaki.jp"
 
 
-def test_psl_randomized_vs_reference_resolver(spark):
+def test_psl_randomized_vs_reference_resolver(spark, tmp_path):
     """Randomized cross-check: the distributed (explode + broadcast-join +
     longest-match) resolution equals an independent per-host pure-Python
     implementation of the publicsuffix.org algorithm over generated hosts
@@ -115,18 +115,11 @@ def test_psl_randomized_vs_reference_resolver(spark):
         )
         for _ in range(120)
     })
-    # parse the same rules through load_psl's file path
-    import pyspark.sql.functions as F  # noqa: F401
-
-    psl = load_psl(spark)
-    # build the dimension from OUR rule list, not the builtin, via a temp
-    # file-format parse (same code path as production)
-    import tempfile
-
-    with tempfile.NamedTemporaryFile("w", suffix=".dat", delete=False) as f:
-        f.write("// test rules\n" + "\n".join(rules) + "\n")
-        path = f.name
-    psl = load_psl(spark, path)
+    # build the dimension from OUR rule list via the file-format parse
+    # (same code path as production)
+    psl_file = tmp_path / "rules.dat"
+    psl_file.write_text("// test rules\n" + "\n".join(rules) + "\n")
+    psl = load_psl(spark, str(psl_file))
     got = _resolve(spark, psl, hosts)
     want = {h: reference_resolve(h) for h in hosts}
     diffs = {h: (got[h], want[h]) for h in hosts if got[h] != want[h]}

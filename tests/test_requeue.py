@@ -107,7 +107,8 @@ def test_open_adopts_committed_filter_config(spark, tmp_path):
     caller_cfg = SchedulerConfig()
     s2 = CrawlScheduler.open(spark, docs, ckpt, caller_cfg)
     assert s2.cfg.bloom_bits == 1 << 17
-    assert s2.run(2)[0]["scheduled"] >= 0
+    out = s2.run(2)
+    assert len(out) == 1 and out[0]["scheduled"] > 0  # round 2 really ran
     # open() must NOT mutate the caller's config: a later scheduler built
     # from the same object would silently inherit this checkpoint's geometry
     assert caller_cfg.bloom_bits == SchedulerConfig().bloom_bits

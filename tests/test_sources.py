@@ -85,9 +85,8 @@ def test_ingest_cord19_end_to_end(spark, tmp_path):
     assert a[0]["kind"] == "title" and a[0]["text"] == "Title A"
     assert [s["kind"] for s in a[:3]] == ["title", "abstract", "abstract"]
     assert a[3]["kind"] == "body" and a[3]["text"] == "body A0"
-    assert [s["offset"] for s in a] == list(range(1, 51)) or [
-        s["offset"] for s in a
-    ] == list(range(50))
+    # offsets are 0-based span indices (F.transform's lambda index)
+    assert [s["offset"] for s in a] == list(range(50))
 
     b = rows["uidB"]
     # null JSON title falls back to metadata title (P10 coalesce)

@@ -68,10 +68,7 @@ def test_scheduler_runs_on_iceberg_store(spark, tmp_path):
     SparkCatalog, so it self-skips in jar-less environments."""
     if not iceberg_available(spark):
         pytest.skip("Iceberg runtime not on the classpath")
-    if "iceberg_test" not in [
-        c.name for c in spark._jsparkSession.sessionState().catalogManager()
-        .listCatalogs().toList()  # pragma: no cover - jar-gated
-    ]:
+    if "iceberg_test" not in [c.name for c in spark.catalog.listCatalogs()]:
         pytest.skip("no iceberg_test catalog configured")
 
     from cord19_crawler_spark.datagen import generate_documents, seed_urls
