@@ -187,3 +187,56 @@ def test_lsh_bucket_plan_full_recall_clamps():
 
     b, tables = lsh_bucket_plan(1_000_000, target_recall=1.0, max_tables=32)
     assert b >= 1 and tables == 32  # capped, not math-domain-error
+
+
+def test_sniff_media_metadata_formats(spark):
+    """Header-only dimension sniffing: real PNG bytes (via the built-in
+    codec), hand-built GIF/BMP/JPEG headers, and garbage — per-row results,
+    no task failure, no decode library."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from cord19_crawler_spark.functions.png import encode_png
+    from cord19_crawler_spark.operators.multimodal import (
+        _sniff_one,
+        sniff_media_metadata,
+    )
+
+    png = encode_png(np.zeros((5, 9), dtype=np.uint8))  # h=5, w=9
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\0" * 6
+    bmp = (
+        b"BM" + b"\0" * 16
+        + (640).to_bytes(4, "little")
+        + (-480).to_bytes(4, "little", signed=True)  # top-down BMP: negative h
+        + b"\0" * 4
+    )
+    jpeg = (
+        b"\xff\xd8"                       # SOI
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\0" + b"\0" * 9   # APP0
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"                  # SOF0
+        + (768).to_bytes(2, "big") + (1024).to_bytes(2, "big") + b"\0" * 10
+    )
+    assert _sniff_one(png) == ("png", 9, 5)
+    assert _sniff_one(gif) == ("gif", 320, 200)
+    assert _sniff_one(bmp) == ("bmp", 640, 480)
+    assert _sniff_one(jpeg) == ("jpeg", 1024, 768)
+    assert _sniff_one(b"\x00garbage") == ("unknown", None, None)
+    assert _sniff_one(None) == ("unknown", None, None)
+    assert _sniff_one(b"\xff\xd8trunc") == ("jpeg", None, None)
+
+    media = spark.createDataFrame(
+        [
+            Row(media_ref="m1", content=bytearray(png)),
+            Row(media_ref="m2", content=bytearray(jpeg)),
+            Row(media_ref="m3", content=bytearray(b"nope")),
+        ]
+    )
+    got = {
+        r["media_ref"]: (r["sniff_format"], r["sniff_width"], r["sniff_height"])
+        for r in sniff_media_metadata(media).collect()
+    }
+    assert got == {
+        "m1": ("png", 9, 5),
+        "m2": ("jpeg", 1024, 768),
+        "m3": ("unknown", None, None),
+    }
