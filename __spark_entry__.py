@@ -1873,6 +1873,76 @@ FROM documents
 """
 
 
+def title_truncation(spark, sf_dir):
+    """P11: the reference's display truncation (title[:67] + '...' when
+    over length, src/singlewordSearch.py:508) over the documents text as
+    the title stand-in — pure Catalyst."""
+    from cord19_crawler_spark.functions.text import truncate_title
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        truncate_title(F.substring(F.col("text"), 1, 100)).alias("display"),
+    )
+
+
+_TITLE_TRUNC_SQL = """
+SELECT doc_id,
+       CASE WHEN length(substr(text, 1, 100)) > 67
+            THEN substr(substr(text, 1, 100), 1, 67) || '...'
+            ELSE substr(text, 1, 100) END AS display
+FROM documents WHERE doc_id < 200
+"""
+
+
+def mean_tf_per_word(spark, sf_dir):
+    """A8: mean frequency per group (the reference's frequency-centering
+    statistic, src/barrel.py-adjacent compression path) — avg(tf) over the
+    postings grouped by word, top-200 words by doc_freq for a bounded
+    result."""
+    p = postings_tf(spark, sf_dir)
+    stats = p.groupBy("word").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.round(F.avg("tf"), 6).alias("mean_tf"),
+    )
+    return stats.orderBy(F.desc("doc_freq"), F.asc("word")).limit(200)
+
+
+_MEAN_TF_SQL = f"""
+WITH {_TOKENS_CTE},
+postings AS (SELECT word, doc_id, count(*) AS tf FROM tokens GROUP BY word, doc_id)
+SELECT word, count(*) AS doc_freq, round(avg(tf), 6) AS mean_tf
+FROM postings GROUP BY word
+ORDER BY doc_freq DESC, word ASC LIMIT 200
+"""
+
+
+def min_length_doc_filter(spark, sf_dir):
+    """P5: the reference's minimum-length document filter (drop docs whose
+    text is too short to index, src/crawler.py length>50 pattern) — counts
+    per outcome so the whole-table predicate is oracle-checked."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("kept", (F.length("text") > 50).cast("int"))
+        .groupBy("kept")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.length("text")).alias("min_len"),
+            F.max(F.length("text")).alias("max_len"),
+        )
+        .orderBy("kept")
+    )
+
+
+_MIN_LEN_SQL = """
+SELECT CAST(length(text) > 50 AS INTEGER) AS kept,
+       count(*) AS n_docs,
+       CAST(min(length(text)) AS INTEGER) AS min_len,
+       CAST(max(length(text)) AS INTEGER) AS max_len
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2292,6 +2362,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": events_range_join,
         "events_asof_join": events_asof_join,
         "events_asof_null_payload": events_asof_null_payload,
+        "title_truncation": title_truncation,
+        "mean_tf_per_word": mean_tf_per_word,
+        "min_length_doc_filter": min_length_doc_filter,
         "running_total_per_customer": running_total_per_customer,
         # search-engine family
         "lexicon_first_encounter": lexicon_first_encounter,
@@ -2366,6 +2439,9 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": _RANGE_JOIN_SQL,
         "events_asof_join": _ASOF_SQL,
         "events_asof_null_payload": _ASOF_NULL_SQL,
+        "title_truncation": _TITLE_TRUNC_SQL,
+        "mean_tf_per_word": _MEAN_TF_SQL,
+        "min_length_doc_filter": _MIN_LEN_SQL,
         "running_total_per_customer": _RUNNING_SQL,
         "lexicon_first_encounter": _LEXICON_SQL,
         "forward_index_rows": _FWD_INDEX_SQL,
