@@ -167,3 +167,13 @@ class CuckooSeenFilter:
             .cogroup(state.groupBy("partition"))
             .applyInPandas(_insert, schema="partition int, bitset binary")
         )
+
+    def insert_delta(self, new_urls: DataFrame, state: DataFrame) -> DataFrame:
+        """Updated tables for TOUCHED partitions only — O(touched) commit
+        path, same contract as BloomSeenFilter.insert_delta (see there for
+        the write-amplification math; the filter kinds stay drop-in)."""
+        from pyspark.sql import functions as F
+
+        touched = new_urls.select("partition").distinct()
+        touched_state = state.join(F.broadcast(touched), "partition", "left_semi")
+        return self.insert(new_urls, touched_state)

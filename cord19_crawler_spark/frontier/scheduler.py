@@ -308,9 +308,12 @@ class CrawlScheduler:
             .cache()  # four state tables derive from it — compute once
         )
         url_seen_new = frontier.select("partition", "url_id", "url")
+        # round 0 is the one FULL filter write (every partition, stamped):
+        # later rounds append only touched-partition deltas and the
+        # effective state is latest-row-per-partition (_read_filter_state)
         filter_state = self.bloom.insert(
             frontier, self.bloom.empty_state(self.spark)
-        )
+        ).withColumn("_sr", F.lit(0))
         host_state = self._apply_crawl_delay(
             politeness.default_host_state(
                 frontier,
@@ -389,6 +392,7 @@ class CrawlScheduler:
                 "url_seen": self._read_url_seen(rnd),
                 "pending": self._read_pending(rnd),
                 "host_state": self._read_host_state_raw(rnd),
+                "filter_state": self._read_filter_state_raw(rnd),
                 "crawl_log": self._read_crawl_log(rnd),
                 "frontier_all": self._read_frontier_all(rnd),
             },
@@ -569,6 +573,87 @@ class CrawlScheduler:
     def _read_host_state(self, upto_rnd: int) -> DataFrame:
         return self._read_host_state_raw(upto_rnd).drop("_sr")
 
+    def _read_filter_state_raw(self, upto_rnd: int) -> DataFrame:
+        """Effective filter_state = LATEST bitset per partition (max ``_sr``
+        wins) over append-only per-round deltas: round 0 seeds every
+        partition (full coverage), each later round writes ONLY the
+        partitions its new URLs touched (BloomSeenFilter.insert_delta) —
+        the O(touched) commit that replaces the O(m_bits) full rewrite
+        (~12–128 GB/round at the DESIGN.md P=65,536 sizing). Compaction
+        snapshots the reduced view so read fan-in stays bounded, exactly
+        like host_state.
+
+        Legacy layout (checkpoints written before delta commits): every
+        round carries the FULL state without ``_sr`` — detected from the
+        head round's footer schema and read directly; the next commit
+        migrates by writing one full stamped state (_filter_migrate)."""
+        head = self._read(upto_rnd, "filter_state")
+        if "_sr" not in head.columns:
+            self._filter_migrate = True
+            return head.withColumn("_sr", F.lit(upto_rnd))
+        self._filter_migrate = False
+        base_rnd = self._compact_base_for(upto_rnd, "filter_state")
+        if base_rnd is None:
+            if upto_rnd >= 1 and not self.store.has_round(1):
+                raise ValueError(
+                    f"filter_state through round {upto_rnd}: delta rounds "
+                    "below the expiry point were reclaimed and no compaction "
+                    "snapshot carries filter_state — compact() with this "
+                    "version before expiring"
+                )
+            allr = self._read_deltas(
+                upto_rnd, "filter_state", merge_schema=True
+            )
+        else:
+            allr = self.store.read_compact_table(
+                self.spark, base_rnd, "filter_state"
+            )
+            if base_rnd < upto_rnd:
+                if not self.store.has_round(base_rnd + 1):
+                    raise ValueError(
+                        f"filter_state through round {upto_rnd}: delta "
+                        f"rounds {base_rnd + 1}..{upto_rnd} were expired — "
+                        "read at a compaction snapshot round or at the "
+                        "current head"
+                    )
+                allr = allr.unionByName(
+                    self._read_deltas(
+                        upto_rnd, "filter_state", from_rnd=base_rnd + 1,
+                        merge_schema=True,
+                    ),
+                    allowMissingColumns=True,
+                )
+        # rows from legacy full-state rounds (mixed checkpoint mid-
+        # migration) carry null _sr → coalesce to -1 so they lose to any
+        # delta-era row; the migration commit writes full coverage stamped,
+        # so every partition has >= 1 non-null row afterwards
+        allr = allr.withColumn("_sr", F.coalesce(F.col("_sr"), F.lit(-1)))
+        latest = allr.groupBy("partition").agg(
+            F.max(F.struct("_sr", "bitset")).alias("s")
+        )
+        return latest.select(
+            "partition",
+            F.col("s.bitset").alias("bitset"),
+            F.col("s._sr").alias("_sr"),
+        )
+
+    def _read_filter_state(self, upto_rnd: int) -> DataFrame:
+        return self._read_filter_state_raw(upto_rnd).drop("_sr")
+
+    def _filter_state_delta(
+        self, new_urls: DataFrame, filter_state: DataFrame, rnd: int
+    ) -> DataFrame:
+        """The round's filter_state table: touched-partition delta stamped
+        ``_sr`` (the normal O(touched) path), or — once, when resuming a
+        legacy full-rewrite checkpoint — the full updated state stamped, so
+        every partition gains a non-null ``_sr`` row and the latest-wins
+        read is unambiguous from then on."""
+        if getattr(self, "_filter_migrate", False):
+            out = self.bloom.insert(new_urls, filter_state)
+        else:
+            out = self.bloom.insert_delta(new_urls, filter_state)
+        return out.withColumn("_sr", F.lit(rnd))
+
     def _read_url_seen(self, upto_rnd: int) -> DataFrame:
         """The exact seen set = union of per-round APPEND-ONLY deltas
         (``url_seen_new``). Each round writes only its new URLs — O(new), not
@@ -599,7 +684,12 @@ class CrawlScheduler:
         """Execute round ``rnd`` on top of committed round ``rnd - 1``."""
         prev = rnd - 1
         url_seen = self._read_url_seen(prev)
-        filter_state = self._read(prev, "filter_state")
+        # effective state (latest bitset per partition over the append-only
+        # deltas), persisted for the round: TWO consumers (probe +
+        # insert_delta) would otherwise each recompute the delta-union agg
+        from pyspark import StorageLevel as _SL
+
+        filter_state = self._read_filter_state(prev).persist(_SL.MEMORY_AND_DISK)
         if not self._geometry_checked:
             self._verify_filter_geometry(filter_state)
             self._geometry_checked = True
@@ -683,7 +773,7 @@ class CrawlScheduler:
         )
 
         url_seen_new = new_urls.select("partition", "url_id", "url")
-        filter_state_next = self.bloom.insert(new_urls, filter_state)
+        filter_state_next = self._filter_state_delta(new_urls, filter_state, rnd)
         host_state_delta = self._host_state_delta(
             host_state, batch, new_urls, rnd, now=now
         )
@@ -723,6 +813,7 @@ class CrawlScheduler:
         batch.unpersist()
         new_urls.unpersist()
         pending.unpersist()
+        filter_state.unpersist()
         return counters
 
     def frontier_metrics(self) -> DataFrame:
@@ -761,7 +852,9 @@ class CrawlScheduler:
             raise ValueError("init_from_seeds first")
         rnd = prev + 1
         url_seen = self._read_url_seen(prev)
-        filter_state = self._read(prev, "filter_state")
+        from pyspark import StorageLevel as _SL
+
+        filter_state = self._read_filter_state(prev).persist(_SL.MEMORY_AND_DISK)
         if not self._geometry_checked:
             self._verify_filter_geometry(filter_state)
             self._geometry_checked = True
@@ -803,7 +896,9 @@ class CrawlScheduler:
             {
                 "frontier_new": frontier_new,
                 "url_seen_new": new_urls.select("partition", "url_id", "url"),
-                "filter_state": self.bloom.insert(new_urls, filter_state),
+                "filter_state": self._filter_state_delta(
+                    new_urls, filter_state, rnd
+                ),
                 "host_state": self._host_state_delta(
                     host_state, crawl_log, new_urls, rnd
                 ),
@@ -812,6 +907,7 @@ class CrawlScheduler:
             counters_fn=_counters,
         )
         new_urls.unpersist()
+        filter_state.unpersist()
         return counters
 
     def requeue_failures(
@@ -891,12 +987,22 @@ class CrawlScheduler:
                 "merge_only": True,
             }
 
+        # a requeue touches no filter bits → EMPTY delta (append-only),
+        # not a rewrite of unchanged state; one full stamped write only
+        # when migrating a legacy full-rewrite checkpoint
+        filter_eff = self._read_filter_state(prev)
+        if getattr(self, "_filter_migrate", False):
+            filter_delta = filter_eff.withColumn("_sr", F.lit(rnd))
+        else:
+            filter_delta = self.spark.createDataFrame(
+                [], "partition int, bitset binary, _sr int"
+            )
         counters = self.store.commit_round(
             rnd,
             {
                 "frontier_new": retry_rows,
                 "url_seen_new": empty_seen,
-                "filter_state": self._read(prev, "filter_state"),
+                "filter_state": filter_delta,
                 "host_state": empty_host_delta,
                 "crawl_log": crawl_log,
             },

@@ -160,6 +160,25 @@ class BloomSeenFilter:
             .applyInPandas(_insert, schema="partition int, bitset binary")
         )
 
+    def insert_delta(self, new_urls: DataFrame, state: DataFrame) -> DataFrame:
+        """Updated bitsets for TOUCHED partitions ONLY (empty when
+        ``new_urls`` is empty) — the O(touched) commit path.
+
+        ``insert`` returns the complete state table, which makes every
+        round's checkpoint an O(m_bits)-write: at the DESIGN.md sizing
+        (P=65,536 × ~180 KB–2 MB bitsets) that is ~12–128 GB per round,
+        ~120 TB–1.2 PB of churn over a 10^4-round crawl — the one
+        O(total-state) write left in the round loop. Here the state side is
+        pre-filtered to the partitions that actually have new rows (a
+        broadcast semi-join on the tiny distinct-partition set), so the
+        cogroup reads, updates and emits only those bitsets; the effective
+        table is latest-row-per-partition over the append-only deltas
+        (scheduler._read_filter_state), exactly the host_state pattern.
+        """
+        touched = new_urls.select("partition").distinct()
+        touched_state = state.join(F.broadcast(touched), "partition", "left_semi")
+        return self.insert(new_urls, touched_state)
+
 
 def exact_new(
     candidates_flagged: DataFrame, url_seen: DataFrame

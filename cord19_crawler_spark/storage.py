@@ -161,16 +161,20 @@ class CheckpointStore:
         compaction snapshot (one carrying crawl_log + frontier_all).
 
         Never expired: round 0 (its _COMMITTED.json carries the
-        filter-config facets every resume validates) and the latest round
-        (the next round reads its filter_state). Refuses to expire past the
-        newest cumulative snapshot — without one, history reads would lose
-        rows. This is the parquet analogue of Iceberg snapshot expiration.
+        filter-config facets every resume validates) and the latest round.
+        Refuses to expire past the newest cumulative snapshot — one that
+        also carries filter_state, since filter deltas below it become
+        unreadable (effective state = latest-row-per-partition over the
+        append-only deltas). Without such a snapshot, history reads would
+        lose rows. This is the parquet analogue of Iceberg snapshot
+        expiration.
         """
         latest = self.latest_round()
         compact = self.latest_compact()
         while compact is not None and not (
             self.has_compact_table(compact, "crawl_log")
             and self.has_compact_table(compact, "frontier_all")
+            and self.has_compact_table(compact, "filter_state")
         ):
             compact = self.latest_compact(upto=compact - 1)
         if compact is None:

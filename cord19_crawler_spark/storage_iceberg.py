@@ -286,6 +286,7 @@ class IcebergCheckpointStore:
         while compact is not None and not (
             self.has_compact_table(compact, "crawl_log")
             and self.has_compact_table(compact, "frontier_all")
+            and self.has_compact_table(compact, "filter_state")
         ):
             rows = self.spark.sql(
                 f"SELECT max(round) AS r FROM {self.ns}.compacts "
