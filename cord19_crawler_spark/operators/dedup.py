@@ -22,6 +22,44 @@ from pyspark.sql import functions as F
 from ..functions.hashes import md5_long56, minhash_expr, minhash_params
 
 
+def _cap_hot_buckets(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket_df: int | None,
+) -> DataFrame:
+    """Hot-bucket guard for banded candidate generation (the web-scale
+    failure mode the fixed-band design is exposed to): a degenerate bucket
+    — e.g. 10^6 boilerplate-identical docs sharing every band value —
+    produces O(d²) join pairs before distinct()/verify prunes anything;
+    one such bucket is 10^12 shuffle rows.
+
+    Semantics (mirrors ``max_shingle_df`` in ngram_jaccard_pairs, but
+    SUB-SAMPLES instead of dropping): buckets over ``max_bucket_df``
+    members keep only the ``max_bucket_df`` smallest ids (deterministic),
+    bounding that bucket's pair contribution at C(cap, 2). Recall
+    semantics: capped members can still pair through their OTHER bands /
+    tables; within a pure boilerplate flood the kept sample still links
+    (so the flood IS detected), while sampled-out members lose their
+    candidacy from this bucket — the standard bounded-recall trade every
+    production near-dup pipeline makes (vs an unbounded shuffle).
+
+    Cost: the row_number window sorts each bucket's rows on one task —
+    O(d log d) rows spilled for a hot bucket vs O(d²) join output without
+    the cap; non-hot buckets are untouched. ``None`` disables (exact
+    small-scale / oracle mode)."""
+    if max_bucket_df is None:
+        return banded
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in bucket_cols]).orderBy(id_col)
+    return (
+        banded.withColumn("_bdf", F.row_number().over(w))
+        .filter(F.col("_bdf") <= max_bucket_df)
+        .drop("_bdf")
+    )
+
+
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup via content fingerprint: groups with >1 doc, keeper = min id.
     (A12/J2 as dedup; one hash-agg, no join.)"""
@@ -81,9 +119,12 @@ def minhash_signatures(sh: DataFrame, num_perm: int = 16, seed: int = 42) -> Dat
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, max_bucket_df: int | None = None
+) -> DataFrame:
     """Band the signature columns; docs sharing any band bucket are
-    candidates. Returns (doc_a, doc_b) with doc_a < doc_b, distinct."""
+    candidates. Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
+    ``max_bucket_df`` bounds degenerate buckets (see _cap_hot_buckets)."""
     mh_cols = [c for c in signatures.columns if c.startswith("mh_")]
     if len(mh_cols) % bands != 0:
         raise ValueError(
@@ -101,6 +142,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
     banded = signatures.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bucket")
     )
+    banded = _cap_hot_buckets(banded, ["bucket"], "doc_id", max_bucket_df)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -123,6 +165,7 @@ def minhash_near_duplicates(
     threshold: float = 0.7,
     ngram: int = 3,
     shingle_storage: str = "localCheckpoint",
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band → candidate pairs →
     EXACT Jaccard verification ≥ threshold. Returns
@@ -149,7 +192,7 @@ def minhash_near_duplicates(
     elif shingle_storage != "none":
         raise ValueError(f"unknown shingle_storage: {shingle_storage!r}")
     sig = minhash_signatures(sh, num_perm)
-    cand = lsh_candidate_pairs(sig, bands)
+    cand = lsh_candidate_pairs(sig, bands, max_bucket_df=max_bucket_df)
     return verify_jaccard(cand, sh, threshold)
 
 
@@ -268,6 +311,7 @@ def simhash_near_duplicates(
     bits: int = 32,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the fingerprint into ``bands`` chunks —
     any pair within ``max_hamming < bands`` differs in at most
@@ -305,6 +349,7 @@ def simhash_near_duplicates(
             )
         ).alias("bucket"),
     )
+    banded = _cap_hot_buckets(banded, ["bucket"], "doc_id", max_bucket_df)
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, on="bucket")
@@ -333,6 +378,7 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     bucket_dims: int = 6,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: sign-projection bucketing on the first
     ``bucket_dims`` dimensions (deterministic hyperplanes = coordinate axes)
@@ -347,6 +393,7 @@ def embedding_near_duplicates(
         F.col(vec_col).alias("v"),
         sign_bucket_expr(vec_col, bucket_dims).alias("bucket"),
     )
+    b = _cap_hot_buckets(b, ["bucket"], "vid", max_bucket_df)
     l, r = b.alias("l"), b.alias("r")
     pairs = l.join(r, "bucket").filter(F.col("l.vid") < F.col("r.vid"))
     cosine = F.round(
@@ -412,6 +459,7 @@ def embedding_near_duplicates_lsh(
     bits: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup at scale: L independent random-hyperplane tables
     (deterministic seed), per-(table, bucket) pair join, exact cosine ≥
@@ -451,6 +499,7 @@ def embedding_near_duplicates_lsh(
         F.col(vec_col).alias("v"),
         F.posexplode(_buckets(F.col(vec_col))).alias("tbl", "bucket"),
     )
+    b = _cap_hot_buckets(b, ["tbl", "bucket"], "vid", max_bucket_df)
     l, r = b.alias("l"), b.alias("r")
     pairs = (
         l.join(r, ["tbl", "bucket"])
