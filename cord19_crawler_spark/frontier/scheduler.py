@@ -758,8 +758,25 @@ class CrawlScheduler:
         # cached partition on DIFFERENT executors each recompute the full
         # lineage — with a real HTTP fetcher that would re-fetch the batch
         # once per write job (a politeness violation, not just waste).
-        flagged = self.bloom.probe(discovered, filter_state)
-        new_urls = exact_new(flagged, url_seen).cache()
+        # persist the probe output: three consumers (the maybe-count below,
+        # the broadcast of maybe urls inside the inverted backstop, and the
+        # anti-join probe side) would each re-run the Arrow probe stage.
+        # Bounded by the round's discovered fan-out (batch × span_cap).
+        flagged = self.bloom.probe(discovered, filter_state).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        # bloom-positive volume this round — picks the backstop strategy:
+        # small (the steady-state: the bloom absorbs genuinely-new URLs,
+        # rediscoveries are bounded by fan-out) → inverted broadcast check
+        # that never SHUFFLES the 10^10-row seen set; large → plain hash
+        # anti-join fallback
+        probe_count = flagged.filter(F.col("maybe_seen")).count()
+        new_urls = exact_new(
+            flagged,
+            url_seen,
+            probe_count=probe_count,
+            broadcast_max=int(self.cfg.extra.get("backstop_broadcast_max", 1_000_000)),
+        ).cache()
         new_urls.count()
 
         # 6. frontier merge is append-only: the round's crawl_log IS the
@@ -813,6 +830,7 @@ class CrawlScheduler:
         batch.unpersist()
         new_urls.unpersist()
         pending.unpersist()
+        flagged.unpersist()
         filter_state.unpersist()
         return counters
 
@@ -867,10 +885,18 @@ class CrawlScheduler:
             .dropDuplicates(["url"])
         )
         cand = self._annotate(canon)
-        flagged = self.bloom.probe(cand, filter_state)
+        flagged = self.bloom.probe(cand, filter_state).persist(
+            _SL.MEMORY_AND_DISK
+        )
+        probe_count = flagged.filter(F.col("maybe_seen")).count()
         # eager cache fill before the concurrent commit writes (see
         # run_round's new_urls note)
-        new_urls = exact_new(flagged, url_seen).cache()
+        new_urls = exact_new(
+            flagged,
+            url_seen,
+            probe_count=probe_count,
+            broadcast_max=int(self.cfg.extra.get("backstop_broadcast_max", 1_000_000)),
+        ).cache()
         new_urls.count()
 
         frontier_new = (
@@ -907,6 +933,7 @@ class CrawlScheduler:
             counters_fn=_counters,
         )
         new_urls.unpersist()
+        flagged.unpersist()
         filter_state.unpersist()
         return counters
 

@@ -181,21 +181,42 @@ class BloomSeenFilter:
 
 
 def exact_new(
-    candidates_flagged: DataFrame, url_seen: DataFrame
+    candidates_flagged: DataFrame,
+    url_seen: DataFrame,
+    probe_count: int | None = None,
+    broadcast_max: int = 1_000_000,
 ) -> DataFrame:
     """Resolve bloom 'maybe_seen' to exact newness.
 
     bloom-negative → new without touching url_seen; bloom-positive →
-    co-partitioned left_anti against the exact set. Result: exactly the
-    candidates not in the seen set.
+    confirmed against the exact set. Result: exactly the candidates not in
+    the seen set.
+
+    Backstop join strategy (VERDICT r3 nit 3 — the seen set must never be
+    SHUFFLED for a small probe): when the caller knows the bloom-positive
+    row count (``probe_count``) and it fits ``broadcast_max``, the check is
+    INVERTED into two broadcast joins — ``hits = url_seen ⋉ broadcast(maybe
+    urls)`` (the 10^10-row seen set is scanned but never exchanged; the
+    broadcast hash filter runs inside the scan stage), then ``maybe ▷
+    broadcast(hits)`` (hits ≤ probe_count rows). Zero exchanges of the seen
+    set; the scan itself is bounded by compaction. When probe_count is
+    unknown or over the cap (a rediscovery-heavy round), fall back to the
+    plain hash anti-join, which is always correct.
+
+    Anti-join on the URL STRING, not url_id: a 64-bit hash collision at
+    10^10 URLs (birthday bound: a handful expected) would otherwise drop a
+    genuinely-new URL forever. url_id remains the compact id for
+    bloom/bookkeeping.
     """
     definite_new = candidates_flagged.filter(~F.col("maybe_seen"))
     maybe = candidates_flagged.filter(F.col("maybe_seen"))
-    # anti-join on the URL STRING, not url_id: a 64-bit hash collision at
-    # 10^10 URLs (birthday bound: a handful expected) would otherwise drop a
-    # genuinely-new URL forever. The join still hash-partitions on the
-    # string key; url_id remains the compact id for bloom/bookkeeping.
-    confirmed_new = maybe.join(
-        url_seen.select("url"), on="url", how="left_anti"
-    )
+    if probe_count is not None and probe_count <= broadcast_max:
+        hits = url_seen.select("url").join(
+            F.broadcast(maybe.select("url")), "url", "left_semi"
+        )
+        confirmed_new = maybe.join(F.broadcast(hits), "url", "left_anti")
+    else:
+        confirmed_new = maybe.join(
+            url_seen.select("url"), on="url", how="left_anti"
+        )
     return definite_new.unionByName(confirmed_new).drop("maybe_seen")
