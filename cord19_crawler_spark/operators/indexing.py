@@ -93,18 +93,25 @@ def forward_index(tokens: DataFrame) -> DataFrame:
 
 
 def backward_index(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    lemmatizer=None,
 ) -> DataFrame:
     """doc_id → ordered [struct(lemma, pos)] — the reference's backward
     index (src/index.py:67-68 stores each doc's token dicts verbatim).
     The Arrow lemmatizer already returns the ordered struct array, so this
     is a single projection; the exploded relational form is validated
-    against a DuckDB oracle by the ``backward_index_rows`` driver query."""
+    against a DuckDB oracle by the ``backward_index_rows`` driver query.
+
+    ``lemmatizer`` overrides the tokenize+lemmatize UDF — pass
+    ``make_lemmatizer('auto')`` (functions/text.py) to use the real spaCy
+    model when the environment has it; default is the deterministic stub
+    the oracles mirror."""
     from ..functions.text import lemmatize_tokens
 
+    lem = lemmatizer if lemmatizer is not None else lemmatize_tokens
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        lemmatize_tokens(F.col(text_col)).alias("tokens"),
+        lem(F.col(text_col)).alias("tokens"),
     )
 
 
