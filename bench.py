@@ -137,13 +137,18 @@ def main() -> None:
     # warmup: session/codegen/file-listing one-time costs land here, not in
     # the first measured query
     qs["q1_pricing_summary"](spark, SF_DIR).count()
-    # min-of-N per query (default 2, $SPARK_GRAFT_QUERY_REPEATS): shared-box
-    # load makes single runs swing ±30%; min approximates the uncontended
-    # time. Plans are rebuilt each run — nothing is cached between repeats.
-    q_repeats = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "2"))
+    # N samples per query (default 5, $SPARK_GRAFT_QUERY_REPEATS): this box
+    # is shared and single runs swing ±30% (r3 showed 2x per-query swings
+    # with totals flat — pure tenancy). The headline scalar stays MIN
+    # (approximates the uncontended time, comparable across rounds); the
+    # full min/median/max spread is recorded per query so a true regression
+    # (median and min both move) is distinguishable from a noisy co-tenant
+    # (max moves, min doesn't). Plans are rebuilt each run — nothing is
+    # cached between repeats.
+    q_repeats = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "5"))
 
-    def _time_query(fn) -> float:
-        best = None
+    def _time_query(fn) -> list[float]:
+        samples = []
         for _ in range(max(1, q_repeats)):
             t0 = time.time()
             # noop sink, NOT .count(): count() lets Catalyst prune every
@@ -151,14 +156,28 @@ def main() -> None:
             # would time an empty-schema scan instead of its kernels; the
             # noop write materializes every output column
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            el = time.time() - t0
-            best = el if best is None else min(best, el)
-        return round(best, 3)
+            samples.append(time.time() - t0)
+        return sorted(samples)
 
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     for name in HEADLINE:
-        timings[name] = _time_query(qs[name])
-    timings["minhash_near_dup_e2e"] = _time_query(minhash_near_dup_e2e)
+        s = _time_query(qs[name])
+        timings[name] = round(s[0], 3)
+        spread[name] = {
+            "min": round(s[0], 3),
+            "med": round(s[len(s) // 2], 3),
+            "max": round(s[-1], 3),
+            "n": len(s),
+        }
+    s = _time_query(minhash_near_dup_e2e)
+    timings["minhash_near_dup_e2e"] = round(s[0], 3)
+    spread["minhash_near_dup_e2e"] = {
+        "min": round(s[0], 3),
+        "med": round(s[len(s) // 2], 3),
+        "max": round(s[-1], 3),
+        "n": len(s),
+    }
     # drop the query section's leftovers (persisted two-phase-rank frames,
     # broadcast vars) before the timed crawl — an aged executor heap was
     # measured to slow the crawl 3-5x vs a fresh JVM at identical box load
@@ -175,8 +194,12 @@ def main() -> None:
         "value": crawl["urls_scheduled_per_sec"],
         "unit": "urls/sec",
         "queries": timings,
+        "query_spread": spread,
         "sf": sf_val,
         "total_query_sec": round(sum(timings.values()), 3),
+        "total_query_sec_median": round(
+            sum(v["med"] for v in spread.values()), 3
+        ),
         "crawl": crawl,
     }
     print(json.dumps(out))
