@@ -1595,7 +1595,7 @@ def dedup_minhash_lsh_e2e(spark, sf_dir):
     )
 
 
-def _minhash_e2e_sql() -> str:
+def _minhash_e2e_sql(max_bucket_df: int | None = None) -> str:
     params = minhash_params(8)
     h = md5_long56_sql("shingle")
     mins = ", ".join(
@@ -1607,13 +1607,24 @@ def _minhash_e2e_sql() -> str:
         f"CAST(mh_{2 * b + 1} AS VARCHAR) AS key FROM sigs"
         for b in range(4)
     )
+    if max_bucket_df is None:
+        bands_cte = f"bands AS ({band_selects})"
+    else:
+        # replay the hot-bucket cap: keep the cap smallest doc_ids per
+        # (band, key) — mirrors _cap_hot_buckets' deterministic sub-sample
+        bands_cte = (
+            f"bands_raw AS ({band_selects}), "
+            "bands AS (SELECT doc_id, band, key FROM bands_raw "
+            "QUALIFY row_number() OVER (PARTITION BY band, key "
+            f"ORDER BY doc_id) <= {max_bucket_df})"
+        )
     return f"""
 WITH shingles AS (
   SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS shingle
   FROM documents WHERE doc_id < 60
 ),
 sigs AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id),
-bands AS ({band_selects}),
+{bands_cte},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -1633,6 +1644,62 @@ FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(common / (sa.n + sb.n - common), 6) >= 0.7
+"""
+
+
+def dedup_minhash_lsh_capped(spark, sf_dir):
+    """MinHash-LSH e2e WITH the hot-bucket guard (max_bucket_df=5): band
+    buckets over 5 members are deterministically sub-sampled to their 5
+    smallest doc_ids before the candidate join — the bounded-shuffle
+    semantics the 100-TB path runs with (operators/dedup.py:
+    _cap_hot_buckets). The oracle replays the cap with a QUALIFY
+    row_number per (band, key), so the exact recall trade of the capped
+    plan is pinned, not just its blowup-avoidance."""
+    from cord19_crawler_spark.operators.dedup import minhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return minhash_near_duplicates(
+        d, num_perm=8, bands=4, threshold=0.7, ngram=1, max_bucket_df=5
+    )
+
+
+def dedup_embedding_cosine_capped(spark, sf_dir):
+    """Embedding near-dup with the bucket cap (max_bucket_df=10 on ~25-row
+    sign buckets, so the guard actually fires): per-bucket pair joins see
+    at most 10 members each. Oracle replays the QUALIFY sub-sample."""
+    from cord19_crawler_spark.operators.dedup import embedding_near_duplicates
+
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 400)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    return embedding_near_duplicates(
+        e, threshold=0.35, bucket_dims=4, max_bucket_df=10
+    )
+
+
+_EMB_DEDUP_CAPPED_SQL = """
+WITH b_raw AS (
+  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) +
+         (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+         (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) +
+         (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings WHERE vec_id < 400
+),
+b AS (
+  SELECT vid, v, bucket FROM b_raw
+  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vid) <= 10
+)
+SELECT l.vid AS vec_a, r.vid AS vec_b,
+       round(list_dot_product(l.v, r.v) /
+             (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))),
+             6) AS cosine
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vid < r.vid
+WHERE round(list_dot_product(l.v, r.v) /
+            (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))),
+            6) >= 0.35
 """
 
 
@@ -2392,6 +2459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_vocab": set_ops_vocab,
         "dedup_minhash_signatures": dedup_minhash_signatures_q,
         "dedup_minhash_lsh_e2e": dedup_minhash_lsh_e2e,
+        "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
+        "dedup_embedding_cosine_capped": dedup_embedding_cosine_capped,
         "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
         "dedup_simhash": dedup_simhash_q,
         "dedup_embedding_cosine": dedup_embedding_cosine_q,
@@ -2466,6 +2535,8 @@ def oracle_sql() -> dict[str, str]:
         "set_ops_vocab": _SET_OPS_SQL,
         "dedup_minhash_signatures": _minhash_sql(),
         "dedup_minhash_lsh_e2e": _minhash_e2e_sql(),
+        "dedup_minhash_lsh_capped": _minhash_e2e_sql(max_bucket_df=5),
+        "dedup_embedding_cosine_capped": _EMB_DEDUP_CAPPED_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding_cosine": _EMB_DEDUP_SQL,
