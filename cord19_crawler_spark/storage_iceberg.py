@@ -109,13 +109,37 @@ def merge_into_sql(target: str, source_view: str, key_cols: list[str],
     )
 
 
-def create_state_table_sql(table: str, schema_ddl: str) -> str:
+_TRANSFORM_RE = re.compile(
+    r"^(?:[A-Za-z_][A-Za-z0-9_]*|(?:bucket|truncate)\(\s*\d+\s*,\s*"
+    r"[A-Za-z_][A-Za-z0-9_]*\s*\)|(?:years|months|days|hours)\(\s*"
+    r"[A-Za-z_][A-Za-z0-9_]*\s*\))$"
+)
+
+
+def _check_transform(t: str) -> str:
+    if not _TRANSFORM_RE.fullmatch(t):
+        raise ValueError(f"invalid partition transform: {t!r}")
+    return t
+
+
+def create_state_table_sql(
+    table: str, schema_ddl: str, extra_transforms: tuple[str, ...] = ()
+) -> str:
     """State tables are partitioned by round so per-round reads prune to
-    one partition and re-commits overwrite exactly one."""
+    one partition and re-commits overwrite exactly one.
+
+    ``extra_transforms`` appends Iceberg partition transforms after the
+    round key — the production lever for the seen-set backstop: creating
+    ``url_seen_new`` with ``bucket(P, url)`` makes the over-cap fallback
+    anti-join a STORAGE-PARTITIONED join (both sides bucket-clustered on
+    url; with ``spark.sql.sources.v2.bucketing.enabled`` Spark elides the
+    build-side exchange entirely — the Iceberg twin of the broadcast
+    inversion in frontier/seen.py:exact_new)."""
+    parts = ", ".join([ROUND_COL, *(_check_transform(t) for t in extra_transforms)])
     return (
         f"CREATE TABLE IF NOT EXISTS {_check_ident(table)} "
         f"({schema_ddl}, {ROUND_COL} INT) USING iceberg "
-        f"PARTITIONED BY ({ROUND_COL})"
+        f"PARTITIONED BY ({parts})"
     )
 
 
@@ -125,9 +149,23 @@ class IcebergCheckpointStore:
     ``namespace`` is a catalog-qualified namespace, e.g. ``crawl.frontier``;
     tables land at ``<namespace>.<state_table_name>`` plus
     ``<namespace>.commits`` (the marker) and ``<namespace>.compacts``.
+
+    ``bucket_specs`` maps table name → extra partition transforms applied
+    at creation, e.g. ``{"url_seen_new": ("bucket(65536, url)",)}`` to
+    bucket-cluster the seen set on the url key (see
+    create_state_table_sql for why).
     """
 
-    def __init__(self, spark: SparkSession, namespace: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        bucket_specs: dict[str, tuple[str, ...]] | None = None,
+    ):
+        self.bucket_specs = {
+            k: tuple(_check_transform(t) for t in v)
+            for k, v in (bucket_specs or {}).items()
+        }
         if not iceberg_available(spark):
             raise RuntimeError(
                 "Iceberg runtime not on the classpath; launch with the "
@@ -154,7 +192,11 @@ class IcebergCheckpointStore:
         ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         )
-        self.spark.sql(create_state_table_sql(self._table(name), ddl))
+        self.spark.sql(
+            create_state_table_sql(
+                self._table(name), ddl, self.bucket_specs.get(name, ())
+            )
+        )
 
     def commit_round(
         self,

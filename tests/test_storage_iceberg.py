@@ -90,3 +90,20 @@ def test_scheduler_runs_on_iceberg_store(spark, tmp_path):
         store=store,
     )
     assert len(resumed.run(3)) == 1
+
+
+def test_bucket_spec_transforms():
+    """url_seen_new with a bucket(P, url) spec — the storage-partitioned-
+    join lever for the seen backstop's over-cap fallback path."""
+    import pytest
+
+    sql = create_state_table_sql(
+        "crawl.f.url_seen_new",
+        "partition int, url_id bigint, url string",
+        ("bucket(65536, url)",),
+    )
+    assert "PARTITIONED BY (_round, bucket(65536, url))" in sql
+    with pytest.raises(ValueError, match="invalid partition transform"):
+        create_state_table_sql("crawl.f.t", "a int", ("bucket(16, url); DROP TABLE x",))
+    with pytest.raises(ValueError, match="invalid partition transform"):
+        create_state_table_sql("crawl.f.t", "a int", ("identity(a b)",))
