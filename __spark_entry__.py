@@ -1747,6 +1747,59 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
 """
 
 
+def dedup_simhash_capped(spark, sf_dir):
+    """SimHash near-dup PAIRS with the hot-bucket guard (bits=16, 4 chunk
+    bands of 4 bits → only 16 buckets per band over 60 docs, so the cap=5
+    sub-sample actually fires): pigeonhole banding → capped per-(band,
+    chunk) join → exact Hamming ≤ 3 via JVM bit_count. The oracle replays
+    fingerprints, banding, the QUALIFY cap, and xor/bit_count — pinning
+    the capped plan's exact output, recall trade included."""
+    from cord19_crawler_spark.operators.dedup import simhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return simhash_near_duplicates(
+        d, bits=16, max_hamming=3, bands=4, max_bucket_df=5
+    )
+
+
+def _simhash_capped_sql(bits: int = 16, bands: int = 4, cap: int = 5,
+                        max_hamming: int = 3) -> str:
+    h = md5_long56_sql("word")
+    chunk = bits // bands
+    sums = ", ".join(
+        f"sum(CASE WHEN (({h}) >> {i}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {b * chunk}) % {1 << chunk} AS chunk_val FROM fp"
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents WHERE doc_id < 60
+), sums AS (
+  SELECT doc_id, {sums} FROM toks WHERE word <> '' GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+), banded_raw AS ({band_selects}),
+banded AS (
+  SELECT doc_id, simhash, band, chunk_val FROM banded_raw
+  QUALIFY row_number() OVER (PARTITION BY band, chunk_val ORDER BY doc_id) <= {cap}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                  l.simhash AS fa, r.simhash AS fb
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.chunk_val = r.chunk_val AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+"""
+
+
 def similarity_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 embedding (JVM-side
     higher-order-function dot product, TakeOrderedAndProject top-k)."""
@@ -2463,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_capped": dedup_embedding_cosine_capped,
         "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
         "dedup_simhash": dedup_simhash_q,
+        "dedup_simhash_capped": dedup_simhash_capped,
         "dedup_embedding_cosine": dedup_embedding_cosine_q,
         "similarity_cosine_topk": similarity_cosine_topk,
         "similarity_sign_buckets": similarity_sign_buckets,
@@ -2539,6 +2593,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine_capped": _EMB_DEDUP_CAPPED_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(),
+        "dedup_simhash_capped": _simhash_capped_sql(),
         "dedup_embedding_cosine": _EMB_DEDUP_SQL,
         "similarity_cosine_topk": _COSINE_SQL,
         "similarity_sign_buckets": _SIGN_BUCKET_SQL,
