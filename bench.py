@@ -159,25 +159,22 @@ def main() -> None:
             samples.append(time.time() - t0)
         return sorted(samples)
 
+    import statistics
+
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
-    for name in HEADLINE:
-        s = _time_query(qs[name])
+    for name, fn in [*((n, qs[n]) for n in HEADLINE),
+                     ("minhash_near_dup_e2e", minhash_near_dup_e2e)]:
+        s = _time_query(fn)
         timings[name] = round(s[0], 3)
         spread[name] = {
             "min": round(s[0], 3),
-            "med": round(s[len(s) // 2], 3),
+            # true median (mean of middle two for even n — s[n//2] would
+            # report the MAX at n=2 and poison the regression signal)
+            "med": round(statistics.median(s), 3),
             "max": round(s[-1], 3),
             "n": len(s),
         }
-    s = _time_query(minhash_near_dup_e2e)
-    timings["minhash_near_dup_e2e"] = round(s[0], 3)
-    spread["minhash_near_dup_e2e"] = {
-        "min": round(s[0], 3),
-        "med": round(s[len(s) // 2], 3),
-        "max": round(s[-1], 3),
-        "n": len(s),
-    }
     # drop the query section's leftovers (persisted two-phase-rank frames,
     # broadcast vars) before the timed crawl — an aged executor heap was
     # measured to slow the crawl 3-5x vs a fresh JVM at identical box load

@@ -172,8 +172,6 @@ class CuckooSeenFilter:
         """Updated tables for TOUCHED partitions only — O(touched) commit
         path, same contract as BloomSeenFilter.insert_delta (see there for
         the write-amplification math; the filter kinds stay drop-in)."""
-        from pyspark.sql import functions as F
+        from .seen import touched_state
 
-        touched = new_urls.select("partition").distinct()
-        touched_state = state.join(F.broadcast(touched), "partition", "left_semi")
-        return self.insert(new_urls, touched_state)
+        return self.insert(new_urls, touched_state(new_urls, state))

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -520,6 +521,40 @@ class CrawlScheduler:
             raise ValueError("no committed rounds")
         return self._read_pending(last)
 
+    def _read_state_union(
+        self, upto_rnd: int, name: str, merge_schema: bool = False
+    ) -> DataFrame:
+        """Base-snapshot + append-only deltas for a latest-row-per-key
+        state table (host_state, filter_state), with the expiry guards:
+        deltas below a reclaimed prefix are only recoverable through a
+        compaction snapshot carrying the table."""
+        base_rnd = self._compact_base_for(upto_rnd, name)
+        if base_rnd is None:
+            if upto_rnd >= 1 and not self.store.has_round(1):
+                raise ValueError(
+                    f"{name} through round {upto_rnd}: delta rounds below "
+                    "the expiry point were reclaimed and no compaction "
+                    f"snapshot carries {name} — compact() with a version "
+                    "that snapshots it before expiring"
+                )
+            return self._read_deltas(upto_rnd, name, merge_schema=merge_schema)
+        allr = self.store.read_compact_table(self.spark, base_rnd, name)
+        if base_rnd < upto_rnd:
+            if not self.store.has_round(base_rnd + 1):
+                raise ValueError(
+                    f"{name} through round {upto_rnd}: delta rounds "
+                    f"{base_rnd + 1}..{upto_rnd} were expired — read at "
+                    "a compaction snapshot round or at the current head"
+                )
+            allr = allr.unionByName(
+                self._read_deltas(
+                    upto_rnd, name, from_rnd=base_rnd + 1,
+                    merge_schema=merge_schema,
+                ),
+                allowMissingColumns=True,
+            )
+        return allr
+
     def _read_host_state_raw(self, upto_rnd: int) -> DataFrame:
         """Effective host_state = LATEST delta row per host (max stamp
         round ``_sr`` wins). host_state is append-only like every other
@@ -527,27 +562,7 @@ class CrawlScheduler:
         scheduled — a full rewrite per round would be an O(hosts) ≈ 6 GB
         write at the 10^8-host design point. Compaction snapshots the
         reduced view so read fan-in stays bounded."""
-        base_rnd = self.store.latest_compact(upto=upto_rnd)
-        if base_rnd is None:
-            allr = self._read_deltas(upto_rnd, "host_state", merge_schema=True)
-        else:
-            allr = self.store.read_compact_table(
-                self.spark, base_rnd, "host_state"
-            )
-            if base_rnd < upto_rnd:
-                if not self.store.has_round(base_rnd + 1):
-                    raise ValueError(
-                        f"host_state through round {upto_rnd}: delta rounds "
-                        f"{base_rnd + 1}..{upto_rnd} were expired — read at "
-                        "a compaction snapshot round or at the current head"
-                    )
-                allr = allr.unionByName(
-                    self._read_deltas(
-                        upto_rnd, "host_state", from_rnd=base_rnd + 1,
-                        merge_schema=True,
-                    ),
-                    allowMissingColumns=True,
-                )
+        allr = self._read_state_union(upto_rnd, "host_state", merge_schema=True)
         # checkpoints written before wall-clock politeness lack these columns
         for c in ("min_delay_seconds", "last_fetch_ts"):
             if c not in allr.columns:
@@ -592,37 +607,7 @@ class CrawlScheduler:
             self._filter_migrate = True
             return head.withColumn("_sr", F.lit(upto_rnd))
         self._filter_migrate = False
-        base_rnd = self._compact_base_for(upto_rnd, "filter_state")
-        if base_rnd is None:
-            if upto_rnd >= 1 and not self.store.has_round(1):
-                raise ValueError(
-                    f"filter_state through round {upto_rnd}: delta rounds "
-                    "below the expiry point were reclaimed and no compaction "
-                    "snapshot carries filter_state — compact() with this "
-                    "version before expiring"
-                )
-            allr = self._read_deltas(
-                upto_rnd, "filter_state", merge_schema=True
-            )
-        else:
-            allr = self.store.read_compact_table(
-                self.spark, base_rnd, "filter_state"
-            )
-            if base_rnd < upto_rnd:
-                if not self.store.has_round(base_rnd + 1):
-                    raise ValueError(
-                        f"filter_state through round {upto_rnd}: delta "
-                        f"rounds {base_rnd + 1}..{upto_rnd} were expired — "
-                        "read at a compaction snapshot round or at the "
-                        "current head"
-                    )
-                allr = allr.unionByName(
-                    self._read_deltas(
-                        upto_rnd, "filter_state", from_rnd=base_rnd + 1,
-                        merge_schema=True,
-                    ),
-                    allowMissingColumns=True,
-                )
+        allr = self._read_state_union(upto_rnd, "filter_state", merge_schema=True)
         # rows from legacy full-state rounds (mixed checkpoint mid-
         # migration) carry null _sr → coalesce to -1 so they lose to any
         # delta-era row; the migration commit writes full coverage stamped,
@@ -687,9 +672,7 @@ class CrawlScheduler:
         # effective state (latest bitset per partition over the append-only
         # deltas), persisted for the round: TWO consumers (probe +
         # insert_delta) would otherwise each recompute the delta-union agg
-        from pyspark import StorageLevel as _SL
-
-        filter_state = self._read_filter_state(prev).persist(_SL.MEMORY_AND_DISK)
+        filter_state = self._read_filter_state(prev).persist(StorageLevel.MEMORY_AND_DISK)
         if not self._geometry_checked:
             self._verify_filter_geometry(filter_state)
             self._geometry_checked = True
@@ -700,8 +683,6 @@ class CrawlScheduler:
         # delta-union + anti-join derivation — the dominant read on a long
         # crawl. MEMORY_AND_DISK: at the 10^10-URL point this is the round's
         # working set spread over the cluster; unpersisted at round end.
-        from pyspark import StorageLevel
-
         pending = self._read_pending(prev).persist(StorageLevel.MEMORY_AND_DISK)
 
         # hot-host split plan (one small agg; broadcast) — used to split the
@@ -870,9 +851,7 @@ class CrawlScheduler:
             raise ValueError("init_from_seeds first")
         rnd = prev + 1
         url_seen = self._read_url_seen(prev)
-        from pyspark import StorageLevel as _SL
-
-        filter_state = self._read_filter_state(prev).persist(_SL.MEMORY_AND_DISK)
+        filter_state = self._read_filter_state(prev).persist(StorageLevel.MEMORY_AND_DISK)
         if not self._geometry_checked:
             self._verify_filter_geometry(filter_state)
             self._geometry_checked = True
@@ -886,7 +865,7 @@ class CrawlScheduler:
         )
         cand = self._annotate(canon)
         flagged = self.bloom.probe(cand, filter_state).persist(
-            _SL.MEMORY_AND_DISK
+            StorageLevel.MEMORY_AND_DISK
         )
         probe_count = flagged.filter(F.col("maybe_seen")).count()
         # eager cache fill before the concurrent commit writes (see

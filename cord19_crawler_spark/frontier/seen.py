@@ -31,6 +31,14 @@ _MIX = 0x9E3779B97F4A7C15  # splitmix64 odd constant
 _GOLD = 0xBF58476D1CE4E5B9
 
 
+def touched_state(new_urls: DataFrame, state: DataFrame) -> DataFrame:
+    """State rows for the partitions ``new_urls`` actually touches — a
+    broadcast semi-join on the tiny distinct-partition set. Shared by the
+    bloom and cuckoo ``insert_delta`` paths (one derivation to maintain)."""
+    touched = new_urls.select("partition").distinct()
+    return state.join(F.broadcast(touched), "partition", "left_semi")
+
+
 def with_partition(df: DataFrame, n_partitions: int, url_col: str = "url") -> DataFrame:
     """Add the seen-set partition column (same formula everywhere)."""
     return df.withColumn(
@@ -175,9 +183,7 @@ class BloomSeenFilter:
         table is latest-row-per-partition over the append-only deltas
         (scheduler._read_filter_state), exactly the host_state pattern.
         """
-        touched = new_urls.select("partition").distinct()
-        touched_state = state.join(F.broadcast(touched), "partition", "left_semi")
-        return self.insert(new_urls, touched_state)
+        return self.insert(new_urls, touched_state(new_urls, state))
 
 
 def exact_new(

@@ -206,20 +206,42 @@ def lemmatize_tokens(texts: pd.Series) -> pd.Series:
 # operators/multimodal.py:_decode_image), flowing its lemmas through the
 # identical Arrow plumbing and token filter.
 
-_SPACY_MODEL = "en_core_web_sm"  # the model the reference loads (src/crawler.py:22)
+# model preference order = the reference's (src/crawler.py:28-34:
+# en_core_sci_sm, falling back to en_core_web_sm)
+_SPACY_MODELS = ("en_core_sci_sm", "en_core_web_sm")
 _NLP = None  # per-worker-process model cache (loaded once per executor)
+_SPACY_PROBE: dict | None = None  # driver-side probe cache (load once, remember)
 
 
-def spacy_usable(model: str = _SPACY_MODEL) -> bool:
-    """True iff spaCy AND the reference's model are importable here (the
+def _spacy_model_name() -> str | None:
+    """First loadable model from the reference's preference order, or None.
+    The successful load is probed ONCE per process and cached — a
+    metadata-only check can't catch a present-but-broken model, but paying
+    the multi-second model load on every make_lemmatizer call would be
+    waste."""
+    global _SPACY_PROBE
+    if _SPACY_PROBE is None:
+        name = None
+        try:
+            import spacy  # type: ignore
+
+            for cand in _SPACY_MODELS:
+                try:
+                    spacy.load(cand, exclude=["ner", "parser"])
+                    name = cand
+                    break
+                except Exception:
+                    continue
+        except Exception:
+            pass
+        _SPACY_PROBE = {"model": name}
+    return _SPACY_PROBE["model"]
+
+
+def spacy_usable() -> bool:
+    """True iff spaCy AND one of the reference's models load here (the
     driver-side capability probe; executors re-load lazily)."""
-    try:
-        import spacy  # type: ignore
-
-        spacy.load(model, exclude=["ner", "parser"])
-        return True
-    except Exception:
-        return False
+    return _spacy_model_name() is not None
 
 
 def resolve_lemmatizer_backend(mode: str = "auto") -> str:
@@ -229,8 +251,9 @@ def resolve_lemmatizer_backend(mode: str = "auto") -> str:
     if mode == "spacy":
         if not spacy_usable():
             raise ImportError(
-                f"lemmatizer mode='spacy' but spaCy/{_SPACY_MODEL} is not "
-                "importable — install them or use mode='auto'/'stub'"
+                "lemmatizer mode='spacy' but spaCy/"
+                f"{'/'.join(_SPACY_MODELS)} is not importable — install "
+                "them or use mode='auto'/'stub'"
             )
         return "spacy"
     if mode == "auto":
@@ -253,7 +276,7 @@ def make_lemmatizer(mode: str = "auto"):
     if backend == "stub":
         return lemmatize_tokens
 
-    model = _SPACY_MODEL
+    model = _spacy_model_name()
 
     @pandas_udf(_TOKENS_TYPE)
     def lemmatize_tokens_spacy(texts: pd.Series) -> pd.Series:
@@ -261,18 +284,31 @@ def make_lemmatizer(mode: str = "auto"):
         if _NLP is None:
             import spacy  # type: ignore
 
-            # ner/parser excluded: the reference consumes only lemma_/pos_
-            # and the tagger+attribute_ruler+lemmatizer pipeline is ~5x
-            # faster without them (src/crawler.py:20-48 loads the full
-            # model; the outputs used are identical)
+            # ner/parser excluded (the reference disables more pipes,
+            # src/crawler.py:27, because it only stores lemma_ — we keep
+            # tagger+attribute_ruler so the pos field our schema carries is
+            # real; lemma values are unaffected)
             _NLP = spacy.load(model, exclude=["ner", "parser"])
 
         def _one(doc) -> list[dict]:
             out = []
             for tok in doc:
-                # reference filter (src/crawler.py:190-193)
-                if tok.is_stop or tok.like_num or not tok.is_alpha:
+                # the reference's EXACT index-time filter
+                # (src/crawler.py:190-193): is_stop / is_punct / is_space /
+                # like_num / len<2 dropped — alphanumeric terms like
+                # 'covid19' or 'sars-cov-2' are KEPT, matching the stub's
+                # [a-z0-9]{2,} tokenization
+                if (
+                    tok.is_stop
+                    or tok.is_punct
+                    or tok.is_space
+                    or tok.like_num
+                    or len(tok.text) < 2
+                ):
                     continue
+                # lowercased like the rest of this engine's token pipeline
+                # (the reference stores lemma_ verbatim; clean_text has
+                # already lowercased its input by this point)
                 out.append({"lemma": tok.lemma_.lower(), "pos": tok.pos_})
             return out
 

@@ -192,11 +192,27 @@ class IcebergCheckpointStore:
         ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         )
-        self.spark.sql(
-            create_state_table_sql(
-                self._table(name), ddl, self.bucket_specs.get(name, ())
-            )
-        )
+        want = self.bucket_specs.get(name, ())
+        self.spark.sql(create_state_table_sql(self._table(name), ddl, want))
+        if want:
+            # CREATE IF NOT EXISTS silently no-ops against a pre-existing
+            # table — a requested bucket spec that the live table lacks
+            # would otherwise just never activate (no storage-partitioned
+            # join, nothing surfaced). Verify the live partitioning and
+            # fail loud with the spec-evolution remedy.
+            desc = self.spark.sql(f"DESCRIBE TABLE {self._table(name)}").collect()
+            live = " ".join(
+                f"{r['col_name']}:{r['data_type']}" for r in desc
+            ).replace(" ", "")
+            missing = [t for t in want if t.replace(" ", "") not in live]
+            if missing:
+                raise ValueError(
+                    f"table {self._table(name)} already exists WITHOUT the "
+                    f"requested partition transform(s) {missing}; CREATE IF "
+                    "NOT EXISTS cannot retrofit a bucket spec — evolve it "
+                    "(ALTER TABLE ... ADD PARTITION FIELD <transform>, "
+                    "Iceberg partition-spec evolution) or recreate the table"
+                )
 
     def commit_round(
         self,
