@@ -27,6 +27,7 @@ def _cap_hot_buckets(
     bucket_cols: list[str],
     id_col: str,
     max_bucket_df: int | None,
+    rank_narrow: bool = False,
 ) -> DataFrame:
     """Hot-bucket guard for banded candidate generation (the web-scale
     failure mode the fixed-band design is exposed to): a degenerate bucket
@@ -47,12 +48,28 @@ def _cap_hot_buckets(
     Cost: the row_number window sorts each bucket's rows on one task —
     O(d log d) rows spilled for a hot bucket vs O(d²) join output without
     the cap; non-hot buckets are untouched. ``None`` disables (exact
-    small-scale / oracle mode)."""
+    small-scale / oracle mode).
+
+    ``rank_narrow``: for payload-heavy rows (embedding vectors), ranking
+    the full frame would drag every vector through the hot bucket's
+    single-task sort; instead the rank runs over the narrow (bucket, id)
+    projection and the kept keys semi-join the full frame back — one extra
+    shuffle of the table, but the per-bucket sort only ever touches
+    id-width rows. Text-banded frames (doc_id + bucket) are already
+    narrow, so the direct window is cheaper there."""
     if max_bucket_df is None:
         return banded
     from pyspark.sql import Window
 
     w = Window.partitionBy(*[F.col(c) for c in bucket_cols]).orderBy(id_col)
+    if rank_narrow:
+        keep = (
+            banded.select(*bucket_cols, id_col)
+            .withColumn("_bdf", F.row_number().over(w))
+            .filter(F.col("_bdf") <= max_bucket_df)
+            .drop("_bdf")
+        )
+        return banded.join(keep, [*bucket_cols, id_col], "left_semi")
     return (
         banded.withColumn("_bdf", F.row_number().over(w))
         .filter(F.col("_bdf") <= max_bucket_df)
@@ -393,7 +410,7 @@ def embedding_near_duplicates(
         F.col(vec_col).alias("v"),
         sign_bucket_expr(vec_col, bucket_dims).alias("bucket"),
     )
-    b = _cap_hot_buckets(b, ["bucket"], "vid", max_bucket_df)
+    b = _cap_hot_buckets(b, ["bucket"], "vid", max_bucket_df, rank_narrow=True)
     l, r = b.alias("l"), b.alias("r")
     pairs = l.join(r, "bucket").filter(F.col("l.vid") < F.col("r.vid"))
     cosine = F.round(
@@ -499,7 +516,7 @@ def embedding_near_duplicates_lsh(
         F.col(vec_col).alias("v"),
         F.posexplode(_buckets(F.col(vec_col))).alias("tbl", "bucket"),
     )
-    b = _cap_hot_buckets(b, ["tbl", "bucket"], "vid", max_bucket_df)
+    b = _cap_hot_buckets(b, ["tbl", "bucket"], "vid", max_bucket_df, rank_narrow=True)
     l, r = b.alias("l"), b.alias("r")
     pairs = (
         l.join(r, ["tbl", "bucket"])
