@@ -16,8 +16,9 @@ ingest; src/index.py:41-116 incremental fold):
   → bloom/cuckoo probe (co-grouped bitsets) → exact anti-join backstop
     (keyed on the URL STRING — hash-collision-safe)
   → append-only commit: frontier_new + url_seen_new + crawl_log +
-    host_state deltas (latest row per host wins at read time), filter
-    state, counters + per-partition lineage — atomically.
+    host_state deltas (latest row per host wins at read time) +
+    filter_state deltas (touched-partition bitsets, latest row per
+    partition wins), counters + per-partition lineage — atomically.
     Pending is DERIVED (frontier deltas anti-join scheduled log), so no
     O(frontier) rewrite ever happens; with Iceberg these are appends +
     one MERGE-maintained view.
@@ -31,7 +32,8 @@ Scale notes (10^10 URLs, 1000 executors): frontier/url_seen are
 hash-partitioned append-only delta tables (O(new) writes; pending derived;
 compaction caps read fan-in); the per-round batch is small relative to the
 frontier, so the fetch join broadcasts the batch, not the corpus; the bloom
-prefilter keeps the exact anti-join probe volume near zero for new URLs;
+prefilter keeps the exact-backstop probe volume near zero for new URLs (and
+the backstop itself broadcasts, never shuffling the seen set);
 hot hosts are split across reducers in the politeness window per the
 per-round plan. Full sizing math: DESIGN.md.
 """
