@@ -731,8 +731,18 @@ class CrawlScheduler:
             F.explode(extract_canonical_urls(F.col("span.text"))).alias("url")
         )
         # dedup shuffles on url — uniform hash key, no host skew, so no
-        # salting needed here (salting guards HOST-keyed shuffles only)
-        discovered = self._annotate(canon_links).dropDuplicates(["url"])
+        # salting needed here (salting guards HOST-keyed shuffles only).
+        # priority_mode="indegree" (OPIC-style link evidence): the dedup
+        # becomes a count agg on the SAME shuffle key — zero extra shuffle —
+        # and the round's per-URL reference count feeds the priority below.
+        # Default mode keeps the historical bit-identical dropDuplicates.
+        if self.cfg.extra.get("priority_mode") == "indegree":
+            counted = canon_links.groupBy("url").agg(
+                F.count(F.lit(1)).alias("_refs")
+            )
+            discovered = self._annotate(counted)
+        else:
+            discovered = self._annotate(canon_links).dropDuplicates(["url"])
 
         # 5. URL-seen: bloom prefilter → exact backstop. The eager count
         # populates the new_urls cache AND (through its lineage) the batch
@@ -765,12 +775,24 @@ class CrawlScheduler:
         # 6. frontier merge is append-only: the round's crawl_log IS the
         #    done-marking (derived pending excludes it); only the newly
         #    discovered URLs are written.
+        base_priority = F.lit(1.0) / F.lit(float(1 + rnd))
+        if "_refs" in new_urls.columns:
+            # OPIC-style evidence: a URL referenced by many fetched pages
+            # this round outranks a singleton discovery of the same round
+            # (log-damped so a 10^4-ref boilerplate link can't starve the
+            # queue). Pure Catalyst on columns already in hand.
+            priority_expr = base_priority * (
+                F.lit(1.0) + F.log1p(F.col("_refs").cast("double"))
+            )
+        else:
+            priority_expr = base_priority
         frontier_new = (
-            new_urls.withColumn("priority", F.lit(1.0) / F.lit(float(1 + rnd)))
+            new_urls.withColumn("priority", priority_expr)
             .withColumn("discovered_round", F.lit(rnd))
             .withColumn("attempt", F.lit(0))
             .select(*FRONTIER_COLS)
         )
+        frontier_new = self._cap_pending_per_host(frontier_new, pending)
 
         url_seen_new = new_urls.select("partition", "url_id", "url")
         filter_state_next = self._filter_state_delta(new_urls, filter_state, rnd)
@@ -793,11 +815,17 @@ class CrawlScheduler:
                 .agg(F.count(F.lit(1)).alias("cnt"))
                 .collect()
             }
-            return {
+            out = {
                 "scheduled": log.count(),
                 "discovered_new": new.count(),
                 "partition_lineage": lineage,
             }
+            if self.cfg.extra.get("max_pending_per_host") is not None:
+                # discovered-but-dropped by the trap guard (still SEEN)
+                out["frontier_capped_dropped"] = (
+                    out["discovered_new"] - read("frontier_new").count()
+                )
+            return out
 
         counters = self.store.commit_round(
             rnd,
@@ -1017,6 +1045,41 @@ class CrawlScheduler:
             counters_fn=_counters,
         )
         return counters
+
+    def _cap_pending_per_host(
+        self, frontier_new: DataFrame, pending: DataFrame
+    ) -> DataFrame:
+        """Crawler-trap guard (``extra["max_pending_per_host"]``, default
+        off): bound each host's TOTAL pending queue. Calendar pages,
+        session-id links and other URL generators otherwise grow a trap
+        host's pending set without bound — politeness caps how fast it is
+        SCHEDULED, not how much state it accumulates. New discoveries are
+        ranked per host (priority DESC, url ASC — the scheduler's total
+        order) and only the rows that fit under ``cap − current_pending``
+        enter the frontier. Dropped URLs remain in the SEEN set (they were
+        genuinely discovered), so they are skipped permanently rather than
+        rediscovered every round — the invariant is pending(host) ≤ cap
+        for all time, i.e. trap hosts get a best-ranked sample, not
+        unbounded state. Per-round cost: one pending-count agg + one
+        window over the round's new URLs (fan-out-bounded); hosts beyond
+        the hot threshold are already split upstream for scheduling, and
+        the window here ranks only NEW rows, not the pending set."""
+        cap = self.cfg.extra.get("max_pending_per_host")
+        if cap is None:
+            return frontier_new
+        from pyspark.sql import Window
+
+        host_pending = pending.groupBy("host").agg(
+            F.count(F.lit(1)).alias("_p")
+        )
+        w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
+        return (
+            frontier_new.join(host_pending, "host", "left")
+            .withColumn("_p", F.coalesce(F.col("_p"), F.lit(0)))
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") + F.col("_p") <= int(cap))
+            .select(*FRONTIER_COLS)
+        )
 
     def _host_state_delta(
         self,
