@@ -1141,6 +1141,41 @@ SELECT url, count(*) AS n_raw FROM (
 """
 
 
+def frontier_indegree_priority(spark, sf_dir):
+    """The indegree priority lever (frontier/scheduler.py run_round,
+    extra["priority_mode"]="indegree") as a driver-gated kernel: canonical
+    URL reference counts on the dedup shuffle key, log1p-damped priority,
+    deterministic top-20 (priority DESC, url ASC — the scheduler's total
+    order). Oracle replays canonicalization + ln(1+refs) in DuckDB."""
+    _ensure_workers(spark)
+    from cord19_crawler_spark.functions.urls import canonicalize_url
+
+    m = _messy_urls(spark, sf_dir)
+    counted = (
+        m.select(canonicalize_url(F.col("raw_url")).alias("url"))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("refs"))
+    )
+    return (
+        counted.withColumn(
+            "priority",
+            F.round(
+                F.lit(0.5) * (F.lit(1.0) + F.log1p(F.col("refs").cast("double"))),
+                6,
+            ),
+        )
+        .orderBy(F.desc("priority"), F.asc("url"))
+        .limit(20)
+    )
+
+
+_INDEGREE_SQL = f"""
+SELECT url, refs, round(0.5 * (1 + ln(1 + refs)), 6) AS priority FROM (
+  SELECT {_CANON_URL_SQL_EXPR} AS url, count(*) AS refs FROM orders GROUP BY 1
+) ORDER BY priority DESC, url ASC LIMIT 20
+"""
+
+
 def frontier_seen_antijoin(spark, sf_dir):
     """J2/URL-seen: candidates minus seen set (exact anti-join), counted per
     host. Seen = URLs of orders with o_orderkey % 3 = 0."""
@@ -2500,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lemma_variant_expansion": lemma_variant_expansion,
         # frontier family
         "frontier_canonicalize": frontier_canonicalize,
+        "frontier_indegree_priority": frontier_indegree_priority,
         "frontier_seen_antijoin": frontier_seen_antijoin,
         "frontier_per_host_topk": frontier_per_host_topk,
         "frontier_fetch_batch": frontier_fetch_batch,
@@ -2578,6 +2614,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_encode_postings": _GAP_SQL,
         "lemma_variant_expansion": _lemma_expand_sql(),
         "frontier_canonicalize": _CANON_SQL,
+        "frontier_indegree_priority": _INDEGREE_SQL,
         "frontier_seen_antijoin": _SEEN_ANTI_SQL,
         "frontier_per_host_topk": _HOST_TOPK_SQL,
         "frontier_fetch_batch": _FETCH_BATCH_SQL,
