@@ -914,6 +914,13 @@ class CrawlScheduler:
             .withColumn("attempt", F.lit(0))
             .select(*FRONTIER_COLS)
         )
+        if self.cfg.extra.get("max_pending_per_host") is not None:
+            # the trap guard's pending(host) <= cap invariant must survive
+            # external bulk merges too, or a streamed-in trap host bypasses
+            # the bound the crawl rounds maintain
+            frontier_new = self._cap_pending_per_host(
+                frontier_new, self._read_pending(prev)
+            )
         crawl_log = self.spark.createDataFrame(
             [],
             "round int, seq int, url string, host string, priority double, attempt int",

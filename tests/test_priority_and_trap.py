@@ -175,3 +175,36 @@ def test_cap_keeps_best_ranked_rows(spark, tmp_path):
         for i in range(4) for k in range(10)
     )
     assert got == all_trap[:CAP]
+
+
+def test_cap_applies_to_merge_discoveries(spark, tmp_path):
+    """An external bulk merge cannot bypass the pending(host) <= cap
+    invariant that crawl rounds maintain."""
+    docs = generate_documents(spark, 20, partitions=2)
+    CAP = 5
+    cfg = SchedulerConfig(
+        batch_size=4, seen_partitions=2, bloom_bits=1 << 14,
+        min_delay_rounds=1, max_in_flight=4,
+        extra={"max_pending_per_host": CAP},
+    )
+    sched = CrawlScheduler(spark, docs, str(tmp_path / "ck"), cfg)
+    sched.run(1, seeds=_seeds(spark, 4))
+    bulk = spark.createDataFrame(
+        [(f"https://bulk.example.org/item/{i}",) for i in range(40)],
+        "url string",
+    )
+    counters = sched.merge_discoveries(bulk, priority=0.9)
+    assert counters["discovered_new"] == 40  # all SEEN
+    per_host = (
+        sched.pending_frontier()
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert all(r["n"] <= CAP for r in per_host), per_host
+    kept = (
+        sched.pending_frontier()
+        .filter(F.col("host") == "bulk.example.org")
+        .count()
+    )
+    assert kept == CAP
