@@ -259,6 +259,13 @@ class CrawlScheduler:
         else:
             cfg["m_bits"] = self.cfg.bloom_bits
             cfg["k"] = self.cfg.bloom_k
+        if self.cfg.extra.get("content_dedup"):
+            # recorded only when ON (so pre-existing checkpoints keep
+            # resuming under default configs): an enabled checkpoint's
+            # every commit carries content_seen_new, and resuming it with
+            # the flag off (or vice versa) must fail fast — the delta
+            # union requires the table in every round dir
+            cfg["content_dedup"] = True
         return cfg
 
     def _verify_checkpoint_config(self) -> None:
@@ -339,17 +346,16 @@ class CrawlScheduler:
                 "filter_config": self._filter_config(),
             }
 
-        self.store.commit_round(
-            0,
-            {
-                "frontier_new": frontier,
-                "url_seen_new": url_seen_new,
-                "filter_state": filter_state,
-                "host_state": host_state,
-                "crawl_log": crawl_log,
-            },
-            counters_fn=_counters,
-        )
+        tables = {
+            "frontier_new": frontier,
+            "url_seen_new": url_seen_new,
+            "filter_state": filter_state,
+            "host_state": host_state,
+            "crawl_log": crawl_log,
+        }
+        if self.cfg.extra.get("content_dedup"):
+            tables["content_seen_new"] = self._empty_content_delta()
+        self.store.commit_round(0, tables, counters_fn=_counters)
         frontier.unpersist()
 
     def _read(self, rnd: int, name: str) -> DataFrame:
@@ -398,13 +404,28 @@ class CrawlScheduler:
                 "filter_state": self._read_filter_state_raw(rnd),
                 "crawl_log": self._read_crawl_log(rnd),
                 "frontier_all": self._read_frontier_all(rnd),
+                **(
+                    {"content_seen": self._read_content_seen(rnd)}
+                    if self.cfg.extra.get("content_dedup")
+                    else {}
+                ),
             },
         )
         return rnd
 
     def expire(self, upto: int | None = None) -> list[int]:
         """Reclaim expired round dirs (≤ the latest compaction snapshot) —
-        see CheckpointStore.expire_rounds. Returns the expired round ids."""
+        see CheckpointStore.expire_rounds. Returns the expired round ids.
+        On a content_dedup checkpoint the cumulative snapshot must also
+        carry content_seen (the storage-level guard cannot know about the
+        flag), or the fingerprint delta union would lose rows."""
+        if self.cfg.extra.get("content_dedup"):
+            c = self.store.latest_compact()
+            if c is None or not self.store.has_compact_table(c, "content_seen"):
+                raise ValueError(
+                    "content_dedup checkpoint: compact() (which snapshots "
+                    "content_seen) before expiring rounds"
+                )
         return self.store.expire_rounds(upto)
 
     def _compact_base_for(self, upto_rnd: int, name: str) -> int | None:
@@ -665,6 +686,38 @@ class CrawlScheduler:
             self._read_deltas(upto_rnd, "url_seen_new", from_rnd=base_rnd + 1)
         )
 
+    def _read_content_seen(self, upto_rnd: int) -> DataFrame:
+        """Known content fingerprints = union of per-round append-only
+        ``content_seen_new`` deltas (only written when
+        extra["content_dedup"] is on — recorded as a round-0 config facet,
+        so every commit of an enabled checkpoint carries the table).
+        Same base+delta shape as url_seen."""
+        base_rnd = self._compact_base_for(upto_rnd, "content_seen")
+        if base_rnd is None:
+            if upto_rnd >= 1 and not self.store.has_round(1):
+                raise ValueError(
+                    f"content_seen through round {upto_rnd}: delta rounds "
+                    "below the expiry point were reclaimed and no compaction "
+                    "snapshot carries content_seen — compact() before "
+                    "expiring on a content_dedup checkpoint"
+                )
+            return self._read_deltas(upto_rnd, "content_seen_new")
+        base = self.store.read_compact_table(self.spark, base_rnd, "content_seen")
+        if base_rnd == upto_rnd:
+            return base
+        if not self.store.has_round(base_rnd + 1):
+            raise ValueError(
+                f"content_seen through round {upto_rnd}: delta rounds "
+                f"{base_rnd + 1}..{upto_rnd} were expired — read at a "
+                "snapshot round or at the current head"
+            )
+        return base.unionByName(
+            self._read_deltas(upto_rnd, "content_seen_new", from_rnd=base_rnd + 1)
+        )
+
+    def _empty_content_delta(self) -> DataFrame:
+        return self.spark.createDataFrame([], "fp string")
+
     # -- the round ----------------------------------------------------------
 
     def run_round(self, rnd: int) -> dict:
@@ -721,9 +774,48 @@ class CrawlScheduler:
         #    against the big corpus scan; frontier/fetch.py for the HTTP shape)
         fetched = self.fetcher(batch)
 
+        # 3b. optional CONTENT dedup (extra["content_dedup"]=True): the
+        # content analogue of the URL-seen set — mirror pages fetched under
+        # different URLs must not re-contribute their links every time one
+        # of them is crawled. Fingerprint = md5 over the ordered span texts
+        # (pure Catalyst); known fingerprints live in the append-only
+        # content_seen_new delta table and are checked with the same
+        # scan-only broadcast inversion as the URL backstop (the fetch
+        # batch is small by construction). Within-round mirrors collapse to
+        # the min-doc_id winner (deterministic). The duplicate's URL still
+        # occupies its crawl_log slot — only link extraction is skipped,
+        # exactly the reference's duplicate-doc guard
+        # (/root/reference/src/index.py:62-63) lifted to content level.
+        content_seen_new = None
+        n_fetched = None
+        if self.cfg.extra.get("content_dedup"):
+            fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
+            fps = fetched.select(
+                "doc_id",
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        F.transform(F.col("spans"), lambda s: s["text"]),
+                    )
+                ).alias("fp"),
+            )
+            known = self._read_content_seen(prev)
+            hits = known.join(
+                F.broadcast(fps.select("fp").distinct()), "fp", "left_semi"
+            )
+            fresh = fps.join(F.broadcast(hits), "fp", "left_anti")
+            winner = fresh.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+            content_seen_new = winner.select("fp")
+            fetched_for_links = fetched.join(
+                F.broadcast(winner.select("doc_id")), "doc_id", "left_semi"
+            )
+            n_fetched = fetched.count()
+        else:
+            fetched_for_links = fetched
+
         # 4. link extraction: ordered spans (≤ cap), text spans only,
         #    Arrow-batched extract + canonicalize, exact dedup.
-        spans = fetched.select(
+        spans = fetched_for_links.select(
             F.explode(F.slice(F.col("spans"), 1, self.cfg.span_cap)).alias("span")
         )
         # fused extract+canonicalize: ONE Arrow/Python stage per round
@@ -820,6 +912,12 @@ class CrawlScheduler:
                 "discovered_new": new.count(),
                 "partition_lineage": lineage,
             }
+            if n_fetched is not None:
+                # docs whose content fingerprint was already seen (or lost
+                # the within-round min-doc_id race): fetched but their
+                # links were not extracted
+                out["content_new"] = read("content_seen_new").count()
+                out["content_duplicates_skipped"] = n_fetched - out["content_new"]
             if self.cfg.extra.get("max_pending_per_host") is not None:
                 # discovered-but-dropped by the trap guard (still SEEN)
                 out["frontier_capped_dropped"] = (
@@ -827,22 +925,23 @@ class CrawlScheduler:
                 )
             return out
 
-        counters = self.store.commit_round(
-            rnd,
-            {
-                "frontier_new": frontier_new,
-                "url_seen_new": url_seen_new,
-                "filter_state": filter_state_next,
-                "host_state": host_state_delta,
-                "crawl_log": crawl_log,
-            },
-            counters_fn=_counters,
-        )
+        tables = {
+            "frontier_new": frontier_new,
+            "url_seen_new": url_seen_new,
+            "filter_state": filter_state_next,
+            "host_state": host_state_delta,
+            "crawl_log": crawl_log,
+        }
+        if content_seen_new is not None:
+            tables["content_seen_new"] = content_seen_new
+        counters = self.store.commit_round(rnd, tables, counters_fn=_counters)
         batch.unpersist()
         new_urls.unpersist()
         pending.unpersist()
         flagged.unpersist()
         filter_state.unpersist()
+        if content_seen_new is not None:
+            fetched.unpersist()
         return counters
 
     def frontier_metrics(self) -> DataFrame:
@@ -945,6 +1044,11 @@ class CrawlScheduler:
                     host_state, crawl_log, new_urls, rnd
                 ),
                 "crawl_log": crawl_log,
+                **(
+                    {"content_seen_new": self._empty_content_delta()}
+                    if self.cfg.extra.get("content_dedup")
+                    else {}
+                ),
             },
             counters_fn=_counters,
         )
@@ -1048,6 +1152,11 @@ class CrawlScheduler:
                 "filter_state": filter_delta,
                 "host_state": empty_host_delta,
                 "crawl_log": crawl_log,
+                **(
+                    {"content_seen_new": self._empty_content_delta()}
+                    if self.cfg.extra.get("content_dedup")
+                    else {}
+                ),
             },
             counters_fn=_counters,
         )
