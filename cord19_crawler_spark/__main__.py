@@ -68,6 +68,12 @@ def _cmd_crawl(args: argparse.Namespace) -> None:
     extra = {"filter_kind": args.filter}
     if args.budget_key != "host":
         extra["budget_key"] = args.budget_key
+    if args.priority_mode != "round":
+        extra["priority_mode"] = args.priority_mode
+    if args.max_pending_per_host is not None:
+        extra["max_pending_per_host"] = args.max_pending_per_host
+    if args.content_dedup:
+        extra["content_dedup"] = True
     cfg = SchedulerConfig(
         batch_size=args.batch,
         seen_partitions=args.seen_partitions,
@@ -223,6 +229,15 @@ def main(argv: list[str] | None = None) -> None:
                     help="public-suffix list for --budget-key domain: "
                          "'builtin' or a publicsuffix.org-format file")
     cr.add_argument("--filter", choices=["bloom", "cuckoo"], default="bloom")
+    cr.add_argument("--priority-mode", choices=["round", "indegree"],
+                    default="round",
+                    help="discovered-URL priority: round decay only, or "
+                    "OPIC-style in-degree boost (DESIGN.md)")
+    cr.add_argument("--max-pending-per-host", type=int, default=None,
+                    help="crawler-trap guard: bound each host's pending queue")
+    cr.add_argument("--content-dedup", action="store_true",
+                    help="mirror detection: skip link extraction for "
+                    "already-seen content fingerprints")
     cr.set_defaults(fn=_cmd_crawl)
 
     ix = sub.add_parser("index", help="build the barrel-partitioned search index")
