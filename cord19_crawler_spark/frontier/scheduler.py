@@ -630,6 +630,10 @@ class CrawlScheduler:
             self._filter_migrate = True
             return head.withColumn("_sr", F.lit(upto_rnd))
         self._filter_migrate = False
+        if upto_rnd == 0:
+            # round 0 IS the full seed write (one stamped row per
+            # partition) — no deltas to reduce over
+            return head
         allr = self._read_state_union(upto_rnd, "filter_state", merge_schema=True)
         # rows from legacy full-state rounds (mixed checkpoint mid-
         # migration) carry null _sr → coalesce to -1 so they lose to any
