@@ -215,6 +215,11 @@ class CrawlScheduler:
                 else:
                     cfg.bloom_bits = fc["m_bits"]
                     cfg.bloom_k = fc["k"]
+                if fc.get("content_dedup"):
+                    # facet, not a knob: an enabled checkpoint's every
+                    # commit carries content_seen_new — resuming without
+                    # the flag would fail the facet check anyway
+                    cfg.extra["content_dedup"] = True
         return cls(spark, documents, checkpoint_dir, cfg, robots, **kwargs)
 
     def _apply_crawl_delay(self, hs: DataFrame) -> DataFrame:

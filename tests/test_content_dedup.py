@@ -138,3 +138,24 @@ def test_compact_expire_and_guard(spark, tmp_path):
     c.run(3, seeds=_seeds(spark, 6))
     assert s.crawl_order() == c.crawl_order()
     assert s.seen_set() == c.seen_set()
+
+
+def test_open_adopts_content_dedup_facet(spark, tmp_path):
+    """CrawlScheduler.open() resumes an enabled checkpoint under a default
+    config by adopting the committed facet (like the filter geometry)."""
+    docs = generate_documents(spark, 10, partitions=2)
+    ck = str(tmp_path / "ck")
+    s = CrawlScheduler(
+        spark, docs, ck, _cfg(),
+        fetcher=make_udf_fetcher(_make_mirror_fetch()),
+    )
+    s.run(1, seeds=_seeds(spark, 6))
+    resumed = CrawlScheduler.open(
+        spark, docs, ck,
+        SchedulerConfig(batch_size=10, seen_partitions=2, bloom_bits=1 << 14,
+                        min_delay_rounds=1, max_in_flight=10),
+        fetcher=make_udf_fetcher(_make_mirror_fetch()),
+    )
+    assert resumed.cfg.extra.get("content_dedup") is True
+    out = resumed.run(2)
+    assert out[-1]["content_duplicates_skipped"] == 2  # the mirror pages
