@@ -166,6 +166,24 @@ def _cmd_search(args: argparse.Namespace) -> None:
     print(json.dumps([r.asDict() for r in rows], default=str))
 
 
+def _cmd_serve(args: argparse.Namespace) -> None:
+    """Reference entry point 4 (python src/app.py, S10): HTTP search API
+    over a built index — /, /api/search, /api/autocomplete, /api/upload,
+    /view/<doc_id>."""
+    from cord19_crawler_spark.serving import SearchService, serve
+    from cord19_crawler_spark.session import get_spark
+
+    spark = get_spark(app_name="serve", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    svc = SearchService(
+        spark, args.index,
+        corpus_path=args.documents, state_dir=args.state_dir,
+        model_dir=args.model, id_col=args.id_col, text_col=args.text_col,
+        title_col=args.title_col,
+    )
+    serve(svc, host=args.host, port=args.port)
+
+
 def _cmd_compact(args: argparse.Namespace) -> None:
     """Checkpoint maintenance: cumulative compaction snapshot, optionally
     reclaiming the round dirs it makes redundant."""
@@ -269,6 +287,23 @@ def main(argv: list[str] | None = None) -> None:
     se.add_argument("--master", default=None)
     se.add_argument("--shuffle-partitions", type=int, default=None)
     se.set_defaults(fn=_cmd_search)
+
+    sv = sub.add_parser("serve", help="HTTP search API over a built index")
+    sv.add_argument("--index", required=True, help="build output dir (index subcommand)")
+    sv.add_argument("--documents", default=None,
+                    help="corpus parquet for /view full-text lookups")
+    sv.add_argument("--state-dir", default=None,
+                    help="persist uploaded (dynamic) docs here; resume on restart")
+    sv.add_argument("--model", default=None,
+                    help="Word2Vec model dir for semantic=true expansion")
+    sv.add_argument("--id-col", default="doc_id")
+    sv.add_argument("--text-col", default="text")
+    sv.add_argument("--title-col", default=None)
+    sv.add_argument("--host", default="0.0.0.0")
+    sv.add_argument("--port", type=int, default=5000)
+    sv.add_argument("--master", default=None)
+    sv.add_argument("--shuffle-partitions", type=int, default=None)
+    sv.set_defaults(fn=_cmd_serve)
 
     co = sub.add_parser("compact", help="compact a crawl checkpoint (optionally expire)")
     co.add_argument("--checkpoint", required=True)

@@ -65,6 +65,18 @@ def merged_postings(static_postings: DataFrame, delta_docs: DataFrame) -> DataFr
     ``static_ids`` to :func:`upsert_documents` (a doc in both would
     contribute postings from BOTH versions)."""
     delta_p = postings(tokens_from_text(delta_docs))
+    # heterogeneous id types (int static corpus + string "dyn_*" uploads —
+    # the serving layer's case): canonicalize BOTH sides to string before
+    # the union; unionByName would otherwise reject the type conflict.
+    # No-op when the types already agree, so stored-index reads keep their
+    # native id type and pushdown.
+    s_t = dict(static_postings.dtypes).get("doc_id")
+    d_t = dict(delta_p.dtypes).get("doc_id")
+    if s_t != d_t:
+        static_postings = static_postings.withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+        delta_p = delta_p.withColumn("doc_id", F.col("doc_id").cast("string"))
     return static_postings.unionByName(delta_p)
 
 

@@ -33,7 +33,7 @@ def tfidf_search(
     postings: DataFrame,
     query_terms: list[str],
     total_docs: int | DataFrame,
-    k: int = 20,
+    k: int | None = 20,
     variants: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Multi-word weighted-OR search with coverage boost; returns
@@ -47,6 +47,11 @@ def tfidf_search(
     count is N: the count then runs INSIDE this plan as a broadcast 1-row
     aggregate cross-join, so the whole search is one Spark job with no
     separate driver-side .count() action.
+
+    ``k=None`` skips the limit and returns EVERY matched doc, score-ordered
+    — the serving layer caches that candidate-scale frame once and derives
+    both top-k and the reference's ``total_found`` (len(combined),
+    src/multiwordSearch.py:154-155) from it without re-running the search.
     """
     spark = postings.sparkSession
     rows = []
@@ -104,7 +109,8 @@ def tfidf_search(
             6,
         ),
     ).select("doc_id", "score", F.col("matched_terms").cast("int").alias("matched_terms"))
-    return final.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    ordered = final.orderBy(F.desc("score"), F.asc("doc_id"))
+    return ordered if k is None else ordered.limit(k)
 
 
 def autocomplete_topk(lexicon: DataFrame, prefix_len: int = 4, k: int = 5) -> DataFrame:

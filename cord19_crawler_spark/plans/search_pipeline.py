@@ -214,10 +214,12 @@ def search(
     spark: SparkSession,
     index_dir: str,
     query: str,
-    k: int = 20,
+    k: int | None = 20,
     delta_docs: DataFrame | None = None,
 ) -> DataFrame:
-    """Ranked search over a built index; optional read-time delta merge."""
+    """Ranked search over a built index; optional read-time delta merge.
+    ``k=None`` returns ALL matched docs score-ordered (serving layer's
+    total_hits path, serving.py)."""
     with open(os.path.join(index_dir, "_INDEX.json")) as f:
         meta = json.load(f)
     terms = preprocess_query(query)
@@ -279,6 +281,12 @@ def search(
         # titles is DOC-scale (10^10 at the design point) — never broadcast
         # it; the results side is k rows, which AQE broadcasts at runtime
         titles = spark.read.parquet(os.path.join(index_dir, "titles"))
+        # delta merge may have canonicalized result ids to string
+        # (merged_postings) — align the join key EXPLICITLY rather than
+        # letting Spark's implicit string=int coercion (→ double) decide
+        r_t = dict(results.dtypes)["doc_id"]
+        if dict(titles.dtypes)["doc_id"] != r_t:
+            titles = titles.withColumn("doc_id", F.col("doc_id").cast(r_t))
         results = results.join(titles, "doc_id", "left").select(
             "doc_id", "score", "matched_terms", "title"
         ).orderBy(F.desc("score"), F.asc("doc_id"))
