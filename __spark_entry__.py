@@ -875,6 +875,24 @@ LIMIT 20
 """
 
 
+def tfidf_all_matches(spark, sf_dir):
+    """The serving layer's total_hits path (serving.py /api/search):
+    ``tfidf_search(k=None)`` returns EVERY matched doc score-ordered, so
+    top-k and the reference's ``total_found`` (len(combined),
+    src/multiwordSearch.py:154) derive from ONE cached frame. Oracled with
+    the full (un-LIMITed) result set."""
+    from cord19_crawler_spark.operators.search import tfidf_search
+
+    d = _t(spark, sf_dir, "documents")
+    p = postings_tf(spark, sf_dir)
+    return tfidf_search(p, _QUERY_TERMS, d, k=None)
+
+
+# identical scoring pipeline, no LIMIT — string-derived so the two oracles
+# can never drift apart
+_TFIDF_ALL_SQL = _TFIDF_SQL.rsplit("LIMIT", 1)[0]
+
+
 _DELTA_TERMS = ["merge", "batch"]
 
 
@@ -2527,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_tf": postings_tf,
         "word_stats": word_stats_query,
         "tfidf_multiword_search": tfidf_multiword_search,
+        "tfidf_all_matches": tfidf_all_matches,
         "delta_merged_search": delta_merged_search,
         "autocomplete_top3": autocomplete_top3,
         "round_robin_barrel_head": round_robin_barrel_head,
@@ -2607,6 +2626,7 @@ def oracle_sql() -> dict[str, str]:
         "postings_tf": _POSTINGS_SQL,
         "word_stats": _WORD_STATS_SQL,
         "tfidf_multiword_search": _TFIDF_SQL,
+        "tfidf_all_matches": _TFIDF_ALL_SQL,
         "delta_merged_search": _delta_search_sql(),
         "autocomplete_top3": _AUTOCOMPLETE_SQL,
         "round_robin_barrel_head": _RR_BARREL_SQL,

@@ -265,3 +265,40 @@ def test_http_upload_multipart_file(server):
     assert status == 200 and out["title"] == "Multi"
     _, _, res = _get(server + "/api/search?q=walrus")
     assert json.loads(res)["total_hits"] == 1
+
+
+def test_semantic_expansion_path(spark, served_index, tmp_path):
+    """app.py:99-105 — semantic=true expands the query with Word2Vec
+    synonyms, which become ADDITIONAL full query terms. Pins: synonyms
+    surface in the response, results can only grow, and the expansion
+    equals operators.semantic.expand_query on the same model."""
+    from pyspark.sql import functions as F
+
+    from cord19_crawler_spark.operators import semantic
+    from cord19_crawler_spark.operators.search import preprocess_query
+
+    idx, corpus = served_index
+    rows = [(i, "virus vaccine protein cell virus vaccine") for i in range(30)] + [
+        (100 + i, "trial results data analysis trial results") for i in range(30)
+    ]
+    toks = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .select("doc_id", F.split(F.lower(F.col("text")), " ").alias("words"))
+    )
+    model = semantic.train_word2vec(toks, vector_size=8, min_count=5, seed=42)
+    model_dir = str(tmp_path / "w2v")
+    semantic.save_model(model, model_dir)
+
+    svc = SearchService(
+        spark, idx, corpus_path=corpus, model_dir=model_dir, title_col="title"
+    )
+    plain = svc.search("vaccine", use_semantic=False)
+    sem = svc.search("vaccine", use_semantic=True)
+    expansion = semantic.expand_query(model, preprocess_query("vaccine"), top_n=3)
+    expected = sorted({s for t, vs in expansion.items() for s in vs if s != t})
+    assert sem["synonyms"] == expected and expected  # model knows 'vaccine'
+    assert sem["total_hits"] >= plain["total_hits"]
+    # semantic off (or no model) keeps the plain path byte-identical
+    no_model = SearchService(spark, idx, corpus_path=corpus, title_col="title")
+    off = no_model.search("vaccine", use_semantic=True)
+    assert off["synonyms"] == [] and off["total_hits"] == plain["total_hits"]
