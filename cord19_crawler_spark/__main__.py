@@ -91,8 +91,23 @@ def _cmd_crawl(args: argparse.Namespace) -> None:
         psl = load_psl(spark, None if args.psl == "builtin" else args.psl)
     sched = CrawlScheduler(spark, docs, args.checkpoint, cfg, psl=psl)
     seeds = seed_urls(spark, args.seeds, n_docs) if sched.store.latest_round() is None else None
+    import time as _time
+
+    t0 = _time.time()
     counters = sched.run(args.rounds, seeds=seeds)
-    print(json.dumps({"rounds": counters, "crawl_order_len": len(sched.crawl_order())}))
+    elapsed = _time.time() - t0
+    scheduled = sum(c.get("scheduled", 0) for c in counters)
+    out = {
+        "rounds": counters,
+        "crawl_order_len": len(sched.crawl_order()),
+        "elapsed_sec": round(elapsed, 2),
+        "scheduled_per_sec": round(scheduled / elapsed, 1) if elapsed > 0 else 0.0,
+    }
+    if args.fingerprint:
+        # distributive hashes — cross-cluster-size exactness evidence
+        out["crawl_order_fp"] = sched.crawl_order_fingerprint()
+        out["seen_fp"] = sched.seen_fingerprint()
+    print(json.dumps(out))
 
 
 def _cmd_index(args: argparse.Namespace) -> None:
@@ -256,6 +271,9 @@ def main(argv: list[str] | None = None) -> None:
     cr.add_argument("--content-dedup", action="store_true",
                     help="mirror detection: skip link extraction for "
                     "already-seen content fingerprints")
+    cr.add_argument("--fingerprint", action="store_true",
+                    help="emit distributive crawl-order + seen-set hashes "
+                    "(cross-cluster-size exactness evidence)")
     cr.set_defaults(fn=_cmd_crawl)
 
     ix = sub.add_parser("index", help="build the barrel-partitioned search index")

@@ -1293,6 +1293,52 @@ class CrawlScheduler:
             for r in self._read_url_seen(last).select("url").collect()
         }
 
+    def seen_fingerprint(self) -> str:
+        """Order-independent fingerprint of the URL-seen set, computed
+        DISTRIBUTIVELY (count + sum + xor of xxhash64) — cross-deployment /
+        cross-cluster-size equality evidence without collecting a
+        10^10-row set through the driver (tools/check_cluster.py)."""
+        last = self.store.latest_round()
+        if last is None:
+            return "empty"
+        row = (
+            self._read_url_seen(last)
+            .select(F.xxhash64(F.col("url")).alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                # decimal(38,0) accumulator: a raw long sum of xxhash64
+                # values overflows under ANSI mode at any real row count
+                F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+                F.expr("bit_xor(h)").alias("x"),
+            )
+            .collect()[0]
+        )
+        return f"{row['n']}:{row['s']}:{row['x']}"
+
+    def crawl_order_fingerprint(self) -> str:
+        """Fingerprint of the FULL crawl order. The combine is commutative
+        (sum/xor) but still order-sensitive end-to-end: (round, seq) is part
+        of every hashed tuple, so two runs match iff every URL was scheduled
+        at the same position."""
+        last = self.store.latest_round()
+        if last is None:
+            return "empty"
+        log = self._read_crawl_log(last).filter(F.col("round") <= last)
+        row = (
+            log.select(
+                F.xxhash64(F.col("round"), F.col("seq"), F.col("url")).alias("h")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                # decimal(38,0) accumulator: a raw long sum of xxhash64
+                # values overflows under ANSI mode at any real row count
+                F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+                F.expr("bit_xor(h)").alias("x"),
+            )
+            .collect()[0]
+        )
+        return f"{row['n']}:{row['s']}:{row['x']}"
+
     def re_emitted_documents(self, rnd: int) -> DataFrame:
         """Documents fetched in round ``rnd``, re-emitted with their original
         span sequence — used to verify the span-sequence-equality invariant

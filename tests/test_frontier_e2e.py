@@ -46,6 +46,14 @@ def test_two_run_equality(spark, docs, tmp_path):
     assert s1.crawl_order() == s2.crawl_order()
     assert s1.seen_set() == s2.seen_set()
     assert len(s1.crawl_order()) > 0
+    # distributive fingerprints (tools/check_cluster.py's cross-cluster-size
+    # equality evidence) agree with the collected ground truth: equal runs →
+    # equal fps; a shorter run → different fps (order is part of the hash)
+    assert s1.crawl_order_fingerprint() == s2.crawl_order_fingerprint()
+    assert s1.seen_fingerprint() == s2.seen_fingerprint()
+    s3 = run_crawl(spark, docs, tmp_path / "c", rounds=2)
+    assert s3.crawl_order_fingerprint() != s1.crawl_order_fingerprint()
+    assert s3.seen_fingerprint() != s1.seen_fingerprint()
 
 
 def test_parallelism_invariance(spark, docs, tmp_path):
