@@ -30,9 +30,7 @@ _WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, %(repo)r)
 from cord19_crawler_spark.session import get_spark
-from cord19_crawler_spark.functions.urls import extract_canonical_urls, host_from_canonical
-from cord19_crawler_spark.functions.hashes import md5_long56, minhash_expr, minhash_params
-from pyspark.sql import functions as F, Window
+from cord19_crawler_spark.plans.round_core import run_round_core
 
 cpus = int(sys.argv[1])
 spark = get_spark(app_name=f"scale{cpus}", master=f"local[{cpus}]",
@@ -48,39 +46,10 @@ spark = get_spark(app_name=f"scale{cpus}", master=f"local[{cpus}]",
 docs = spark.read.parquet(%(corpus)r)
 
 t0 = time.time()
-spans = docs.select(F.explode(F.slice(F.col("spans"), 1, 50)).alias("span"))
-links = spans.select(F.explode(extract_canonical_urls(F.col("span.text"))).alias("url"))
-ann = links.withColumn("host", host_from_canonical(F.col("url"))) \
-           .withColumn("url_id", F.xxhash64(F.col("url"))) \
-           .withColumn("priority", (F.col("url_id") %% 1000).cast("double"))
-dedup = ann.dropDuplicates(["url"])
-n_urls = dedup.count()
-
-# two-phase skew-split per-host top-k (hot hosts carry ~35%% of links)
-plan = dedup.groupBy("host").agg(F.count(F.lit(1)).alias("c")) \
-            .withColumn("n_salt", F.greatest(F.lit(1), F.ceil(F.col("c") / 5000).cast("int"))) \
-            .select("host", "n_salt")
-salted = dedup.join(F.broadcast(plan), "host", "left").withColumn(
-    "_salt", F.pmod(F.col("url_id"), F.coalesce(F.col("n_salt"), F.lit(1))))
-w_pre = Window.partitionBy("host", "_salt").orderBy(F.desc("priority"), F.asc("url"))
-pre = salted.withColumn("r", F.row_number().over(w_pre)).filter(F.col("r") <= 100).drop("r")
-w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
-topk = pre.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 100)
-n_topk = topk.count()
-
-# per-host MinHash content sketches (compute-heavy md5 hash aggregation;
-# map-side partial min keeps the shuffle at one row per (host, perm))
-toks = docs.select(F.explode(F.slice(F.col("spans"), 1, 50)).alias("span")) \
-           .select(F.explode(F.split(F.lower(F.col("span.text")), " ")).alias("w"))
-h = md5_long56(F.col("w"))
-params = minhash_params(8)
-sig = toks.groupBy(F.substring("w", 1, 2).alias("g")).agg(
-    *[F.min(minhash_expr(h, a, b)).alias(f"mh_{i}") for i, (a, b) in enumerate(params)])
-n_sig = sig.count()
+counts = run_round_core(docs)
 elapsed = time.time() - t0
-print(json.dumps({"cpus": cpus, "elapsed_sec": round(elapsed, 2),
-                  "n_urls": n_urls, "n_topk": n_topk, "n_sig": n_sig,
-                  "urls_per_sec": round(n_urls / elapsed, 1)}))
+print(json.dumps({"cpus": cpus, "elapsed_sec": round(elapsed, 2), **counts,
+                  "urls_per_sec": round(counts["n_urls"] / elapsed, 1)}))
 """
 
 

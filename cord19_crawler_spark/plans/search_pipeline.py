@@ -133,7 +133,7 @@ def _write_index_statistics(
         "papers_per_second": round(meta["total_docs"] / elapsed, 1)
         if elapsed > 0
         else 0.0,
-        "model_used": "deterministic-lemma-stub (spaCy slot)",
+        "model_used": _model_used_label(),
         "index_sizes_bytes": {
             "lexicon": _du("lexicon"),
             "forward_index": _du("postings"),
@@ -144,6 +144,20 @@ def _write_index_statistics(
     }
     with open(os.path.join(out_dir, "index_statistics.json"), "w") as f:
         json.dump(stats, f, indent=2)
+
+
+def _model_used_label() -> str:
+    """The stats artifact's model_used field reflects the RESOLVED
+    lemmatizer backend (functions/text.py seam): the reference reports its
+    spaCy model name here (src/index.py:187-ish), so report the real model
+    when available, the stub label otherwise."""
+    from ..functions.text import resolve_lemmatizer_backend
+
+    if resolve_lemmatizer_backend("auto") == "spacy":
+        from ..functions.text import _spacy_model_name
+
+        return _spacy_model_name() or "spacy"
+    return "deterministic-lemma-stub (spaCy slot)"
 
 
 def expand_with_lexicon(
