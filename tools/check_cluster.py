@@ -58,7 +58,11 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_CLUSTER_REPEATS", "2"))
 LOW = int(os.environ.get("SPARK_GRAFT_CLUSTER_LOW", "1"))
 HIGH = int(os.environ.get("SPARK_GRAFT_CLUSTER_HIGH", "4"))
 CORES = int(os.environ.get("SPARK_GRAFT_CLUSTER_CORES", "2"))  # per executor
-EXEC_MB = 6144
+# per-executor heap: constant across cluster sizes (a real N→4N scale-up
+# adds equal executors, so TOTAL memory grows 4x — unlike the thread-level
+# bench where one JVM's heap is shared). Size it so the LOW level is not
+# memory-starved, or the ratio measures spill, not scaling.
+EXEC_MB = int(os.environ.get("SPARK_GRAFT_CLUSTER_EXEC_MB", "12288"))
 CORPUS = f"/tmp/cluster_corpus_parquet_{N_DOCS}"
 CORE_CORPUS = f"/tmp/scale_corpus_parquet_{CORE_DOCS}"  # shared w/ bench_scaling
 
