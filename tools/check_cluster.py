@@ -102,6 +102,19 @@ def _submit(n_exec: int, app_args: list[str], zip_path: str,
         "--conf", f"spark.sql.shuffle.partitions={n_exec * CORES * 2}",
         "--conf", "spark.driver.memory=8g",
         "--conf", f"spark.pyspark.python={sys.executable}",
+        # every executor JVM shares this one box's disks, so locality tiers
+        # are meaningless here; the default 3s-per-tier wait taxes ONLY the
+        # multi-executor level (1 executor is always PROCESS/NODE_LOCAL)
+        # and would bias the N-vs-4N ratio. On a real cluster keep default.
+        "--conf", "spark.locality.wait=0s",
+        # the engine's session defaults (session.get_spark) — the submitted
+        # driver uses plain getOrCreate(), so mirror them here or the
+        # cluster bench measures a differently-configured engine than
+        # bench_scaling.py / production
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.adaptive.coalescePartitions.enabled=true",
+        "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
+        "--conf", "spark.ui.enabled=false",
     ]
     for c in extra_conf or []:
         cmd += ["--conf", c]
@@ -227,6 +240,17 @@ def main() -> None:
         "loop": loop_report,
         "core": core_report,
     }
+    # a phase skipped this invocation keeps its section from the last run,
+    # so SKIP_LOOP/SKIP_CORE reruns compose instead of truncating the md
+    last = os.path.join(REPO, "BENCH", "cluster_last.json")
+    if os.path.exists(last):
+        with open(last) as f:
+            prev = json.load(f)
+        for k in ("loop", "core"):
+            if report[k] is None:
+                report[k] = prev.get(k)
+    with open(last, "w") as f:
+        json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
     if exact is False:
         raise SystemExit("FINGERPRINT MISMATCH across cluster sizes")
