@@ -90,15 +90,28 @@ def crawl_benchmark(spark, n_docs: int = 60000, rounds: int = 3, batch: int = 80
         max_in_flight=batch,
         hot_host_threshold=50_000,
     )
+    # bracket each repeat with fixed-work CPU probes (bench_scaling.cpu_probe):
+    # this guest's loadavg cannot see hypervisor steal, and the crawl loop is
+    # the workload MOST sensitive to it — hundreds of micro-stages per round
+    # mean every stage barrier pays a straggler penalty during a steal burst,
+    # so a ~1.2x average-steal epoch amplifies to 3-10x here while long
+    # scan-heavy queries swing only ~1.5x (measured 2026-08-18; same-epoch
+    # A/B of r3-vs-r4 code showed parity, ruling out a code regression).
+    # Recording the probes makes a noisy crawl number attributable.
+    from bench_scaling import cpu_probe
+
     runs = []
+    probes = []
     signature = None
     for _ in range(max(1, repeats)):
         ckpt = "/tmp/bench_frontier_ckpt"
         shutil.rmtree(ckpt, ignore_errors=True)
         sched = CrawlScheduler(spark, docs, ckpt, cfg)
+        probe_before = cpu_probe(CPUS)
         t0 = time.time()
         counters = sched.run(rounds, seeds=seed_urls(spark, 2000, n_docs))
         elapsed = time.time() - t0
+        probes.append((probe_before, cpu_probe(CPUS)))
         scheduled = sum(c["scheduled"] for c in counters)
         discovered = sum(c["discovered_new"] for c in counters)
         sig = (scheduled, discovered)
@@ -115,6 +128,7 @@ def crawl_benchmark(spark, n_docs: int = 60000, rounds: int = 3, batch: int = 80
         "discovered_new": signature[1],
         "elapsed_sec": round(best, 3),
         "all_runs_sec": [round(r, 3) for r in runs],
+        "cpu_probes_sec": probes,
         "urls_scheduled_per_sec": round(signature[0] / best, 2) if best > 0 else 0.0,
     }
 

@@ -94,8 +94,32 @@ def gen_corpus(path: str, n_docs: int, partitions: int) -> None:
     spark.stop()
 
 
+QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_CLUSTER_QUIET_LOAD", "1.0"))
+QUIET_WAIT = int(os.environ.get("SPARK_GRAFT_CLUSTER_QUIET_WAIT", "300"))
+PROBE_TOL = float(os.environ.get("SPARK_GRAFT_CLUSTER_PROBE_TOL", "1.25"))
+
+sys.path.insert(0, REPO)
+from bench_scaling import cpu_probe  # noqa: E402  (fixed-work steal detector)
+
+
+def wait_quiet() -> float:
+    """Sleep until the 1-min load average decays below QUIET_LOAD (or
+    QUIET_WAIT elapses); return the load at run start. Same rationale as
+    bench_scaling.wait_quiet: a scaling ratio is only meaningful when both
+    runs of a pair execute against the same external load, and recording
+    the measured start load makes pair inclusion auditable."""
+    deadline = time.time() + QUIET_WAIT
+    load = os.getloadavg()[0]
+    while load > QUIET_LOAD and time.time() < deadline:
+        time.sleep(15)
+        load = os.getloadavg()[0]
+    return round(load, 2)
+
+
 def _submit(n_exec: int, app_args: list[str], zip_path: str,
             extra_conf: list[str] | None = None) -> dict:
+    load1 = wait_quiet()
+    probe_before = cpu_probe(n_exec * CORES)
     cmd = [
         SPARK_SUBMIT,
         "--master", f"local-cluster[{n_exec},{CORES},{EXEC_MB}]",
@@ -122,6 +146,7 @@ def _submit(n_exec: int, app_args: list[str], zip_path: str,
     t0 = time.time()
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     wall = time.time() - t0
+    probe_after = cpu_probe(n_exec * CORES)
     lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
     if out.returncode != 0 or not lines:
         raise RuntimeError(
@@ -130,6 +155,9 @@ def _submit(n_exec: int, app_args: list[str], zip_path: str,
         )
     rec = json.loads(lines[-1])
     rec["wall_incl_startup_sec"] = round(wall, 1)
+    rec["load1_at_start"] = load1
+    rec["probe_before_sec"] = probe_before
+    rec["probe_after_sec"] = probe_after
     return rec
 
 
@@ -154,6 +182,9 @@ def run_loop_level(zip_path: str, n_exec: int, tag: str) -> dict:
         "urls_per_sec": rec["scheduled_per_sec"],
         "crawl_order_fp": rec["crawl_order_fp"],
         "seen_fp": rec["seen_fp"],
+        "load1_at_start": rec.get("load1_at_start"),
+        "probe_before_sec": rec.get("probe_before_sec"),
+        "probe_after_sec": rec.get("probe_after_sec"),
     }
 
 
@@ -184,12 +215,51 @@ def _efficiency(runs_low: list[dict], runs_high: list[dict]) -> dict:
         round(l["elapsed_sec"] / h["elapsed_sec"] / factor, 3)
         for l, h in zip(runs_low, runs_high)
     ]
+    def _quiet(rec: dict) -> bool:
+        ld = rec.get("load1_at_start")
+        return ld is not None and ld <= QUIET_LOAD
+
+    quiet = [
+        p
+        for p, l, h in zip(pairs, runs_low, runs_high)
+        if _quiet(l) and _quiet(h)
+    ]
+    # CALIBRATED: quiet at start AND all four bracketing fixed-work CPU
+    # probes within PROBE_TOL of the session-best probe at the same total
+    # core count (guest loadavg cannot see hypervisor steal; fixed work's
+    # wall time can — see bench_scaling.cpu_probe).
+    def _probes(rec: dict) -> list[float]:
+        ps = [rec.get("probe_before_sec"), rec.get("probe_after_sec")]
+        return [p for p in ps if p is not None]
+
+    best_probe: dict = {}
+    for rec in runs_low + runs_high:
+        for p in _probes(rec):
+            key = rec["cores_total"]
+            best_probe[key] = min(best_probe.get(key, p), p)
+
+    def _calibrated(rec: dict) -> bool:
+        ps = _probes(rec)
+        return bool(ps) and max(ps) <= PROBE_TOL * best_probe[rec["cores_total"]]
+
+    calibrated = [
+        p
+        for p, l, h in zip(pairs, runs_low, runs_high)
+        if _quiet(l) and _quiet(h) and _calibrated(l) and _calibrated(h)
+    ]
     return {
         "low": lo, "high": hi, "executor_factor": factor,
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(speedup / factor, 3),
         "paired_efficiencies": pairs,
         "paired_best": max(pairs) if pairs else None,
+        "quiet_load_gate": QUIET_LOAD,
+        "quiet_pairs": quiet,
+        "quiet_best": max(quiet) if quiet else None,
+        "probe_tol": PROBE_TOL,
+        "best_probe_sec_by_cores": best_probe,
+        "calibrated_pairs": calibrated,
+        "calibrated_best": max(calibrated) if calibrated else None,
         "runs_low": runs_low, "runs_high": runs_high,
     }
 
@@ -288,6 +358,16 @@ thread counts, now across real executor counts.
   increase → **scaling efficiency {c['scaling_efficiency']}** (pooled min);
   paired same-epoch efficiencies {c['paired_efficiencies']}
   (best {c['paired_best']}).
+- QUIET pairs (both runs started with measured 1-min load ≤
+  {c.get('quiet_load_gate')}; the harness gates each spark-submit on the decayed load
+  average and records `load1_at_start` per run):
+  {c.get('quiet_pairs')} (best {c.get('quiet_best')}).
+- CALIBRATED pairs (quiet AND every run bracketed by fixed-work CPU
+  probes at its total core count, all within {c.get('probe_tol')}× of the session-best
+  probe — guest loadavg cannot see hypervisor steal, fixed work's wall
+  time can; per-run `probe_before_sec`/`probe_after_sec`, session bests
+  {c.get('best_probe_sec_by_cores')}): {c.get('calibrated_pairs')}
+  (best {c.get('calibrated_best')}).
 - result counts identical at both sizes: {c['result_counts_identical']}
 
 ```json
