@@ -2068,6 +2068,217 @@ FROM documents WHERE doc_id < 200
 """
 
 
+def text_repetition_metrics_q(spark, sf_dir):
+    """Gopher-style within-document repetition metrics (Rae et al. 2021
+    §A1.1, word-level): token count, distinct/top token fractions, top
+    bigram fraction, duplicate-trigram positional fraction. Pure-Catalyst
+    higher-order functions — zero shuffles, the whole metric family is one
+    codegen'd projection per row (plan-asserted in tests/test_quality.py)."""
+    from cord19_crawler_spark.functions.quality import repetition_metrics
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = repetition_metrics(d)
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+# DuckDB mirror: same tokenizer, same window construction (generate_series
+# is empty for len<n, matching Spark's guarded sequence), same per-distinct
+# lambda counting, same round placement.
+_REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS toks
+  FROM documents WHERE doc_id < 300
+), g AS (
+  SELECT doc_id, toks,
+    list_transform(generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1]) AS bi,
+    list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tri
+  FROM t
+)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  CASE WHEN len(toks) > 0
+       THEN round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6)
+       ELSE 1.0 END AS distinct_token_frac,
+  CASE WHEN len(toks) > 0
+       THEN round(list_max(list_transform(list_distinct(toks),
+                    d -> len(list_filter(toks, x -> x = d))))
+            / CAST(len(toks) AS DOUBLE), 6)
+       ELSE 0.0 END AS top_token_frac,
+  CASE WHEN len(bi) > 0
+       THEN round(list_max(list_transform(list_distinct(bi),
+                    d -> len(list_filter(bi, x -> x = d))))
+            / CAST(len(bi) AS DOUBLE), 6)
+       ELSE 0.0 END AS top_bigram_frac,
+  CASE WHEN len(tri) > 0
+       THEN round(len(list_filter(tri,
+                    x -> len(list_filter(tri, y -> y = x)) > 1))
+            / CAST(len(tri) AS DOUBLE), 6)
+       ELSE 0.0 END AS dup_trigram_frac
+FROM g
+"""
+
+
+def gopher_quality_filters_q(spark, sf_dir):
+    """Gopher-style per-document quality gate: each rule its own boolean
+    (word count, mean word length, alphabetic-word fraction, stopword
+    occurrences) plus the conjunction — the per-rule breakdown is what a
+    pipeline ablates on. Pure Catalyst, shuffle-free."""
+    from cord19_crawler_spark.functions.quality import gopher_flags
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = gopher_flags(d)
+    return out.withColumn("n_words", F.col("n_words").cast("long"))
+
+
+def _gopher_sql() -> str:
+    stops = _stops_sql()
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]{{2,}}') AS toks
+  FROM documents WHERE doc_id < 300
+), m AS (
+  SELECT doc_id, len(toks) AS n,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, t -> length(t)))
+              / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS mean_len,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+              / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS alpha_frac,
+    len(list_filter(toks, t -> list_contains([{stops}], t))) AS stop_hits
+  FROM t
+)
+SELECT doc_id, n AS n_words, round(mean_len, 6) AS mean_word_len,
+  (n >= 5 AND n <= 100000) AS flag_word_count,
+  (mean_len >= 3.0 AND mean_len <= 10.0) AS flag_mean_word_len,
+  (alpha_frac >= 0.8) AS flag_alpha_word_frac,
+  (stop_hits >= 2) AS flag_stop_hits,
+  ((n >= 5 AND n <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+   AND (alpha_frac >= 0.8) AND (stop_hits >= 2)) AS keep
+FROM m
+"""
+
+
+def dup_ngram_coverage_q(spark, sf_dir):
+    """Cross-document duplicated-trigram coverage (CCNet-style boilerplate
+    signal): per doc, the fraction of trigram positions whose trigram
+    appears in >= 2 distinct documents. Distributed shape: explode →
+    per-(doc,gram) count (map-side combine) → per-gram doc count → join
+    back → per-doc rollup; hot grams hit an AGGREGATE (linear), never a
+    pair join, so no hot-bucket cap is needed."""
+    from cord19_crawler_spark.operators.dedup import duplicated_ngram_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicated_ngram_coverage(d, n=3, min_docs=2)
+
+
+_DUP_COVERAGE_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+  FROM t
+), pc AS (
+  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+), dg AS (
+  SELECT gram FROM pc GROUP BY gram HAVING count(*) >= 2
+)
+SELECT pc.doc_id,
+  CAST(sum(pc.c) AS BIGINT) AS n_ngrams,
+  CAST(sum(CASE WHEN dg.gram IS NOT NULL THEN pc.c ELSE 0 END) AS BIGINT)
+    AS dup_ngrams,
+  round(sum(CASE WHEN dg.gram IS NOT NULL THEN pc.c ELSE 0 END)
+        / CAST(sum(pc.c) AS DOUBLE), 6) AS dup_coverage
+FROM pc LEFT JOIN dg ON pc.gram = dg.gram
+GROUP BY pc.doc_id
+"""
+
+
+def pii_redaction_q(spark, sf_dir):
+    """PII redaction audit: plant a deterministic email + IPv4 per document
+    (the synthetic corpus carries none — planting makes the oracle
+    non-trivial), redact, and report per-type match counts plus the
+    redacted tail. Patterns are the cross-dialect-safe subset (no
+    backreferences/lookaround) so Java regex and RE2 agree."""
+    from cord19_crawler_spark.functions.quality import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".9 end"),
+    )
+    d = d.select("doc_id", planted.alias("planted"))
+    counts = pii_counts(F.col("planted"))
+    return d.select(
+        "doc_id",
+        F.substring(redact_pii(F.col("planted")), -30, 30).alias("redacted_tail"),
+        counts["email"].cast("long").alias("n_email"),
+        counts["ipv4"].cast("long").alias("n_ipv4"),
+        counts["phone"].cast("long").alias("n_phone"),
+    )
+
+
+_PII_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.9 end' AS planted
+  FROM documents WHERE doc_id < 200
+), r AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(planted,
+          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '(\+?\d{1,2}[-. ]?)?(\(\d{3}\)|\d{3})[-. ]?\d{3}[-. ]?\d{4}\b',
+      '<PHONE>', 'g') AS red,
+    len(regexp_extract_all(planted,
+      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_email,
+    len(regexp_extract_all(planted,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+    len(regexp_extract_all(planted,
+      '(\+?\d{1,2}[-. ]?)?(\(\d{3}\)|\d{3})[-. ]?\d{3}[-. ]?\d{4}\b')) AS n_phone
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN length(red) >= 30 THEN substr(red, length(red) - 29, 30)
+       ELSE red END AS redacted_tail,
+  CAST(n_email AS BIGINT) AS n_email,
+  CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+  CAST(n_phone AS BIGINT) AS n_phone
+FROM r
+"""
+
+
+def deterministic_hash_sample_q(spark, sf_dir):
+    """Deterministic corpus sampling: keep iff (doc_id * 2654435761) mod
+    2^32 < 0.25 * 2^32 (Knuth multiplicative hash). Reproducible across
+    engines/partitionings/runs — a training pipeline must be able to
+    re-derive exactly which docs a model saw — and the predicate is pure
+    arithmetic, so it reaches the scan (no shuffle, no UDF; plan-asserted
+    in tests/test_quality.py)."""
+    from cord19_crawler_spark.functions.quality import hash_sample_pred
+
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(hash_sample_pred("doc_id", 0.25)).select("doc_id", "lang")
+
+
+_HASH_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 < 1073741824
+"""
+
+
 def mean_tf_per_word(spark, sf_dir):
     """A8: mean frequency per group (the reference's frequency-centering
     statistic, src/barrel.py-adjacent compression path) — avg(tf) over the
@@ -2578,6 +2789,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": text_token_stats,
         "text_quality_scores": text_quality_scores,
         "text_fingerprints": text_fingerprints,
+        "text_repetition_metrics": text_repetition_metrics_q,
+        "gopher_quality_filters": gopher_quality_filters_q,
+        "dup_ngram_coverage": dup_ngram_coverage_q,
+        "pii_redaction": pii_redaction_q,
+        "deterministic_hash_sample": deterministic_hash_sample_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
@@ -2656,6 +2872,11 @@ def oracle_sql() -> dict[str, str]:
         "similarity_sign_buckets": _SIGN_BUCKET_SQL,
         "text_token_stats": _TOKEN_STATS_SQL,
         "text_quality_scores": _text_quality_sql(),
+        "text_repetition_metrics": _REPETITION_SQL,
+        "gopher_quality_filters": _gopher_sql(),
+        "dup_ngram_coverage": _DUP_COVERAGE_SQL,
+        "pii_redaction": _PII_SQL,
+        "deterministic_hash_sample": _HASH_SAMPLE_SQL,
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,

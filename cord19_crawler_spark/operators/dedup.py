@@ -540,3 +540,64 @@ def embedding_near_duplicates_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def duplicated_ngram_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-n-gram coverage (CCNet/Gopher-style
+    boilerplate signal): for each document, the fraction of its word
+    n-gram POSITIONS whose n-gram also occurs in at least ``min_docs``
+    distinct documents. High coverage = the doc is mostly text shared with
+    the rest of the corpus (navigation chrome, licence blocks, mirrored
+    passages) — the docs a training pipeline drops or trims first.
+
+    Returns (doc_id, n_ngrams, dup_ngrams, dup_coverage); documents
+    shorter than ``n`` tokens have no n-grams and are absent.
+
+    Scale shape: explode → per-(doc,gram) count (map-side combine: one row
+    per distinct gram per doc crosses the wire) → per-gram doc counts →
+    semi-annotating join back on gram → per-doc rollup. Unlike the pair
+    joins above, hot grams need NO cap here — a gram in 10^6 docs adds
+    10^6 rows to a hash AGGREGATE (linear), not 10^12 pairs to a join; AQE
+    handles residual skew in the gram agg.
+
+    Tokenization is the engine-wide ``[a-z0-9]{2,}`` tokenizer
+    (functions/text.py, reference src/multiwordSearch.py:46-52), so this
+    agrees with repetition_metrics and the search index on word identity.
+    """
+    from ..functions.quality import word_ngrams
+
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]{{2,}}', 0)"
+    )
+    per_doc_gram = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .select("doc_id", F.explode(word_ngrams("_toks", n)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dup_grams = (
+        per_doc_gram.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))  # rows are distinct per doc
+        .filter(F.col("_ndocs") >= min_docs)
+        .select("gram", F.lit(True).alias("_dup"))
+    )
+    return (
+        per_doc_gram.join(dup_grams, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.sum(F.when(F.col("_dup"), F.col("c")).otherwise(F.lit(0))).alias(
+                "dup_ngrams"
+            ),
+        )
+        .withColumn(
+            "dup_coverage",
+            F.round(F.col("dup_ngrams") / F.col("n_ngrams").cast("double"), 6),
+        )
+    )
