@@ -2260,6 +2260,35 @@ FROM r
 """
 
 
+def token_budget_q(spark, sf_dir):
+    """Token counting both ways (task brief: whitespace + a BPE-ish regex):
+    per-doc whitespace tokens vs GPT-2 pre-tokenizer segments — the numbers
+    a pipeline sizes a training mix with. Pure Catalyst, shuffle-free."""
+    from cord19_crawler_spark.functions.text import bpe_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("ws_tokens"),
+        bpe_token_count("text").cast("long").alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def _token_budget_sql() -> str:
+    from cord19_crawler_spark.functions.text import BPE_SPLIT_PATTERN
+
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+  len(regexp_extract_all(text, '{pat}')) AS bpe_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars
+FROM documents WHERE doc_id < 300
+"""
+
+
 def deterministic_hash_sample_q(spark, sf_dir):
     """Deterministic corpus sampling: keep iff (doc_id * 2654435761) mod
     2^32 < 0.25 * 2^32 (Knuth multiplicative hash). Reproducible across
@@ -2794,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_coverage": dup_ngram_coverage_q,
         "pii_redaction": pii_redaction_q,
         "deterministic_hash_sample": deterministic_hash_sample_q,
+        "token_budget": token_budget_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
@@ -2877,6 +2907,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_coverage": _DUP_COVERAGE_SQL,
         "pii_redaction": _PII_SQL,
         "deterministic_hash_sample": _HASH_SAMPLE_SQL,
+        "token_budget": _token_budget_sql(),
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,

@@ -79,6 +79,28 @@ def token_count(colname: str) -> Column:
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
+# GPT-2-style pre-tokenizer (the public gpt-2 encoder.py split pattern),
+# MINUS its `\s+(?!\S)` branch: RE2 has no lookahead, and dropping it keeps
+# the pattern runnable verbatim in the DuckDB oracle. Effect of the
+# simplification: a whitespace RUN between words counts as one pre-token
+# instead of attaching its last space to the next word — a constant-factor
+# approximation of the BPE token budget, which is what a pipeline sizes
+# datasets with. Unicode classes (\p{L}/\p{N}) agree between Java regex and
+# RE2 (cross-engine parity pinned in tests/test_quality.py).
+BPE_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count(colname: str) -> Column:
+    """BPE-ish token count: number of GPT-2 pre-tokenizer segments. Upper
+    bound proxy for the LLM token budget of a document (each pre-token maps
+    to >=1 BPE token; for common English words usually exactly 1)."""
+    return F.size(
+        F.regexp_extract_all(F.col(colname), F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+    )
+
+
 def _stop_hits(toks: Column) -> Column:
     """OCCURRENCE count of stopword tokens (``array_intersect`` would dedup:
     a 5,000-token English document can contain at most 82 DISTINCT stopwords,

@@ -171,3 +171,36 @@ def test_duplicated_ngram_coverage_counts_occurrences(spark):
     # doc1 bigrams: [xx yy, yy xx, xx yy] → 'xx yy' in both docs: 2 of 3
     assert out[1]["n_ngrams"] == 3 and out[1]["dup_ngrams"] == 2
     assert out[2]["dup_ngrams"] == 1  # its single 'xx yy' position
+
+
+def test_bpe_token_count_parity_and_values(spark):
+    """The BPE-ish pre-tokenizer must agree between Java regex (Spark) and
+    RE2 (the DuckDB oracle) on apostrophes, digit/letter boundaries,
+    whitespace runs, and Unicode letters."""
+    import duckdb
+
+    from cord19_crawler_spark.functions.text import (
+        BPE_SPLIT_PATTERN,
+        bpe_token_count,
+    )
+
+    cases = [
+        "It's John's dog",  # 5: It / 's / ' John' / 's / ' dog'
+        "hello  world",  # 3: run of spaces is one pre-token
+        "a1b2 c3",  # 6: letter/digit boundaries split
+        "étude naïve 42",  # 3: \p{L} covers accented letters
+        "",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], ["i", "text"])
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", bpe_token_count("text").alias("n")).collect()
+    }
+    assert [got[i] for i in range(5)] == [5, 3, 6, 3, 0]
+    con = duckdb.connect()
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    for i, c in enumerate(cases):
+        (n,) = con.execute(
+            f"SELECT len(regexp_extract_all(?, '{pat}'))", [c]
+        ).fetchone()
+        assert n == got[i], (c, n, got[i])
