@@ -2746,6 +2746,173 @@ FROM (
 """
 
 
+def dedup_connected_components_q(spark, sf_dir):
+    """Near-duplicate CLUSTERING end-to-end: star edges between docs
+    sharing a rare 5-gram (df in [2,10] — the hot-gram window guard),
+    then connected components via alternating Large-Star/Small-Star
+    (Kiveris et al. SoCC'14 — O(log^2 n) rounds, diameter-independent),
+    then per-cluster size + canonical-doc flag. This is the step a dedup
+    pipeline runs AFTER pair generation: transitive closure picks ONE
+    keeper per cluster. The oracle replays the closure as a recursive
+    CTE, so the iterative distributed algorithm is value-checked, not
+    just rows-counted."""
+    from cord19_crawler_spark.operators.graph import (
+        components_with_size,
+        connected_components,
+        shared_gram_star_edges,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    edges = shared_gram_star_edges(d, n=5, min_df=2, max_df=10)
+    cc = connected_components(edges, algorithm="two-phase")
+    return components_with_size(cc).select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.col("component_size").cast("long").alias("component_size"),
+        "is_canonical",
+    )
+
+
+_CONNECTED_COMPONENTS_SQL = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS toks
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, len(toks) - 4),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+           || toks[i+3] || ' ' || toks[i+4])) AS gram
+  FROM t
+), hub AS (
+  SELECT gram, min(doc_id) AS hub FROM g GROUP BY gram
+  HAVING count(*) BETWEEN 2 AND 10
+), e AS (
+  SELECT DISTINCT h.hub AS a, g.doc_id AS b
+  FROM g JOIN hub h USING (gram) WHERE g.doc_id <> h.hub
+), sym AS (
+  SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
+), nodes AS (
+  SELECT DISTINCT a AS node FROM sym
+), walk(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.b, w.lab FROM walk w JOIN sym s ON s.a = w.node
+), cc AS (
+  SELECT node AS doc_id, min(lab) AS component FROM walk GROUP BY node
+)
+SELECT cc.doc_id, cc.component,
+  CAST(sz.c AS BIGINT) AS component_size,
+  (cc.doc_id = cc.component) AS is_canonical
+FROM cc JOIN (
+  SELECT component, count(*) AS c FROM cc GROUP BY component
+) sz USING (component)
+"""
+
+
+def benchmark_decontamination_q(spark, sf_dir):
+    """GPT-3/Llama-style n-gram decontamination: docs with doc_id % 97
+    == 0 play the benchmark/eval set; every training doc reports how many
+    of its distinct 3-grams appear anywhere in the benchmark set. The
+    benchmark gram side is explicitly broadcast — the training corpus is
+    scanned once, never shuffled (plan-asserted in tests). Real pipelines
+    use 8-13-grams; the synthetic corpus's tiny vocabulary makes 3 the
+    discriminative choice (167/494 docs flagged at sf0.01)."""
+    from cord19_crawler_spark.operators.traindata import benchmark_decontamination
+
+    d = _t(spark, sf_dir, "documents")
+    return benchmark_decontamination(d, (F.col("doc_id") % 97) == 0, n=3)
+
+
+_DECONTAMINATION_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS toks
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, len(toks) - 2),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+  FROM t
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+)
+SELECT g.doc_id,
+  CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(count(*) FILTER (WHERE b.gram IS NOT NULL) AS BIGINT) AS n_contaminated,
+  round(count(*) FILTER (WHERE b.gram IS NOT NULL)
+        / CAST(count(*) AS DOUBLE), 6) AS contamination_frac,
+  (count(*) FILTER (WHERE b.gram IS NOT NULL) > 0) AS is_contaminated
+FROM g LEFT JOIN bench b USING (gram)
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+"""
+
+
+def mixture_temperature_sample_q(spark, sf_dir):
+    """Deterministic temperature-weighted source sampling (p_s ∝
+    count_s^0.5, target 50% of the corpus — the XLM-R/Llama source
+    re-balancing rule): per-source keep rates from one tiny groupBy,
+    membership by the engine-wide Knuth sampling hash so the SAMPLE
+    ITSELF (not just its size) is reproducible and oracle-checked."""
+    from cord19_crawler_spark.operators.traindata import temperature_mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_mixture_sample(d, alpha=0.5, target_frac=0.5)
+
+
+_MIXTURE_SAMPLE_SQL = """
+WITH c AS (
+  SELECT source, count(*) AS c FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(pow(c, 0.5)) AS wsum, sum(c) AS n_total FROM c
+), r AS (
+  SELECT source,
+    least(1.0, (pow(c, 0.5) / tot.wsum) * (0.5 * tot.n_total) / c)
+      AS keep_rate
+  FROM c, tot
+)
+SELECT d.doc_id, d.source, round(r.keep_rate, 6) AS keep_rate
+FROM documents d JOIN r USING (source)
+WHERE (d.doc_id * 2654435761) % 4294967296
+      < floor(r.keep_rate * 4294967296)
+"""
+
+
+def sequence_packing_q(spark, sf_dir):
+    """Next-fit packing of documents into 256-token training sequences
+    across 8 deterministic shards (doc_id % 8): token counts are pure
+    Catalyst; only the genuinely-sequential per-shard scan runs as one
+    Arrow-batched applyInPandas over (doc_id, n_tokens) longs. The
+    oracle replays the scan as a per-shard recursive CTE, so the PACKING
+    (which doc lands in which sequence), not just counts, is checked."""
+    from cord19_crawler_spark.operators.traindata import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return pack_sequences(d, budget=256, num_shards=8)
+
+
+_SEQUENCE_PACKING_SQL = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+    len(regexp_extract_all(lower(text), '[a-z0-9]{2,}')) AS n_tokens
+  FROM documents WHERE doc_id < 2000
+), o AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM t
+), pack(shard, rn, doc_id, n_tokens, seq_id, fill) AS (
+  SELECT shard, rn, doc_id, n_tokens, 0, n_tokens FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+    CASE WHEN p.fill + o.n_tokens <= 256 THEN p.seq_id ELSE p.seq_id + 1 END,
+    CASE WHEN p.fill + o.n_tokens <= 256 THEN p.fill + o.n_tokens
+         ELSE o.n_tokens END
+  FROM o JOIN pack p ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT CAST(shard AS BIGINT) AS shard, doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens, CAST(seq_id AS BIGINT) AS seq_id
+FROM pack
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H-Q1-shaped pricing summary at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2824,6 +2991,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": pii_redaction_q,
         "deterministic_hash_sample": deterministic_hash_sample_q,
         "token_budget": token_budget_q,
+        "dedup_connected_components": dedup_connected_components_q,
+        "benchmark_decontamination": benchmark_decontamination_q,
+        "mixture_temperature_sample": mixture_temperature_sample_q,
+        "sequence_packing": sequence_packing_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
@@ -2908,6 +3079,10 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": _PII_SQL,
         "deterministic_hash_sample": _HASH_SAMPLE_SQL,
         "token_budget": _token_budget_sql(),
+        "dedup_connected_components": _CONNECTED_COMPONENTS_SQL,
+        "benchmark_decontamination": _DECONTAMINATION_SQL,
+        "mixture_temperature_sample": _MIXTURE_SAMPLE_SQL,
+        "sequence_packing": _SEQUENCE_PACKING_SQL,
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,

@@ -1,0 +1,209 @@
+"""Training-data pipeline operators beyond per-document filtering:
+benchmark decontamination, source-mixture sampling, and sequence packing.
+
+These are the corpus-level steps an LLM data pipeline runs AFTER quality
+filtering and dedup (functions/quality.py, operators/dedup.py):
+
+* ``benchmark_decontamination`` — flag training documents that share word
+  n-grams with an evaluation/benchmark set (the GPT-3 appendix-C /
+  Llama-style n-gram decontamination; public method, e.g. Brown et al.
+  2020 arXiv:2005.14165 §4). The benchmark gram set is tiny relative to
+  the corpus, so it is BROADCAST — the 100-TB training side is scanned
+  once with a map-side hash probe, never shuffled.
+* ``temperature_mixture_sample`` — deterministic temperature-weighted
+  source sampling (the multinomial source-mixing rule from XLM-R /
+  Llama data recipes: p_s ∝ count_s^alpha). Membership is decided by the
+  same Knuth multiplicative hash as functions/quality.py:hash_sample_pred
+  — a scan-level predicate, reproducible across engines and runs, no
+  shuffle, no RNG state.
+* ``pack_sequences`` — next-fit packing of documents into fixed
+  token-budget training sequences. Packing is inherently sequential
+  WITHIN an output stream, so the corpus is sharded (embarrassingly
+  parallel across shards — at 100 TB, one shard per final training file)
+  and the per-shard scan runs as an Arrow-batched applyInPandas: the
+  only Python loop is over one shard's docs, everything upstream
+  (tokenize, count) is Catalyst.
+
+No counterpart in /root/reference (the reference indexes a fixed curated
+corpus); methods are the published ones cited above.
+"""
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+__all__ = [
+    "benchmark_decontamination",
+    "temperature_mixture_sample",
+    "pack_sequences",
+]
+
+# Same constants as functions/quality.py — one sampling hash engine-wide.
+_KNUTH = 2654435761
+_M32 = 4294967296
+
+_TOKS = "regexp_extract_all(lower({c}), '[a-z0-9]{{2,}}', 0)"
+
+
+def _doc_grams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct (doc_id, gram) pairs of word n-grams per document."""
+    from ..functions.quality import word_ngrams
+
+    toks = F.expr(_TOKS.format(c=text_col))
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"), toks.alias("_toks"))
+        .select("doc_id", F.explode(word_ngrams("_toks", n)).alias("gram"))
+        .distinct()
+    )
+
+
+def benchmark_decontamination(
+    docs: DataFrame,
+    bench_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap_frac: float = 0.0,
+) -> DataFrame:
+    """Per TRAINING document, overlap with the benchmark gram set.
+
+    ``bench_pred`` selects the benchmark/eval rows; every other row is
+    training. Returns (doc_id, n_grams, n_contaminated,
+    contamination_frac, is_contaminated) for training docs that have at
+    least one n-gram; ``is_contaminated`` is contamination_frac >
+    ``min_overlap_frac`` (0.0 = any shared gram flags the doc, the
+    conservative default real pipelines use for eval n-gram hits).
+
+    Plan shape for 100 TB: the benchmark side is distinct-gram reduced
+    (small — eval sets are thousands of docs, not billions) and
+    explicitly ``broadcast()``; the training side streams through one
+    scan + per-doc rollup. Counting DISTINCT grams per doc keeps the
+    metric insensitive to a doc repeating one contaminated gram.
+    """
+    docs = docs.withColumn("_is_bench", bench_pred)
+    grams = _doc_grams(docs.filter(~F.col("_is_bench")), id_col, text_col, n)
+    bench_grams = (
+        _doc_grams(docs.filter(F.col("_is_bench")), id_col, text_col, n)
+        .select("gram")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        grams.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_hit"), 1).otherwise(0)).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.round(F.col("n_contaminated") / F.col("n_grams").cast("double"), 6),
+        )
+        .withColumn(
+            "is_contaminated", F.col("contamination_frac") > F.lit(min_overlap_frac)
+        )
+    )
+
+
+def temperature_mixture_sample(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Deterministic temperature sampling across sources: sample so the
+    KEPT corpus follows p_s ∝ count_s^alpha (alpha<1 up-weights small
+    sources — the standard low-resource re-balancing), with total kept ≈
+    ``target_frac`` of all docs.
+
+    Per-source keep rate: r_s = min(1, target_total * p_s / count_s); a
+    doc is kept iff knuth_hash(doc_id) < floor(r_s * 2^32) — the same
+    engine-reproducible predicate as hash_sample_pred, so the SAMPLE
+    ITSELF is oracle-checkable and stable under re-runs/resumes (same
+    key-domain caveat as hash_sample_pred: ids must stay sub-2^31 or be
+    pre-hashed so key * KNUTH cannot overflow int64).
+
+    Returns kept rows: (doc_id, source, keep_rate). Plan shape: one
+    groupBy(source) for counts (tiny result), broadcast back onto the
+    scan — the corpus is read once and never shuffled.
+    """
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(source_col).alias("source"),
+    )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    weighted = counts.withColumn("w", F.pow(F.col("c").cast("double"), F.lit(alpha)))
+    totals = weighted.agg(
+        F.sum("w").alias("wsum"), F.sum("c").alias("n_total")
+    )
+    rates = (
+        weighted.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "keep_rate",
+            F.least(
+                F.lit(1.0),
+                (F.col("w") / F.col("wsum"))
+                * (F.lit(target_frac) * F.col("n_total"))
+                / F.col("c").cast("double"),
+            ),
+        )
+        .select("source", "keep_rate")
+    )
+    hashed = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_M32)
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(hashed < F.floor(F.col("keep_rate") * F.lit(float(_M32))))
+        .select("doc_id", "source", F.round("keep_rate", 6).alias("keep_rate"))
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    num_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Next-fit packing of documents into fixed token-budget sequences.
+
+    Documents are sharded by ``doc_id % num_shards`` (deterministic, so
+    the packing — not just the metrics — is reproducible), ordered by
+    doc_id within a shard, and greedily appended to the current sequence;
+    a doc that would overflow ``budget`` starts a new sequence. A doc
+    larger than the whole budget occupies a sequence alone (never split,
+    never dropped — the caller's chunker decides what to do with it).
+
+    Returns (shard, doc_id, n_tokens, seq_id) with seq_id dense from 0
+    per shard.
+
+    Scale shape: token counts are pure Catalyst on the scan; only the
+    genuinely-sequential per-shard scan runs in Python, as ONE
+    Arrow-batched applyInPandas over (shard) groups — at 100 TB you run
+    one shard per output training file, so parallelism = number of
+    output files, and each pandas group holds (doc_id, n_tokens) longs
+    only, never text.
+    """
+    toks = F.expr(_TOKS.format(c=text_col))
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).withColumn("shard", (F.col("doc_id") % num_shards).cast("long"))
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids = []
+        seq, fill = 0, 0
+        for t in pdf["n_tokens"].to_list():
+            if seq_ids and fill + t > budget:
+                seq += 1
+                fill = 0
+            fill += t
+            seq_ids.append(seq)
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        return pdf[["shard", "doc_id", "n_tokens", "seq_id"]]
+
+    return d.groupBy("shard").applyInPandas(
+        _pack, schema="shard long, doc_id long, n_tokens long, seq_id long"
+    )

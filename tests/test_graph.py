@@ -1,0 +1,124 @@
+"""Connected components (operators/graph.py): hand graphs, randomized
+cross-checks against a Python union-find brute force, two-phase vs
+label-propagation agreement, chain graphs (the diameter stressor), and
+the shared-gram star-edge generator."""
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from cord19_crawler_spark.operators.graph import (
+    components_with_size,
+    connected_components,
+    shared_gram_star_edges,
+)
+
+
+def _brute_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run(spark, edges, algorithm):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, algorithm=algorithm)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+@pytest.mark.parametrize("algorithm", ["two-phase", "label-propagation"])
+def test_hand_graph(spark, algorithm):
+    # Two components: {1,2,3,7} via 1-2, 2-3, 3-7 and {10,11}; dup +
+    # reversed + self-loop edges must not matter.
+    edges = [(2, 1), (2, 3), (7, 3), (10, 11), (11, 10), (3, 2), (5, 5)]
+    got = _run(spark, edges, algorithm)
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_two_phase_beats_diameter(spark):
+    # A 60-node path is the worst case for diameter-bound propagation:
+    # label-propagation needs ~60 rounds (it fails loud under a 25-round
+    # cap) while two-phase converges O(log^2 n) — well under the same cap.
+    edges = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, algorithm="label-propagation", max_iterations=25)
+    out = connected_components(df, algorithm="two-phase", max_iterations=25)
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 61
+    lab_df = connected_components(df, algorithm="label-propagation", max_iterations=80)
+    lab = {r["node"]: r["component"] for r in lab_df.collect()}
+    assert lab == got
+
+
+def test_randomized_vs_union_find_and_cross_algorithm(spark):
+    rng = random.Random(7)
+    nodes = list(range(0, 400, 3))  # non-contiguous ids
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(180)
+    ]
+    expected = _brute_components([e for e in edges if e[0] != e[1]])
+    two = _run(spark, edges, "two-phase")
+    lab = _run(spark, edges, "label-propagation")
+    assert two == expected
+    assert lab == expected
+
+
+def test_components_with_size(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "src long, dst long")
+    cc = connected_components(df)
+    out = components_with_size(cc)
+    rows = {r["node"]: (r["component"], r["component_size"], r["is_canonical"]) for r in out.collect()}
+    assert rows == {
+        1: (1, 3, True),
+        2: (1, 3, False),
+        3: (1, 3, False),
+        10: (10, 2, True),
+        11: (10, 2, False),
+    }
+
+
+def test_non_convergence_fails_loud(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, algorithm="label-propagation", max_iterations=2)
+
+
+def test_shared_gram_star_edges(spark):
+    # docs 1/2 share "aa bb cc"; docs 2/3 share "dd ee ff"; gram in all
+    # four docs ("xx yy zz", df=4) is over max_df and contributes nothing.
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc xx yy zz"),
+            (2, "aa bb cc dd ee ff xx yy zz"),
+            (3, "dd ee ff qq xx yy zz"),
+            (4, "solo words only here xx yy zz"),
+        ],
+        "doc_id long, text string",
+    )
+    edges = shared_gram_star_edges(docs, n=3, min_df=2, max_df=3)
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    # hub is the min doc per gram: gram "aa bb cc" -> hub 1 links 2;
+    # grams "dd ee ff"/"ee ff xx"... note doc2 text "...dd ee ff xx yy zz"
+    # also yields "ff xx yy" etc shared with doc3 ("ff qq xx"? no).
+    assert (1, 2) in got
+    assert (2, 3) in got
+    assert all(s < d for s, d in got)
+    # doc 4 shares only the df=4 gram -> must be absent entirely
+    assert not any(4 in e for e in got)
+    # clustering the edges chains 1-2-3 into one component
+    cc = connected_components(edges)
+    comp = {r["node"]: r["component"] for r in cc.collect()}
+    assert comp[1] == comp[2] == comp[3] == 1

@@ -1,0 +1,126 @@
+"""Training-data corpus ops (operators/traindata.py): hand-computed
+decontamination overlaps, exact temperature-sampling rates vs a Python
+replay of the Knuth-hash predicate, and next-fit packing including the
+oversize-document and empty-document edges."""
+import pyspark.sql.functions as F
+import pytest
+
+from cord19_crawler_spark.operators.traindata import (
+    _KNUTH,
+    _M32,
+    benchmark_decontamination,
+    pack_sequences,
+    temperature_mixture_sample,
+)
+
+
+def test_decontamination_hand_case(spark):
+    # bench doc 0 has grams {aa bb cc, bb cc dd}; doc 1 shares BOTH
+    # (frac 1.0 over its 2 distinct grams), doc 2 shares one of three,
+    # doc 3 shares none, doc 4 too short for any trigram -> absent.
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb cc dd"),
+            (1, "aa bb cc dd"),
+            (2, "bb cc dd ee ff"),
+            (3, "qq rr ss tt"),
+            (4, "uu vv"),
+        ],
+        "doc_id long, text string",
+    )
+    out = benchmark_decontamination(docs, F.col("doc_id") == 0, n=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert (rows[1]["n_grams"], rows[1]["n_contaminated"]) == (2, 2)
+    assert rows[1]["contamination_frac"] == 1.0 and rows[1]["is_contaminated"]
+    assert (rows[2]["n_grams"], rows[2]["n_contaminated"]) == (3, 1)
+    assert rows[2]["contamination_frac"] == pytest.approx(0.333333)
+    assert (rows[3]["n_contaminated"], rows[3]["is_contaminated"]) == (0, False)
+
+
+def test_decontamination_broadcast_plan(spark):
+    docs = spark.createDataFrame(
+        [(0, "aa bb cc"), (1, "aa bb cc")], "doc_id long, text string"
+    )
+    out = benchmark_decontamination(docs, F.col("doc_id") == 0, n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # bench gram set never shuffles the corpus
+
+
+def test_temperature_sample_rates_and_membership(spark):
+    # 8 docs in src_a, 2 in src_b; alpha=0.5, target 50% of 10 docs = 5.
+    # w_a=sqrt(8), w_b=sqrt(2); p_a=2/3, p_b=1/3 -> rate_a=5*(2/3)/8,
+    # rate_b=min(1, 5*(1/3)/2).
+    rows = [(i, "src_a") for i in range(8)] + [(100 + i, "src_b") for i in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture_sample(docs, alpha=0.5, target_frac=0.5)
+    got = {r["doc_id"]: r["keep_rate"] for r in out.collect()}
+    rate_a = (5 * 2 / 3) / 8
+    rate_b = min(1.0, (5 * 1 / 3) / 2)
+    expected = {}
+    for doc_id, src in rows:
+        r = rate_a if src == "src_a" else rate_b
+        if (doc_id * _KNUTH) % _M32 < int(r * _M32):
+            expected[doc_id] = round(r, 6)
+    assert got == expected
+    assert len(expected) > 0  # the hand case actually keeps something
+
+
+def test_temperature_sample_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    a = sorted(temperature_mixture_sample(docs).collect())
+    b = sorted(temperature_mixture_sample(docs).collect())
+    assert a == b
+
+
+def test_pack_sequences_hand_case(spark):
+    # one shard (num_shards=1), budget 10, docs in id order with token
+    # counts 4,4,4,25,3,0,9 ->
+    #   seq0: 4+4 (8); seq1: 4; seq2: 25 (oversize, alone);
+    #   seq3: 3+0 (empty doc packs into current); then 3+9>10 -> seq4: 9
+    texts = {
+        0: "aa bb cc dd",
+        1: "aa bb cc dd",
+        2: "aa bb cc dd",
+        3: " ".join(["tok"] * 25),
+        4: "aa bb cc",
+        5: "x y z",  # 1-char words -> 0 tokens
+        6: " ".join(["tok"] * 9),
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    out = pack_sequences(docs, budget=10, num_shards=1)
+    rows = {r["doc_id"]: (r["n_tokens"], r["seq_id"]) for r in out.collect()}
+    assert rows == {
+        0: (4, 0),
+        1: (4, 0),
+        2: (4, 1),
+        3: (25, 2),
+        4: (3, 3),
+        5: (0, 3),
+        6: (9, 4),
+    }
+
+
+def test_pack_sequences_sharding_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, "aa bb cc dd ee") for i in range(40)], "doc_id long, text string"
+    )
+    out = pack_sequences(docs, budget=12, num_shards=4).collect()
+    assert len(out) == 40
+    by_shard = {}
+    for r in out:
+        assert r["shard"] == r["doc_id"] % 4
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        # 5 tokens each, budget 12 -> two docs per sequence within a shard
+        fills = {}
+        for r in rows:
+            fills.setdefault(r["seq_id"], 0)
+            fills[r["seq_id"]] += r["n_tokens"]
+        assert all(f <= 12 for f in fills.values())
+        assert sorted(fills) == list(range(len(fills)))  # dense seq ids
