@@ -2913,6 +2913,64 @@ FROM pack
 """
 
 
+def dedup_cluster_canonical_q(spark, sf_dir):
+    """The end-to-end dedup DELIVERABLE: MinHash-LSH verified pairs
+    (the oracled dedup_minhash_lsh_e2e stage) → connected components
+    (transitive closure — A~B, B~C ⇒ one cluster) → per-document
+    keep/drop decision, singletons included (they are their own
+    canonical). The oracle composes the full minhash SQL replay with a
+    recursive-CTE closure, so every stage of "which docs do I keep" is
+    value-checked."""
+    from cord19_crawler_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    from cord19_crawler_spark.operators.dedup import minhash_near_duplicates
+
+    pairs = minhash_near_duplicates(d, num_perm=8, bands=4, threshold=0.7, ngram=1)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        d.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .withColumn("component", F.coalesce("component", "doc_id"))
+        .join(F.broadcast(sizes), "component", "left")
+        .select(
+            "doc_id",
+            "component",
+            F.coalesce("_c", F.lit(1)).cast("long").alias("component_size"),
+            (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+        )
+    )
+
+
+def _dedup_cluster_canonical_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+{_minhash_e2e_sql()}
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM sym
+), walk(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.b, w.lab FROM walk w JOIN sym s ON s.a = w.node
+), cc AS (
+  SELECT node, min(lab) AS component FROM walk GROUP BY node
+), sz AS (
+  SELECT component, count(*) AS c FROM cc GROUP BY component
+)
+SELECT d.doc_id,
+  coalesce(cc.component, d.doc_id) AS component,
+  CAST(coalesce(sz.c, 1) AS BIGINT) AS component_size,
+  (d.doc_id = coalesce(cc.component, d.doc_id)) AS is_canonical
+FROM (SELECT doc_id FROM documents WHERE doc_id < 60) d
+LEFT JOIN cc ON cc.node = d.doc_id
+LEFT JOIN sz ON sz.component = cc.component
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H-Q1-shaped pricing summary at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2995,6 +3053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_decontamination": benchmark_decontamination_q,
         "mixture_temperature_sample": mixture_temperature_sample_q,
         "sequence_packing": sequence_packing_q,
+        "dedup_cluster_canonical": dedup_cluster_canonical_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
@@ -3083,6 +3142,7 @@ def oracle_sql() -> dict[str, str]:
         "benchmark_decontamination": _DECONTAMINATION_SQL,
         "mixture_temperature_sample": _MIXTURE_SAMPLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_SQL,
+        "dedup_cluster_canonical": _dedup_cluster_canonical_sql(),
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,

@@ -48,6 +48,11 @@ HEADLINE = [
     "similarity_sign_buckets",
     "lemma_variant_expansion",
     "backward_index_rows",
+    # round-4 additions (not in BENCH_r03 totals — compare per-query)
+    "dedup_connected_components",
+    "benchmark_decontamination",
+    "mixture_temperature_sample",
+    "sequence_packing",
 ]
 
 

@@ -4,7 +4,6 @@ label-propagation agreement, chain graphs (the diameter stressor), and
 the shared-gram star-edge generator."""
 import random
 
-import pyspark.sql.functions as F
 import pytest
 
 from cord19_crawler_spark.operators.graph import (
