@@ -105,6 +105,22 @@ def test_pack_sequences_hand_case(spark):
     }
 
 
+def test_traindata_plan_shapes(spark, sf_dir):
+    # packing: the doc_id filter reaches the parquet scan, and the only
+    # shuffle is the shard repartition for applyInPandas — no joins.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 200")
+    plan = pack_sequences(docs, budget=64, num_shards=4)._jdf.queryExecution().executedPlan().toString()
+    assert "LessThan(doc_id,200)" in plan
+    assert "SortMergeJoin" not in plan and "HashJoin" not in plan
+    # mixture: the per-source rates join back onto the corpus as a
+    # BROADCAST join — the corpus side is never exchanged for the join.
+    plan2 = temperature_mixture_sample(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan2
+    assert "SortMergeJoin" not in plan2
+
+
 def test_pack_sequences_sharding_invariants(spark):
     docs = spark.createDataFrame(
         [(i, "aa bb cc dd ee") for i in range(40)], "doc_id long, text string"
