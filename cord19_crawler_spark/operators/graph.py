@@ -108,6 +108,7 @@ def connected_components(
     dst: str = "dst",
     algorithm: str = "two-phase",
     max_iterations: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list.
 
@@ -119,14 +120,20 @@ def connected_components(
 
     Raises RuntimeError if the fixed point is not reached within
     ``max_iterations`` — fail-loud, never silently-partial clusters.
+    If ``stats`` is passed, it is filled with {"rounds": k, "edges": n}
+    (rounds INCLUDING the fixed-point-confirming one) — the scale probe
+    in tools/check_cc_scale.py uses this to evidence the O(log^2 n)
+    round bound empirically.
     """
     e = _canon_edges(edges, src, dst).localCheckpoint(eager=True)
     if algorithm == "two-phase":
         prev = _checksum(e)
+        rounds = 0
         for _ in range(max_iterations):
             e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
             cur = _checksum(e2)
             e = e2
+            rounds += 1
             if cur == prev:
                 break
             prev = cur
@@ -135,6 +142,9 @@ def connected_components(
                 f"connected_components(two-phase) did not converge in "
                 f"{max_iterations} iterations"
             )
+        if stats is not None:
+            stats["rounds"] = rounds
+            stats["edges"] = prev[0]
         # Fixed point is a star graph: every edge is (node, root).
         roots = e.select(F.col("dst").alias("node")).distinct()
         return (
@@ -153,7 +163,7 @@ def connected_components(
         sym = e.union(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).localCheckpoint(eager=True)
-        for _ in range(max_iterations):
+        for rounds in range(1, max_iterations + 1):
             # component'(v) = min(component(v), min over neighbors u of component(u))
             from_nbrs = (
                 sym.join(labels, sym["dst"] == labels["node"])
@@ -178,6 +188,8 @@ def connected_components(
             )
             labels = new_labels
             if changed == 0:
+                if stats is not None:
+                    stats["rounds"] = rounds
                 return labels
         raise RuntimeError(
             f"connected_components(label-propagation) did not converge in "
