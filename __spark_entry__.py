@@ -2971,6 +2971,187 @@ LEFT JOIN sz ON sz.component = cc.component
 """
 
 
+def dedup_substring_spans_q(spark, sf_dir):
+    """Exact substring-level dedup (Lee et al. 2022 ExactSubstr, the
+    hash-windowed distributed equivalent): every duplicated 6-token run
+    in the corpus — within-doc repeats count — merged into maximal
+    per-document [start_tok, end_tok) remove-spans. k=6 because the
+    synthetic corpus's ~30-word vocabulary makes random 6-gram collisions
+    ~0 while the planted mirrored passages survive (2,107 duplicated
+    positions across 47 docs at sf0.01). The only wide shuffle is a
+    LINEAR hash aggregate over window hashes (no pair join, no hot-bucket
+    cap needed); the island merge is a per-document window."""
+    from cord19_crawler_spark.operators.dedup import duplicate_substring_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_substring_spans(d, k=6, min_count=2)
+
+
+_SUBSTRING_SPANS_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS toks
+  FROM documents
+), p AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 5),
+    i -> {'p0': i - 1, 'gram': array_to_string(toks[i:i+5], ' ')})) AS s
+  FROM t WHERE len(toks) >= 6
+), f AS (
+  SELECT doc_id, s.p0 AS p0, s.gram AS gram FROM p
+), dup AS (
+  SELECT gram FROM f GROUP BY gram HAVING count(*) >= 2
+), h AS (
+  SELECT doc_id, p0 FROM f SEMI JOIN dup USING (gram)
+), w AS (
+  SELECT doc_id, p0,
+    lag(p0) OVER (PARTITION BY doc_id ORDER BY p0) AS prev
+  FROM h
+), isl AS (
+  SELECT doc_id, p0,
+    sum(CASE WHEN prev IS NULL OR p0 > prev + 6 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY p0) AS island
+  FROM w
+)
+SELECT doc_id, CAST(min(p0) AS BIGINT) AS start_tok,
+  CAST(max(p0) + 6 AS BIGINT) AS end_tok,
+  count(*) AS n_dup_grams
+FROM isl GROUP BY doc_id, island
+"""
+
+
+def dedup_substring_removal_q(spark, sf_dir):
+    """The full ExactSubstr pipeline end-to-end (Lee et al. 2022): detect
+    duplicated 6-token runs → merge to maximal spans → CUT them from the
+    token stream. One row per document with the surviving text; docs that
+    are pure boilerplate come back empty, untouched docs pass through
+    n_removed=0. The span side (only duplicated docs) is rolled up and
+    broadcast; the cut is a Catalyst higher-order filter on the corpus
+    scan — no UDF, no corpus shuffle."""
+    from cord19_crawler_spark.operators.dedup import (
+        apply_remove_spans,
+        duplicate_substring_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    spans = duplicate_substring_spans(d, k=6, min_count=2)
+    return apply_remove_spans(d, spans)
+
+
+_SUBSTRING_REMOVAL_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS toks
+  FROM documents
+), p AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 5),
+    i -> {'p0': i - 1, 'gram': array_to_string(toks[i:i+5], ' ')})) AS s
+  FROM t WHERE len(toks) >= 6
+), f AS (
+  SELECT doc_id, s.p0 AS p0, s.gram AS gram FROM p
+), dup AS (
+  SELECT gram FROM f GROUP BY gram HAVING count(*) >= 2
+), h AS (
+  SELECT doc_id, p0 FROM f SEMI JOIN dup USING (gram)
+), w AS (
+  SELECT doc_id, p0,
+    lag(p0) OVER (PARTITION BY doc_id ORDER BY p0) AS prev
+  FROM h
+), isl AS (
+  SELECT doc_id, p0,
+    sum(CASE WHEN prev IS NULL OR p0 > prev + 6 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY p0) AS island
+  FROM w
+), spans AS (
+  SELECT doc_id, min(p0) AS start_tok, max(p0) + 6 AS end_tok
+  FROM isl GROUP BY doc_id, island
+), pos AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+    i -> {'i': i - 1, 't': toks[i]})) AS s
+  FROM t
+), flat AS (
+  SELECT doc_id, s.i AS i, s.t AS tok FROM pos
+), keep AS (
+  SELECT doc_id, i, tok FROM flat fl
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = fl.doc_id
+      AND fl.i >= sp.start_tok AND fl.i < sp.end_tok)
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+    string_agg(tok, ' ' ORDER BY i) AS clean
+  FROM keep GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+  CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+  coalesce(agg.clean, '') AS clean_text
+FROM t LEFT JOIN agg USING (doc_id)
+"""
+
+
+def dsir_importance_sample_q(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): treat source 'src0'
+    as the high-quality target domain, score every other document's
+    hashed-bigram distribution against it (Laplace-smoothed bag models
+    over 10,000 md5-bucketed features), and take the top-100 by the
+    deterministic Gumbel key — i.e. an actual importance-weighted sample,
+    reproducible because the uniform comes from the engine-wide Knuth
+    hash. Plan: one bucket-count aggregate (B-row partials), the
+    log-ratio table collapsed to ONE broadcast map row, scoring as a
+    map-side aggregate() HOF — the raw corpus is never shuffled; the
+    top-100 is TakeOrderedAndProject."""
+    from cord19_crawler_spark.operators.traindata import dsir_importance_weights
+
+    d = _t(spark, sf_dir, "documents")
+    scored = dsir_importance_weights(
+        d, F.col("source") == "src0", n=2, num_buckets=10_000
+    )
+    return (
+        scored.filter(F.col("n_feats") > 0)  # oracle's gram join drops empty docs
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+_DSIR_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+    regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, source,
+    unnest(list_transform(generate_series(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM t WHERE len(toks) >= 2
+), b AS (
+  SELECT doc_id, source,
+    CAST(('0x' || substr(md5(gram), 1, 14)) AS BIGINT) % 10000 AS bucket
+  FROM g
+), cnt AS (
+  SELECT bucket,
+    count(*) FILTER (WHERE source = 'src0') AS tc,
+    count(*) FILTER (WHERE source <> 'src0') AS rc
+  FROM b GROUP BY bucket
+), tot AS (
+  SELECT sum(tc) AS tt, sum(rc) AS rt FROM cnt
+), lr AS (
+  SELECT bucket,
+    ln((tc + 1.0) / (tot.tt + 10000)) - ln((rc + 1.0) / (tot.rt + 10000))
+      AS lr
+  FROM cnt, tot
+), score AS (
+  SELECT b.doc_id, count(*) AS n_feats, round(sum(lr.lr), 6) AS log_w
+  FROM b JOIN lr USING (bucket)
+  WHERE b.source <> 'src0'
+  GROUP BY b.doc_id
+), keyed AS (
+  SELECT doc_id, n_feats, log_w,
+    round(log_w - ln(-ln(((doc_id * 2654435761) % 4294967296 + 0.5)
+                         / 4294967296)), 6) AS sample_key
+  FROM score
+)
+SELECT doc_id, n_feats, log_w, sample_key
+FROM keyed ORDER BY sample_key DESC, doc_id ASC LIMIT 100
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H-Q1-shaped pricing summary at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3054,6 +3235,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_temperature_sample": mixture_temperature_sample_q,
         "sequence_packing": sequence_packing_q,
         "dedup_cluster_canonical": dedup_cluster_canonical_q,
+        "dedup_substring_spans": dedup_substring_spans_q,
+        "dedup_substring_removal": dedup_substring_removal_q,
+        "dsir_importance_sample": dsir_importance_sample_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
@@ -3143,6 +3327,9 @@ def oracle_sql() -> dict[str, str]:
         "mixture_temperature_sample": _MIXTURE_SAMPLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_SQL,
         "dedup_cluster_canonical": _dedup_cluster_canonical_sql(),
+        "dedup_substring_spans": _SUBSTRING_SPANS_SQL,
+        "dedup_substring_removal": _SUBSTRING_REMOVAL_SQL,
+        "dsir_importance_sample": _DSIR_SQL,
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,

@@ -53,6 +53,8 @@ HEADLINE = [
     "benchmark_decontamination",
     "mixture_temperature_sample",
     "sequence_packing",
+    "dedup_substring_spans",
+    "dsir_importance_sample",
 ]
 
 

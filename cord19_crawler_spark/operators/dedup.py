@@ -601,3 +601,162 @@ def duplicated_ngram_coverage(
             F.round(F.col("dup_ngrams") / F.col("n_ngrams").cast("double"), 6),
         )
     )
+
+
+def duplicate_substring_spans(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_storage: str = "recompute",
+) -> DataFrame:
+    """Exact substring-level deduplication: the positional SPANS of every
+    duplicated >=``k``-token run, per document (the deliverable of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — their ExactSubstr dedup removes 50-token substrings
+    that appear more than once in the corpus). ``duplicated_ngram_coverage``
+    above scores documents; THIS operator says exactly which token ranges
+    to cut.
+
+    Method (the hash-based distributed equivalent of their suffix array):
+    every k-token window is hashed (xxhash64 — internal only, never leaves
+    the plan; a collision merges two windows with probability ~n²/2^64);
+    windows whose hash occurs >= ``min_count`` times in the WHOLE corpus
+    (within-document repeats count, matching ExactSubstr's self-repetition
+    semantics) are duplicated positions; consecutive/overlapping duplicated
+    windows within a document merge into maximal spans (touching spans —
+    next start == prev end — also merge, so a contiguous duplicated region
+    is always ONE row).
+
+    Returns (doc_id, start_tok, end_tok, n_dup_grams): token-index interval
+    [start_tok, end_tok) over the engine-wide ``[a-z0-9]{2,}`` tokenizer,
+    0-based; n_dup_grams = number of duplicated k-windows merged into the
+    span. Documents shorter than ``k`` tokens have no windows and are
+    absent.
+
+    Scale shape (100 TB): the window pass is a pure map off the scan; the
+    only wide shuffle is the per-hash occurrence count, which is a hash
+    AGGREGATE with map-side partial counts — LINEAR in occurrences, so a
+    boilerplate run shared by 10^6 docs costs 10^6 aggregate rows, never
+    10^12 join pairs (no hot-bucket cap needed, unlike the pair-join
+    families above). The duplicated-hash set joins back as a left_semi
+    (AQE broadcasts it when small). The island merge is a per-document
+    window — bounded by document length, never a global sort.
+
+    ``gram_storage``: "recompute" (default) re-derives the window frame
+    for the count and the probe side — two scans of the source, zero
+    materialization (the right trade at 100 TB where the window frame is
+    ~n_tokens rows); "localCheckpoint" materializes it once (reference-
+    tracked blocks, the shingle pattern from minhash_near_duplicates) for
+    iterative local use.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]{{2,}}', 0)")
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), toks.alias("_toks")
+    ).filter(F.size("_toks") >= k)
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(_toks) - {k} + 1), "
+                f"i -> xxhash64(array_join(slice(_toks, i, {k}), ' ')))"
+            )
+        ).alias("p0", "gh"),
+    )
+    if gram_storage == "localCheckpoint":
+        grams = grams.localCheckpoint(eager=False)
+    elif gram_storage != "recompute":
+        raise ValueError(f"unknown gram_storage: {gram_storage!r}")
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("p0")
+    prev = F.lag("p0").over(w)
+    isl = hits.withColumn(
+        "_new",
+        F.when(prev.isNull() | (F.col("p0") > prev + F.lit(k)), 1).otherwise(0),
+    ).withColumn(
+        "_isl",
+        F.sum("_new").over(
+            Window.partitionBy("doc_id")
+            .orderBy("p0")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        isl.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("p0").cast("long").alias("start_tok"),
+            (F.max("p0") + F.lit(k)).cast("long").alias("end_tok"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select("doc_id", "start_tok", "end_tok", "n_dup_grams")
+    )
+
+
+def apply_remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    spans_join: str = "broadcast",
+) -> DataFrame:
+    """Apply substring-dedup remove-spans: cut every [start_tok, end_tok)
+    interval (``duplicate_substring_spans`` output, or any frame with
+    doc_id/start_tok/end_tok) out of each document's token stream — the
+    second half of the Lee et al. 2022 ExactSubstr pipeline (detect, then
+    remove).
+
+    Returns one row per input document: (doc_id, n_tokens, n_removed,
+    clean_text). ``clean_text`` is the space-joined SURVIVING tokens of
+    the engine-wide tokenizer (ExactSubstr operates on the tokenized
+    stream; original whitespace/punctuation is not reconstructed) — ""
+    when a document is removed entirely. Documents with no spans pass
+    through with n_removed = 0.
+
+    Scale shape: spans exist only for documents that contain duplicated
+    runs, so the span side is orders of magnitude smaller than the corpus
+    — it is rolled up to one interval-array row per affected doc (tiny
+    shuffle) and ``broadcast()`` onto the corpus scan (default); the cut
+    itself is a per-row Catalyst higher-order filter over (token, index)
+    pairs, no UDF, no corpus shuffle. ``spans_join="shuffle"`` opts into
+    a plain hash join for the degenerate case where most of the corpus is
+    spanned and the span side outgrows the broadcast cap.
+    """
+    if spans_join not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown spans_join: {spans_join!r}")
+    ivs = spans.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("_ivs")
+    )
+    if spans_join == "broadcast":
+        ivs = F.broadcast(ivs)
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]{{2,}}', 0)")
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"), toks.alias("_toks"))
+    kept = F.expr(
+        "filter(transform(_toks, (t, i) -> struct(t AS t, i AS i)), "
+        "s -> _ivs IS NULL OR NOT exists(_ivs, "
+        "iv -> s.i >= iv.start_tok AND s.i < iv.end_tok))"
+    )
+    return (
+        d.join(ivs, "doc_id", "left")
+        .withColumn("_kept", kept)
+        .select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            (F.size("_toks") - F.size("_kept")).cast("long").alias("n_removed"),
+            F.array_join(F.expr("transform(_kept, s -> s.t)"), " ").alias(
+                "clean_text"
+            ),
+        )
+    )

@@ -37,6 +37,7 @@ __all__ = [
     "benchmark_decontamination",
     "temperature_mixture_sample",
     "pack_sequences",
+    "dsir_importance_weights",
 ]
 
 # Same constants as functions/quality.py — one sampling hash engine-wide.
@@ -206,4 +207,118 @@ def pack_sequences(
 
     return d.groupBy("shard").applyInPandas(
         _pack, schema="shard long, doc_id long, n_tokens long, seq_id long"
+    )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_buckets: int = 10_000,
+) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every RAW document by how target-like its
+    hashed n-gram distribution is, and attach the deterministic Gumbel key
+    that makes top-k selection equivalent to sampling with probability
+    proportional to the importance weight.
+
+    ``target_pred`` selects the small high-quality target set; every other
+    row is the raw pool being scored. Features are word ``n``-grams hashed
+    into ``num_buckets`` buckets with the cross-engine md5-56bit hash
+    (functions/hashes.py), so the oracle replays the exact bucketing. Bag
+    models with Laplace (+1) smoothing over occurrence counts:
+
+        log_w(doc) = sum over gram occurrences of
+                     ln((t_b + 1) / (T + B)) - ln((r_b + 1) / (R + B))
+
+    (t_b/r_b = target/raw occurrences of bucket b, T/R totals, B buckets —
+    the paper's unigram/bigram bag model). Sampling: the Gumbel-max trick
+    with the engine-wide Knuth hash as the uniform source —
+    sample_key = log_w + (-ln(-ln(u))), u = (knuth(doc_id) + 0.5) / 2^32 —
+    so "take top-k by sample_key" IS importance resampling, reproducible
+    across engines, runs, and resumes (same sub-2^31 key-domain caveat as
+    hash_sample_pred).
+
+    Returns raw-pool rows (doc_id, n_feats, log_w, sample_key), log_w and
+    sample_key rounded to 6 (floating sums are order-dependent across
+    engines; per-doc feature counts are ~10^2-10^4 so the error is ~1e-12,
+    far inside the rounding).
+
+    Scale shape (100 TB): the bucket-count pass is one hash aggregate with
+    map-side partials (at most B=10^4 rows per task cross the wire); the
+    log-ratio table collapses to ONE broadcast row holding a
+    map<bucket,lr>, and scoring is a map-side ``aggregate()`` higher-order
+    function over each doc's bucket array — the raw corpus is scanned once
+    and NEVER shuffled. Every scored bucket was counted (raw occurrences
+    include it), so the map lookup cannot miss; try_element_at + the
+    unseen-bucket constant guard it anyway.
+    """
+    from ..functions.quality import word_ngrams
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    toks = F.expr(_TOKS.format(c=text_col))
+    d = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            target_pred.alias("_is_target"),
+            toks.alias("_toks"),
+        )
+        .withColumn("_grams", word_ngrams("_toks", n))
+        .withColumn(
+            "_buckets",
+            F.expr(
+                "transform(_grams, g -> CAST(conv(substring(md5(g), 1, 14), 16, 10)"
+                f" AS BIGINT) % {num_buckets})"
+            ),
+        )
+    )
+    occ = d.select("_is_target", F.explode("_buckets").alias("bucket"))
+    counts = occ.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("tc"),
+        F.sum(F.when(~F.col("_is_target"), 1).otherwise(0)).alias("rc"),
+    )
+    totals = counts.agg(F.sum("tc").alias("tt"), F.sum("rc").alias("rt"))
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("tc") + 1).cast("double") / (F.col("tt") + num_buckets))
+            - F.log((F.col("rc") + 1).cast("double") / (F.col("rt") + num_buckets))
+        ).alias("lr"),
+        # constant for buckets unseen anywhere (cannot occur for scored
+        # docs — their own occurrence was counted — but keeps the lookup
+        # total): ln(1/(T+B)) - ln(1/(R+B)) = ln((R+B)/(T+B)).
+        (
+            F.log((F.col("rt") + num_buckets).cast("double"))
+            - F.log((F.col("tt") + num_buckets).cast("double"))
+        ).alias("lr0"),
+    )
+    lrmap = lr.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "lr"))).alias("_lrmap"),
+        F.first("lr0").alias("_lr0"),
+    )
+    scored = (
+        d.filter(~F.col("_is_target"))
+        .crossJoin(F.broadcast(lrmap))
+        .select(
+            "doc_id",
+            F.size("_buckets").cast("long").alias("n_feats"),
+            F.round(
+                F.expr(
+                    "aggregate(_buckets, 0D, (acc, b) -> "
+                    "acc + coalesce(try_element_at(_lrmap, b), _lr0))"
+                ),
+                6,
+            ).alias("log_w"),
+        )
+    )
+    u = (
+        (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_M32) + F.lit(0.5)
+    ) / F.lit(float(_M32))
+    return scored.withColumn(
+        "sample_key", F.round(F.col("log_w") - F.log(-F.log(u)), 6)
     )

@@ -140,3 +140,117 @@ def test_pack_sequences_sharding_invariants(spark):
             fills[r["seq_id"]] += r["n_tokens"]
         assert all(f <= 12 for f in fills.values())
         assert sorted(fills) == list(range(len(fills)))  # dense seq ids
+
+
+# --- DSIR importance resampling (Xie et al. 2023) ---------------------------
+
+
+def _py_bucket(gram: str, num_buckets: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(gram.encode()).hexdigest()[:14], 16) % num_buckets
+
+
+def _py_dsir(rows, target_ids, n=2, num_buckets=128):
+    """Pure-Python replay of dsir_importance_weights for tiny corpora."""
+    import math
+    import re
+
+    toks = {
+        i: re.findall(r"[a-z0-9]{2,}", t.lower()) for i, t in rows
+    }
+    grams = {
+        i: [" ".join(ts[j : j + n]) for j in range(len(ts) - n + 1)]
+        for i, ts in toks.items()
+    }
+    tc, rc = {}, {}
+    for i, gs in grams.items():
+        d = tc if i in target_ids else rc
+        for g in gs:
+            b = _py_bucket(g, num_buckets)
+            d[b] = d.get(b, 0) + 1
+    tt, rt = sum(tc.values()), sum(rc.values())
+    out = {}
+    for i, gs in grams.items():
+        if i in target_ids:
+            continue
+        s = 0.0
+        for g in gs:
+            b = _py_bucket(g, num_buckets)
+            s += math.log((tc.get(b, 0) + 1) / (tt + num_buckets)) - math.log(
+                (rc.get(b, 0) + 1) / (rt + num_buckets)
+            )
+        log_w = round(s, 6)
+        u = ((i * _KNUTH) % _M32 + 0.5) / _M32
+        key = round(log_w - math.log(-math.log(u)), 6)
+        out[i] = (len(gs), log_w, key)
+    return out
+
+
+def test_dsir_exact_python_replay(spark):
+    from cord19_crawler_spark.operators.traindata import dsir_importance_weights
+
+    rows = [
+        (0, "alpha beta alpha beta gamma delta"),
+        (1, "alpha beta gamma alpha beta"),
+        (10, "alpha beta gamma delta epsilon"),  # target-like raw doc
+        (11, "zebra yak xylo walrus vole umbra"),  # dissimilar raw doc
+        (12, "alpha beta zebra yak"),  # mixed
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dsir_importance_weights(
+        docs, F.col("doc_id") < 10, n=2, num_buckets=128
+    )
+    got = {
+        r["doc_id"]: (r["n_feats"], r["log_w"], r["sample_key"])
+        for r in out.collect()
+    }
+    exp = _py_dsir(rows, {0, 1}, n=2, num_buckets=128)
+    assert set(got) == {10, 11, 12}
+    for i in exp:
+        assert got[i][0] == exp[i][0]
+        assert got[i][1] == pytest.approx(exp[i][1], abs=2e-6)
+        assert got[i][2] == pytest.approx(exp[i][2], abs=2e-6)
+    # the target-like doc must outscore the dissimilar one
+    assert got[10][1] > got[11][1]
+
+
+def test_dsir_no_corpus_shuffle(spark):
+    from cord19_crawler_spark.operators.traindata import dsir_importance_weights
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb cc"), (1, "aa bb dd"), (2, "ee ff gg")],
+        "doc_id long, text string",
+    )
+    out = dsir_importance_weights(docs, F.col("doc_id") == 0, num_buckets=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # scoring side: log-ratio map arrives via BroadcastNestedLoopJoin /
+    # BroadcastExchange; the raw corpus itself is never hash-exchanged on
+    # the scored path (the only hashpartitioning is the tiny bucket-count
+    # aggregate feeding the broadcast).
+    assert "BroadcastExchange" in plan
+    scored_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning(doc_id" not in scored_side
+
+
+def test_dsir_empty_docs_scored_zero(spark):
+    from cord19_crawler_spark.operators.traindata import dsir_importance_weights
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb cc dd"), (1, "x"), (2, "aa bb")],
+        "doc_id long, text string",
+    )
+    out = dsir_importance_weights(docs, F.col("doc_id") == 0, num_buckets=32)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_feats"] == 0 and rows[1]["log_w"] == 0.0
+    assert rows[2]["n_feats"] == 1
+
+
+def test_dsir_validation(spark):
+    from cord19_crawler_spark.operators.traindata import dsir_importance_weights
+
+    docs = spark.createDataFrame([(0, "aa bb")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dsir_importance_weights(docs, F.col("doc_id") == 0, n=0)
+    with pytest.raises(ValueError):
+        dsir_importance_weights(docs, F.col("doc_id") == 0, num_buckets=0)
