@@ -3018,6 +3018,42 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+def document_chunks_q(spark, sf_dir):
+    """Fixed-token training-chunk windowing (HF return_overflowing_tokens
+    semantics): 40-token chunks with 8-token overlap (stride 32); trailing
+    starts whose tokens are fully contained in the previous chunk are
+    dropped. Pure per-row Catalyst (sequence → filter → slice →
+    posexplode) — no UDF, no shuffle; rows are produced on the scan."""
+    from cord19_crawler_spark.operators.traindata import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, max_tokens=40, overlap=8)
+
+
+_DOCUMENT_CHUNKS_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks, unnest(list_filter(
+      generate_series(0, len(toks) - 1, 32),
+      s -> s = 0 OR s < len(toks) - 8)) AS start_tok
+  FROM t WHERE len(toks) > 0
+), r AS (
+  SELECT doc_id, start_tok,
+    row_number() OVER (PARTITION BY doc_id ORDER BY start_tok) - 1
+      AS chunk_id,
+    toks[start_tok + 1 : start_tok + 40] AS w
+  FROM s
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(start_tok AS BIGINT) AS start_tok,
+  CAST(len(w) AS BIGINT) AS n_tokens,
+  array_to_string(w, ' ') AS chunk_text
+FROM r
+"""
+
+
 def dedup_substring_removal_q(spark, sf_dir):
     """The full ExactSubstr pipeline end-to-end (Lee et al. 2022): detect
     duplicated 6-token runs → merge to maximal spans → CUT them from the
@@ -3238,6 +3274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": dedup_substring_spans_q,
         "dedup_substring_removal": dedup_substring_removal_q,
         "dsir_importance_sample": dsir_importance_sample_q,
+        "document_chunks": document_chunks_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
@@ -3330,6 +3367,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_spans": _SUBSTRING_SPANS_SQL,
         "dedup_substring_removal": _SUBSTRING_REMOVAL_SQL,
         "dsir_importance_sample": _DSIR_SQL,
+        "document_chunks": _DOCUMENT_CHUNKS_SQL,
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,

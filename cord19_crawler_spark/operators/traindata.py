@@ -38,6 +38,7 @@ __all__ = [
     "temperature_mixture_sample",
     "pack_sequences",
     "dsir_importance_weights",
+    "chunk_documents",
 ]
 
 # Same constants as functions/quality.py — one sampling hash engine-wide.
@@ -321,4 +322,63 @@ def dsir_importance_weights(
     ) / F.lit(float(_M32))
     return scored.withColumn(
         "sample_key", F.round(F.col("log_w") - F.log(-F.log(u)), 6)
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's token stream into fixed-size training chunks
+    with optional overlap (the standard long-document windowing step — HF
+    ``return_overflowing_tokens`` semantics, stride = max_tokens −
+    overlap).
+
+    Chunk starts are 0, stride, 2·stride, …; a trailing start ≥ n_tokens
+    − overlap is dropped because its tokens are fully contained in the
+    previous chunk (the previous chunk already reaches min(start +
+    overlap, n)). The final kept chunk may be shorter than ``max_tokens``.
+    Zero-token documents produce no chunks.
+
+    Returns (doc_id, chunk_id, start_tok, n_tokens, chunk_text) with
+    chunk_id dense from 0 per document; chunk_text is the space-joined
+    token window.
+
+    Scale shape: pure per-row Catalyst (sequence → filter → slice →
+    posexplode) — no UDF, no shuffle; output rows ≈ corpus tokens /
+    stride, produced directly on the scan.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not (0 <= overlap < max_tokens):
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap}"
+        )
+    stride = max_tokens - overlap
+    toks = F.expr(_TOKS.format(c=text_col))
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), toks.alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    starts = (
+        f"filter(sequence(0, size(_toks) - 1, {stride}), "
+        f"s -> s = 0 OR s < size(_toks) - {overlap})"
+    )
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform({starts}, s -> struct("
+                f"CAST(s AS BIGINT) AS start_tok, "
+                f"slice(_toks, s + 1, {max_tokens}) AS w))"
+            )
+        ).alias("_cid", "_c"),
+    ).select(
+        "doc_id",
+        F.col("_cid").cast("long").alias("chunk_id"),
+        F.col("_c.start_tok").alias("start_tok"),
+        F.size("_c.w").cast("long").alias("n_tokens"),
+        F.array_join("_c.w", " ").alias("chunk_text"),
     )

@@ -2,6 +2,7 @@
 the Lee et al. 2022 ExactSubstr deliverable): hand-planted cross-document and
 within-document duplicated runs, maximal-span merging (overlap AND touch),
 min_count semantics, and the short-document / no-duplicate edges."""
+import pyspark.sql.functions as F
 import pytest
 
 from cord19_crawler_spark.operators.dedup import duplicate_substring_spans
@@ -185,3 +186,20 @@ def test_apply_remove_spans_join_modes_match_and_validate(spark):
 
     with _pytest.raises(ValueError):
         apply_remove_spans(docs, spans, spans_join="bogus")
+
+
+def test_boilerplate_flood_is_linear(spark):
+    # 2000 identical docs: every window hash lands in ONE corpus-wide
+    # group. A pair-join design would enumerate C(2000,2) ~ 2M pairs; the
+    # occurrence AGGREGATE + semi-join stays linear (50k position rows),
+    # so this completes in seconds and yields one full-coverage span per
+    # doc. (The LSH families need hot-bucket caps for this shape —
+    # tests/test_dedup_hot_bucket.py; this operator is safe by
+    # construction.)
+    text = " ".join(f"tok{i}" for i in range(30))
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.lit(text).alias("text")
+    )
+    out = duplicate_substring_spans(docs, k=6).collect()
+    assert len(out) == 2000
+    assert all((r["start_tok"], r["end_tok"]) == (0, 30) for r in out)

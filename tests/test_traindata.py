@@ -254,3 +254,70 @@ def test_dsir_validation(spark):
         dsir_importance_weights(docs, F.col("doc_id") == 0, n=0)
     with pytest.raises(ValueError):
         dsir_importance_weights(docs, F.col("doc_id") == 0, num_buckets=0)
+
+
+# --- fixed-token chunking ----------------------------------------------------
+
+
+def test_chunk_documents_hand_cases(spark):
+    from cord19_crawler_spark.operators.traindata import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            # 10 tokens, max 8, overlap 4, stride 4: starts 0,4 (8 dropped:
+            # 8 >= 10-4, fully inside chunk@4)
+            (1, " ".join(f"a{i}" for i in range(10))),
+            # exactly one chunk
+            (2, "b0 b1 b2"),
+            # 13 tokens: starts 0,4,8 (8 < 13-4=9); tail chunk 5 tokens
+            (3, " ".join(f"c{i}" for i in range(13))),
+            # empty after tokenization -> absent
+            (4, "! ? ."),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=8, overlap=4)
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["start_tok"], r["n_tokens"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, 0, 0, 8),
+        (1, 1, 4, 6),
+        (2, 0, 0, 3),
+        (3, 0, 0, 8),
+        (3, 1, 4, 8),
+        (3, 2, 8, 5),
+    ]
+    texts = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_text"] for r in out.collect()
+    }
+    assert texts[(1, 1)] == "a4 a5 a6 a7 a8 a9"
+
+
+def test_chunk_documents_no_overlap_covers_exactly(spark):
+    from cord19_crawler_spark.operators.traindata import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(25)))], "doc_id long, text string"
+    )
+    rows = chunk_documents(docs, max_tokens=10).collect()
+    # 25 tokens, stride 10: chunks of 10, 10, 5 — disjoint, full coverage
+    assert sorted((r["start_tok"], r["n_tokens"]) for r in rows) == [
+        (0, 10),
+        (10, 10),
+        (20, 5),
+    ]
+    assert sum(r["n_tokens"] for r in rows) == 25
+
+
+def test_chunk_documents_validation(spark):
+    from cord19_crawler_spark.operators.traindata import chunk_documents
+
+    docs = spark.createDataFrame([(1, "aa bb")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=4, overlap=-1)
