@@ -3018,6 +3018,61 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+def link_pagerank_q(spark, sf_dir):
+    """Fixed-iteration PageRank (5 rounds, d=0.85) over a deterministic
+    synthetic link graph derived from orders (src = o_custkey % 200,
+    dst = o_orderkey % 237 — the mod-237 side guarantees dangling nodes,
+    so the stochastic-fix redistribution path is value-checked too). The
+    oracle UNROLLS the five power iterations as chained CTEs, so every
+    intermediate rank vector — not just row counts — must match. This is
+    the principled upgrade of the frontier's indegree priority lever."""
+    from cord19_crawler_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 200).alias("src"),
+        (F.col("o_orderkey") % 237).alias("dst"),
+    )
+    pr = pagerank(edges, iterations=5, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_sql(iterations: int = 5, d: float = 0.85) -> str:
+    parts = [
+        """
+WITH e AS (
+  SELECT DISTINCT o_custkey % 200 AS src, o_orderkey % 237 AS dst
+  FROM orders WHERE o_custkey % 200 <> o_orderkey % 237
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (
+  SELECT n.node, coalesce(o.c, 0) AS outdeg
+  FROM nodes n LEFT JOIN (
+    SELECT src AS node, count(*) AS c FROM e GROUP BY src) o USING (node)
+), r0 AS (
+  SELECT node, 1.0 / nn.n AS rank FROM nodes, nn
+)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""", dm{i} AS (
+  SELECT coalesce(sum(r.rank), 0) AS m
+  FROM r{i - 1} r JOIN deg USING (node) WHERE outdeg = 0
+), c{i} AS (
+  SELECT e.dst AS node, sum(r.rank / deg.outdeg) AS contrib
+  FROM e JOIN r{i - 1} r ON r.node = e.src JOIN deg ON deg.node = e.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT n.node,
+    (1 - {d}) / nn.n + {d} * (coalesce(c.contrib, 0) + dm.m / nn.n) AS rank
+  FROM nodes n LEFT JOIN c{i} c USING (node), nn, dm{i} dm
+)"""
+        )
+    parts.append(f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}")
+    return "".join(parts)
+
+
 def document_chunks_q(spark, sf_dir):
     """Fixed-token training-chunk windowing (HF return_overflowing_tokens
     semantics): 40-token chunks with 8-token overlap (stride 32); trailing
@@ -3275,6 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_removal": dedup_substring_removal_q,
         "dsir_importance_sample": dsir_importance_sample_q,
         "document_chunks": document_chunks_q,
+        "link_pagerank": link_pagerank_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
@@ -3368,6 +3424,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_removal": _SUBSTRING_REMOVAL_SQL,
         "dsir_importance_sample": _DSIR_SQL,
         "document_chunks": _DOCUMENT_CHUNKS_SQL,
+        "link_pagerank": _pagerank_sql(),
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,

@@ -43,6 +43,7 @@ __all__ = [
     "connected_components",
     "shared_gram_star_edges",
     "components_with_size",
+    "pagerank",
 ]
 
 
@@ -255,3 +256,103 @@ def components_with_size(
         "component_size",
         (F.col(node_col) == F.col(comp_col)).alias("is_canonical"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration power-method PageRank over a directed edge list
+    (Page et al. 1999) — the principled generalization of the scheduler's
+    ``priority_mode="indegree"`` lever: link evidence weighted by the
+    authority of the linker, not just counted.
+
+    Semantics pinned for oracle replay: parallel edges collapse to one
+    (distinct), self-loops drop; ranks start uniform at 1/N; each
+    iteration computes r'(v) = (1-d)/N + d·(Σ_{u→v} r(u)/outdeg(u) +
+    dangling_mass/N), where dangling_mass is the summed rank of nodes
+    with no outlinks (redistributed uniformly — the standard stochastic
+    fix). Returns (node, rank) as raw doubles after exactly
+    ``iterations`` rounds; callers round for comparison (floating sums
+    are order-dependent across engines at ~1e-15/iteration, and the
+    damped iteration is a contraction, so round-6 values are stable).
+
+    Scale shape (10^10 edges): per iteration, ONE wide shuffle — the
+    contribution aggregate on dst (map-side partial sums) — plus a join
+    of edges against the current rank vector on src; outdegrees are
+    computed once; the dangling mass is a 1-row aggregate broadcast back
+    onto the node frame. Iteration count is FIXED (no convergence
+    collect), and per-round lineage is truncated with eager
+    localCheckpoint exactly like ``connected_components`` above, so deep
+    iteration never stacks a re-computable plan. No driver-resident
+    graph; the rank vector lives partitioned by node.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not (0.0 <= damping <= 1.0):
+        raise ValueError(f"damping must be in [0, 1], got {damping}")
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    base = nodes.join(outdeg, "node", "left").select(
+        "node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
+    ).localCheckpoint(eager=True)
+    d = float(damping)
+    teleport = (1.0 - d) / n_nodes
+    ranks = base.select("node", "outdeg", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iterations):
+        dangling = ranks.filter(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        contribs = (
+            e.join(
+                # filter BEFORE dividing: ANSI mode faults rank/0 even for
+                # rows the join would drop (dangling nodes never match e.src)
+                ranks.filter(F.col("outdeg") > 0).select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("outdeg")).alias("share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = (
+            base.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit(teleport)
+                    + F.lit(d)
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank")

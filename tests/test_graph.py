@@ -121,3 +121,75 @@ def test_shared_gram_star_edges(spark):
     cc = connected_components(edges)
     comp = {r["node"]: r["component"] for r in cc.collect()}
     assert comp[1] == comp[2] == comp[3] == 1
+
+
+# --- PageRank ----------------------------------------------------------------
+
+
+def _py_pagerank(edges, iterations=10, d=0.85):
+    edges = sorted(set((a, b) for a, b in edges if a != b))
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    outdeg = {v: 0 for v in nodes}
+    for a, _ in edges:
+        outdeg[a] += 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dm = sum(r[v] for v in nodes if outdeg[v] == 0)
+        contrib = {v: 0.0 for v in nodes}
+        for a, b in edges:
+            contrib[b] += r[a] / outdeg[a]
+        r = {
+            v: (1 - d) / n + d * (contrib[v] + dm / n)
+            for v in nodes
+        }
+    return r
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    from cord19_crawler_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    rows = pagerank(edges, iterations=7).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["rank"] == pytest.approx(1 / 3, abs=1e-12)
+
+
+def test_pagerank_matches_python_replay_with_dangling(spark):
+    from cord19_crawler_spark.operators.graph import pagerank
+
+    # node 4 is dangling (no outlinks); node 3 is a hub target.
+    e = [(1, 3), (2, 3), (1, 2), (3, 4), (2, 4)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=6).collect()}
+    exp = _py_pagerank(e, iterations=6)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-9)
+    # total mass conserved
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_parallel_edges_and_self_loops_collapse(spark):
+    from cord19_crawler_spark.operators.graph import pagerank
+
+    a = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 1), (2, 1)], "src long, dst long"
+    )
+    b = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    ra = sorted((r["node"], round(r["rank"], 9)) for r in pagerank(a, 4).collect())
+    rb = sorted((r["node"], round(r["rank"], 9)) for r in pagerank(b, 4).collect())
+    assert ra == rb
+
+
+def test_pagerank_validation(spark):
+    from cord19_crawler_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(e, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(e, damping=1.5)
