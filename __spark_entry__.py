@@ -3243,6 +3243,60 @@ FROM keyed ORDER BY sample_key DESC, doc_id ASC LIMIT 100
 """
 
 
+def dedup_paragraphs_q(spark, sf_dir):
+    """Paragraph-level exact dedup (RefinedWeb/Dolma paragraph scrub, Penedo
+    et al. 2023 / Soldaini et al. 2024): drop every paragraph whose
+    normalized form appears >=2 times corpus-wide, keeping the globally
+    first occurrence. The synthetic corpus is single-line, so the stopword
+    'the' plays the paragraph boundary (real corpora pass newline runs —
+    semantics are delimiter-independent). Plan: paragraphs posexplode off
+    the scan, occurrence stats are ONE linear hash aggregate on the 56-bit
+    md5 key (map-side partials), stats join back on the same narrow key
+    (AQE-splittable), reassembly is one uniform groupBy(doc_id)."""
+    from cord19_crawler_spark.operators.dedup import remove_duplicate_paragraphs
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_duplicate_paragraphs(
+        d, delim=r"\bthe\b", min_count=2, keep_first=True, join_sep="\n"
+    )
+
+
+_PARAGRAPH_DEDUP_SQL = r"""
+WITH segs AS (
+  SELECT doc_id, regexp_split_to_array(text, '\bthe\b') AS arr
+  FROM documents
+), p AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(arr)),
+    i -> {'pos': i - 1, 'seg': arr[i]})) AS s
+  FROM segs
+), np AS (
+  SELECT doc_id, s.pos AS pos, trim(s.seg) AS para,
+    trim(regexp_replace(lower(s.seg), '\s+', ' ', 'g')) AS norm
+  FROM p
+), nz AS (
+  SELECT * FROM np WHERE norm <> ''
+), ranked AS (
+  SELECT doc_id, pos, para,
+    count(*) OVER (PARTITION BY norm) AS c,
+    row_number() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rn
+  FROM nz
+), marked AS (
+  SELECT doc_id, pos, para, (c < 2 OR rn = 1) AS keep FROM ranked
+), agg AS (
+  SELECT doc_id, count(*) AS n_paragraphs,
+    sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_removed,
+    coalesce(string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY pos),
+             '') AS clean_text
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(agg.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
+  CAST(coalesce(agg.n_removed, 0) AS BIGINT) AS n_removed,
+  coalesce(agg.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H-Q1-shaped pricing summary at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3330,6 +3384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_removal": dedup_substring_removal_q,
         "dsir_importance_sample": dsir_importance_sample_q,
         "document_chunks": document_chunks_q,
+        "dedup_paragraphs": dedup_paragraphs_q,
         "link_pagerank": link_pagerank_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
@@ -3424,6 +3479,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_removal": _SUBSTRING_REMOVAL_SQL,
         "dsir_importance_sample": _DSIR_SQL,
         "document_chunks": _DOCUMENT_CHUNKS_SQL,
+        "dedup_paragraphs": _PARAGRAPH_DEDUP_SQL,
         "link_pagerank": _pagerank_sql(),
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,

@@ -55,6 +55,7 @@ HEADLINE = [
     "sequence_packing",
     "dedup_substring_spans",
     "dsir_importance_sample",
+    "link_pagerank",
 ]
 
 

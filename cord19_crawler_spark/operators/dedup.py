@@ -760,3 +760,100 @@ def apply_remove_spans(
             ),
         )
     )
+
+
+def remove_duplicate_paragraphs(
+    docs: DataFrame,
+    delim: str = r"\n+",
+    min_count: int = 2,
+    keep_first: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    join_sep: str = "\n",
+) -> DataFrame:
+    """Paragraph-level exact deduplication: drop every paragraph whose
+    normalized form occurs >= ``min_count`` times across the WHOLE corpus
+    (optionally keeping the globally-first occurrence). This is the
+    paragraph/line dedup step of the published web-corpus recipes —
+    RefinedWeb (Penedo et al. 2023, arXiv:2306.01116) and Dolma (Soldaini
+    et al. 2024, arXiv:2402.00159) both run it between URL dedup and
+    document-level near-dup; C4's analogous rule works on three-sentence
+    spans (Raffel et al. 2020, arXiv:1910.10683 §2.2).
+
+    Paragraphs are the non-empty segments of ``split(text, delim)``
+    (default: newline runs — pass a corpus-appropriate boundary regex for
+    single-line corpora). The dedup key is the paragraph normalized to
+    lowercase with whitespace runs collapsed and ends trimmed; segments
+    that normalize to "" are dropped from both counting and output.
+    ``keep_first`` keeps the occurrence with the smallest (doc_id,
+    paragraph position) — deterministic, engine-independent; False removes
+    every copy (the strictest boilerplate scrub).
+
+    Returns one row per input document: (doc_id, n_paragraphs, n_removed,
+    clean_text) — clean_text joins the SURVIVING paragraphs (trimmed
+    original casing, original order) with ``join_sep``; "" when every
+    paragraph was removed. n_paragraphs counts non-empty paragraphs.
+
+    Scale shape (100 TB): paragraphs posexplode off the scan; the
+    occurrence count is a hash AGGREGATE on the 56-bit md5 key with
+    map-side partials — LINEAR in paragraphs, so a boilerplate paragraph
+    shared by 10^8 docs costs 10^8 aggregate rows, never a pair join. The
+    per-key stats (count + first-occurrence locator) join back on the same
+    narrow key — a linear shuffle join whose hot keys are splittable by
+    AQE skew handling (stats side carries ONE row per key, so replicating
+    it across a skew-split is cheap). Reassembly is one groupBy(doc_id)
+    over (position, paragraph) structs — uniform by construction. The
+    56-bit key space makes a cross-paragraph collision (silently merging
+    two distinct paragraphs) a ~n²/2^57 event; at 10^12 paragraphs switch
+    the key to concat(md5) 128-bit — the plan shape is unchanged.
+    """
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("_seg")), r"\s+", " "))
+    paras = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "_seg"),
+        )
+        .withColumn("_norm", norm)
+        .filter(F.col("_norm") != "")
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.trim("_seg").alias("para"),
+            md5_long56(F.col("_norm")).alias("_key"),
+        )
+    )
+    stats = paras.groupBy("_key").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct("doc_id", "pos")).alias("_first"),
+    )
+    keep = F.col("_c") < F.lit(min_count)
+    if keep_first:
+        keep = keep | (
+            (F.col("doc_id") == F.col("_first.doc_id"))
+            & (F.col("pos") == F.col("_first.pos"))
+        )
+    kept = (
+        paras.join(stats, "_key")
+        .withColumn("_keep", keep)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.sum(F.when(F.col("_keep"), 0).otherwise(1)).alias("n_removed"),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN _keep THEN "
+                    "struct(pos, para) END)), s -> s.para)"
+                ),
+                join_sep,
+            ).alias("clean_text"),
+        )
+    )
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    return ids.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_paragraphs", F.lit(0)).cast("long").alias("n_paragraphs"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
