@@ -3297,6 +3297,70 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
+def lm_perplexity_q(spark, sf_dir):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): train a bigram
+    stupid-backoff LM (Brants et al. 2007) on the doc_id%10==0 slice and
+    score every other document's perplexity under it — the head/middle/
+    tail signal of the CCNet / LLaMA-1 recipes. min_bigram_count=2
+    exercises the pruned-model backoff path. Plan: the LM trains on the
+    SMALL slice (two map-side-partial aggregates), collapses to ONE
+    broadcast row of score maps, and scoring is a map-side aggregate()
+    HOF — the scored corpus is scanned once and never shuffled."""
+    from cord19_crawler_spark.operators.traindata import lm_perplexity_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return lm_perplexity_scores(
+        d, F.col("doc_id") % 10 == 0, min_bigram_count=2, backoff=0.4
+    )
+
+
+_LM_PPL_SQL = r"""
+WITH t AS (
+  SELECT doc_id, doc_id % 10 = 0 AS is_train,
+    regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS toks
+  FROM documents
+), d AS (
+  SELECT * FROM t WHERE len(toks) > 0
+), uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(toks) AS w FROM d WHERE is_train) GROUP BY w
+), tot AS (
+  SELECT sum(c) AS n, count(*) AS v FROM uni
+), uni_lp AS (
+  SELECT w, ln((c + 1.0) / (tot.n + tot.v + 1)) AS lp FROM uni, tot
+), bi AS (
+  SELECT s.u AS u, s.w AS w, count(*) AS cuv
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+      i -> {'u': toks[i], 'w': toks[i + 1]})) AS s
+    FROM d WHERE is_train
+  ) GROUP BY s.u, s.w HAVING count(*) >= 2
+), bi_lp AS (
+  SELECT bi.u, bi.w, ln(bi.cuv * 1.0 / uni.c) AS lp
+  FROM bi JOIN uni ON bi.u = uni.w
+), term AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN s.i = 1 THEN coalesce(u1.lp, -ln(tot.n + tot.v + 1))
+         ELSE coalesce(b.lp, ln(0.4) +
+                       coalesce(u1.lp, -ln(tot.n + tot.v + 1))) END AS lp
+  FROM (
+    SELECT doc_id, len(toks) AS n_tokens,
+      unnest(list_transform(generate_series(1, len(toks)), i ->
+        {'i': i, 'cur': toks[i],
+         'prev': CASE WHEN i = 1 THEN NULL ELSE toks[i - 1] END})) AS s
+    FROM d WHERE NOT is_train
+  )
+  LEFT JOIN bi_lp b ON s.prev = b.u AND s.cur = b.w
+  LEFT JOIN uni_lp u1 ON s.cur = u1.w
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(sum(lp), 6) AS log_prob,
+  round(exp(-sum(lp) / n_tokens), 6) AS ppl
+FROM term GROUP BY doc_id, n_tokens
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H-Q1-shaped pricing summary at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3385,6 +3449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_sample": dsir_importance_sample_q,
         "document_chunks": document_chunks_q,
         "dedup_paragraphs": dedup_paragraphs_q,
+        "lm_perplexity": lm_perplexity_q,
         "link_pagerank": link_pagerank_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
@@ -3480,6 +3545,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_importance_sample": _DSIR_SQL,
         "document_chunks": _DOCUMENT_CHUNKS_SQL,
         "dedup_paragraphs": _PARAGRAPH_DEDUP_SQL,
+        "lm_perplexity": _LM_PPL_SQL,
         "link_pagerank": _pagerank_sql(),
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,

@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_substring_spans",
     "dsir_importance_sample",
     "link_pagerank",
+    "lm_perplexity",
 ]
 
 

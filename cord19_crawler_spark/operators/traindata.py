@@ -382,3 +382,132 @@ def chunk_documents(
         F.size("_c.w").cast("long").alias("n_tokens"),
         F.array_join("_c.w", " ").alias("chunk_text"),
     )
+
+
+def lm_perplexity_scores(
+    docs: DataFrame,
+    train_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_bigram_count: int = 1,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020,
+    arXiv:1911.00359): train an n-gram LM on a small high-quality slice
+    and score every other document by its perplexity under that model —
+    the head/middle/tail bucketing signal of the CCNet / LLaMA-1 data
+    recipes. The LM is a bigram model with STUPID BACKOFF (Brants et al.
+    2007, "Large Language Models in Machine Translation", EMNLP —
+    designed precisely for distributed count-based training):
+
+        S(w | u) = c(uv)/c(u)              if bigram uv in the model
+                 = backoff * S_uni(w)      otherwise
+        S_uni(w) = (c(w) + 1) / (N + V + 1)   (Laplace; OOV -> 1/(N+V+1))
+
+    The first token of a document is scored with S_uni alone. Per-doc
+    log_prob = sum of ln S over the token stream; ppl = exp(-log_prob /
+    n_tokens). Tokens come from the engine-wide ``[a-z0-9]{2,}``
+    tokenizer.
+
+    ``train_pred`` selects the training slice (every other row is
+    scored); ``min_bigram_count`` prunes rare bigrams from the model (the
+    standard n-gram LM size control — scoring falls back for pruned
+    entries, exactly the stupid-backoff semantics). Returns scored rows
+    (doc_id, n_tokens, log_prob, ppl), rounded to 6 (order-dependent
+    float sums; per-doc terms are ~10^2-10^4 so the error is ~1e-12, far
+    inside the rounding). Zero-token documents are absent.
+
+    Scale shape (100 TB): the model trains on the SMALL slice (CCNet's
+    LM is Wikipedia-sized, not corpus-sized) — two hash aggregates with
+    map-side partials; the bigram/unigram log-score tables collapse to
+    ONE broadcast row of maps, and scoring is a map-side ``aggregate()``
+    higher-order function over each doc's token array — the scored
+    corpus is scanned once and NEVER shuffled. Model size is bounded by
+    ``min_bigram_count`` (and, at extreme vocabularies, by pre-hashing
+    tokens — the plan shape is unchanged).
+    """
+    if min_bigram_count < 1:
+        raise ValueError(
+            f"min_bigram_count must be >= 1, got {min_bigram_count}"
+        )
+    if not (0.0 < backoff <= 1.0):
+        raise ValueError(f"backoff must be in (0, 1], got {backoff}")
+    toks = F.expr(_TOKS.format(c=text_col))
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        train_pred.alias("_is_train"),
+        toks.alias("_toks"),
+    ).filter(F.size("_toks") > 0)
+    train = d.filter(F.col("_is_train"))
+
+    uni = (
+        train.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    uni_lp = uni.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.log((F.col("c") + 1).cast("double") / (F.col("n") + F.col("v") + 1))
+        .alias("lp"),
+        # OOV unigram: ln(1 / (N + V + 1)).
+        (-F.log((F.col("n") + F.col("v") + 1).cast("double"))).alias("lp0"),
+    )
+    bi = (
+        train.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 1), "
+                    "i -> struct(element_at(_toks, i) AS u, "
+                    "element_at(_toks, i + 1) AS w))"
+                )
+            ).alias("s")
+        )
+        .groupBy("s.u", "s.w")
+        .agg(F.count(F.lit(1)).alias("cuv"))
+        .filter(F.col("cuv") >= min_bigram_count)
+    )
+    bi_lp = bi.join(uni.withColumnRenamed("w", "u").withColumnRenamed("c", "cu"), "u").select(
+        F.concat_ws(" ", "u", "w").alias("uv"),
+        F.log(F.col("cuv").cast("double") / F.col("cu")).alias("lp"),
+    )
+    model = (
+        uni_lp.groupBy()
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "lp"))).alias(
+                "_unimap"
+            ),
+            F.first("lp0").alias("_lp0"),
+        )
+        .crossJoin(
+            bi_lp.groupBy().agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("uv", "lp"))
+                ).alias("_bimap")
+            )
+        )
+    )
+    lnb = float(__import__("math").log(backoff))
+    score = F.expr(
+        "aggregate(sequence(1, size(_toks)), 0D, (acc, i) -> acc + ("
+        "CASE WHEN i = 1 THEN "
+        "  coalesce(try_element_at(_unimap, element_at(_toks, i)), _lp0) "
+        "ELSE coalesce("
+        "  try_element_at(_bimap, concat(element_at(_toks, i - 1), ' ', "
+        "                                element_at(_toks, i))), "
+        f" {lnb!r}D + coalesce(try_element_at(_unimap, "
+        "       element_at(_toks, i)), _lp0)) END))"
+    )
+    return (
+        d.filter(~F.col("_is_train"))
+        .crossJoin(F.broadcast(model))
+        .withColumn("_lp", score)
+        .select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.round("_lp", 6).alias("log_prob"),
+            F.round(F.exp(-F.col("_lp") / F.size("_toks")), 6).alias("ppl"),
+        )
+    )
