@@ -3361,6 +3361,150 @@ FROM term GROUP BY doc_id, n_tokens
 """
 
 
+def gopher_quality_q(spark, sf_dir):
+    """Gopher/MassiveText quality-rule signals (Rae et al. 2021 Table A1):
+    the full within-document repetition family (dup lines, top 2-4-gram
+    and dup 5-10-gram character fractions), symbol/bullet/ellipsis/
+    stopword/alpha rules, and the composite keep flag. The synthetic
+    corpus is single-line, so 'the' plays the line boundary (real corpora
+    pass newline runs). min_words=30 / min_stop_hits=1 fit the synthetic
+    doc-length and vocabulary; all other thresholds are the published
+    ones. Plan: scalar signals are scan-side Catalyst HOFs (zero
+    shuffle); repetition stats hash-aggregate exploded lines/grams keyed
+    by doc_id — linear, no cross-document hot keys possible."""
+    from cord19_crawler_spark.operators.gopher import gopher_quality_signals
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_quality_signals(
+        d, line_delim=r"\\bthe\\b", min_words=30, min_stop_hits=1
+    )
+
+
+_GOPHER_SQL = r"""
+WITH dw AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS w,
+    list_filter(list_transform(regexp_split_to_array(text, '\bthe\b'),
+      l -> regexp_replace(l, '^\s+|\s+$', '', 'g')), l -> l <> '') AS l,
+    text AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, len(w) AS n_words,
+    CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT)
+      AS wc,
+    (length(t) - length(replace(t, '#', '')))
+      + (length(t) - length(replace(t, '...', ''))) / 3.0
+      + (length(t) - length(replace(t, '…', ''))) AS sym,
+    len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+    len(list_distinct(list_filter(
+      list_transform(w, x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+      s -> list_contains(
+        ['the','be','to','of','and','that','have','with'], s)))) AS stops,
+    len(l) AS n_lines,
+    len(list_filter(l, x ->
+      list_contains(['•','‣','▪','-','*'], x[1:1]))) AS bullet,
+    len(list_filter(l, x -> x LIKE '%...' OR x LIKE '%…')) AS ell
+  FROM dw
+), la AS (
+  SELECT doc_id, sum(c - 1) AS dup_l,
+    sum((c - 1) * length(line)) AS dup_lc,
+    sum(c * length(line)) AS tot_lc
+  FROM (SELECT doc_id, line, count(*) AS c
+        FROM (SELECT doc_id, unnest(l) AS line FROM dw)
+        GROUP BY doc_id, line)
+  GROUP BY doc_id
+), lw AS (
+  SELECT doc_id, list_transform(w, x -> lower(x)) AS lw, len(w) AS nw
+  FROM dw
+), gr AS (
+  SELECT doc_id, n.n AS n,
+    array_to_string(lw.lw[p.i : p.i + n.n - 1], ' ') AS g
+  FROM lw, unnest(generate_series(2, 10)) AS n(n),
+       unnest(generate_series(1, lw.nw - n.n + 1)) AS p(i)
+), gx AS (
+  SELECT doc_id, n, c, c * length(g) AS cov,
+    max(c) OVER (PARTITION BY doc_id, n) AS m
+  FROM (SELECT doc_id, n, g, count(*) AS c FROM gr GROUP BY doc_id, n, g)
+), gn AS (
+  SELECT doc_id, n, max(cov) FILTER (WHERE c = m) AS topcov,
+    sum(CASE WHEN c >= 2 THEN cov ELSE 0 END) AS dupcov
+  FROM gx GROUP BY doc_id, n
+), gp AS (
+  SELECT doc_id,
+    max(topcov) FILTER (WHERE n = 2) AS top2,
+    max(topcov) FILTER (WHERE n = 3) AS top3,
+    max(topcov) FILTER (WHERE n = 4) AS top4,
+    max(dupcov) FILTER (WHERE n = 5) AS dup5,
+    max(dupcov) FILTER (WHERE n = 6) AS dup6,
+    max(dupcov) FILTER (WHERE n = 7) AS dup7,
+    max(dupcov) FILTER (WHERE n = 8) AS dup8,
+    max(dupcov) FILTER (WHERE n = 9) AS dup9,
+    max(dupcov) FILTER (WHERE n = 10) AS dup10
+  FROM gn GROUP BY doc_id
+), j AS (
+  SELECT base.*,
+    coalesce(la.dup_l, 0) AS dup_l, coalesce(la.dup_lc, 0) AS dup_lc,
+    coalesce(la.tot_lc, 0) AS tot_lc,
+    coalesce(gp.top2, 0) AS top2, coalesce(gp.top3, 0) AS top3,
+    coalesce(gp.top4, 0) AS top4, coalesce(gp.dup5, 0) AS dup5,
+    coalesce(gp.dup6, 0) AS dup6, coalesce(gp.dup7, 0) AS dup7,
+    coalesce(gp.dup8, 0) AS dup8, coalesce(gp.dup9, 0) AS dup9,
+    coalesce(gp.dup10, 0) AS dup10
+  FROM base LEFT JOIN la USING (doc_id) LEFT JOIN gp USING (doc_id)
+), f AS (
+  SELECT doc_id, n_words,
+    CASE WHEN n_words > 0 THEN round(wc * 1.0 / n_words, 6) ELSE 0.0 END
+      AS mean_word_len,
+    CASE WHEN n_words > 0 THEN round(sym / n_words, 6) ELSE 0.0 END
+      AS symbol_word_ratio,
+    CASE WHEN n_words > 0 THEN round(alpha * 1.0 / n_words, 6) ELSE 0.0 END
+      AS frac_alpha_words,
+    CAST(stops AS BIGINT) AS n_stop_hits, n_lines,
+    CASE WHEN n_lines > 0 THEN round(bullet * 1.0 / n_lines, 6) ELSE 0.0 END
+      AS frac_bullet_lines,
+    CASE WHEN n_lines > 0 THEN round(ell * 1.0 / n_lines, 6) ELSE 0.0 END
+      AS frac_ellipsis_lines,
+    CASE WHEN n_lines > 0 THEN round(dup_l * 1.0 / n_lines, 6) ELSE 0.0 END
+      AS dup_line_frac,
+    CASE WHEN tot_lc > 0 THEN round(dup_lc * 1.0 / tot_lc, 6) ELSE 0.0 END
+      AS dup_line_char_frac,
+    CASE WHEN wc > 0 THEN round(top2 * 1.0 / wc, 6) ELSE 0.0 END
+      AS top_2gram_char_frac,
+    CASE WHEN wc > 0 THEN round(top3 * 1.0 / wc, 6) ELSE 0.0 END
+      AS top_3gram_char_frac,
+    CASE WHEN wc > 0 THEN round(top4 * 1.0 / wc, 6) ELSE 0.0 END
+      AS top_4gram_char_frac,
+    CASE WHEN wc > 0 THEN round(dup5 * 1.0 / wc, 6) ELSE 0.0 END
+      AS dup_5gram_char_frac,
+    CASE WHEN wc > 0 THEN round(dup6 * 1.0 / wc, 6) ELSE 0.0 END
+      AS dup_6gram_char_frac,
+    CASE WHEN wc > 0 THEN round(dup7 * 1.0 / wc, 6) ELSE 0.0 END
+      AS dup_7gram_char_frac,
+    CASE WHEN wc > 0 THEN round(dup8 * 1.0 / wc, 6) ELSE 0.0 END
+      AS dup_8gram_char_frac,
+    CASE WHEN wc > 0 THEN round(dup9 * 1.0 / wc, 6) ELSE 0.0 END
+      AS dup_9gram_char_frac,
+    CASE WHEN wc > 0 THEN round(dup10 * 1.0 / wc, 6) ELSE 0.0 END
+      AS dup_10gram_char_frac
+  FROM j
+)
+SELECT f.*,
+  (n_words >= 30 AND n_words <= 100000
+   AND mean_word_len >= 3 AND mean_word_len <= 10
+   AND symbol_word_ratio <= 0.1
+   AND frac_bullet_lines < 0.9 AND frac_ellipsis_lines < 0.3
+   AND frac_alpha_words >= 0.8 AND n_stop_hits >= 1
+   AND dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2
+   AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+   AND top_4gram_char_frac <= 0.16
+   AND dup_5gram_char_frac <= 0.15 AND dup_6gram_char_frac <= 0.14
+   AND dup_7gram_char_frac <= 0.13 AND dup_8gram_char_frac <= 0.12
+   AND dup_9gram_char_frac <= 0.11 AND dup_10gram_char_frac <= 0.10)
+  AS keep
+FROM f
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H-Q1-shaped pricing summary at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3450,6 +3594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "document_chunks": document_chunks_q,
         "dedup_paragraphs": dedup_paragraphs_q,
         "lm_perplexity": lm_perplexity_q,
+        "gopher_quality": gopher_quality_q,
         "link_pagerank": link_pagerank_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
@@ -3546,6 +3691,7 @@ def oracle_sql() -> dict[str, str]:
         "document_chunks": _DOCUMENT_CHUNKS_SQL,
         "dedup_paragraphs": _PARAGRAPH_DEDUP_SQL,
         "lm_perplexity": _LM_PPL_SQL,
+        "gopher_quality": _GOPHER_SQL,
         "link_pagerank": _pagerank_sql(),
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
