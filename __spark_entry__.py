@@ -3505,6 +3505,63 @@ FROM f
 """
 
 
+def c4_filter_q(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2): line-level terminal-
+    punctuation + min-word + javascript rules, lorem/brace/badword
+    document drops, and the >=3-sentence floor. The synthetic corpus has
+    no punctuation or newlines, so the query deterministically injects
+    sentence boundaries first (replace ' the ' -> '.\\n' — identical
+    preprocessing in the oracle); the blocklist uses two corpus-vocabulary
+    words so has_badword is non-trivial. Plan: one scan-side Catalyst
+    projection — zero shuffle (plan-asserted in tests)."""
+    from cord19_crawler_spark.operators.c4 import c4_quality_filter
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.expr(r"replace(text, ' the ', '.\n')")
+    )
+    return c4_quality_filter(
+        d, badwords=["slow", "vector"], min_line_words=5, min_sentences=3
+    )
+
+
+_C4_SQL = r"""
+WITH src AS (
+  SELECT doc_id, replace(text, ' the ', '.' || chr(10)) AS text
+  FROM documents
+), d AS (
+  SELECT doc_id,
+    list_filter(list_transform(regexp_split_to_array(text, '\n+'),
+      l -> regexp_replace(l, '^\s+|\s+$', '', 'g')), l -> l <> '') AS l,
+    lower(text) AS lt
+  FROM src
+), k AS (
+  SELECT doc_id, len(l) AS n_lines,
+    list_filter(l, x ->
+      list_contains(['.', '!', '?', '"'], x[-1:])
+      AND len(list_filter(regexp_split_to_array(x, '\s+'),
+                          w -> w <> '')) >= 5
+      AND NOT regexp_matches(lower(x), '\bjavascript\b')) AS kept,
+    lt
+  FROM d
+), c AS (
+  SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_lines_kept,
+    coalesce(array_to_string(kept, chr(10)), '') AS clean_text, lt
+  FROM k
+)
+SELECT doc_id, n_lines, n_lines_kept,
+  CAST(len(regexp_extract_all(clean_text, '[.!?]+')) AS BIGINT)
+    AS n_sentences,
+  contains(lt, 'lorem ipsum') AS has_lorem,
+  contains(lt, '{') AS has_brace,
+  regexp_matches(lt, '\b(slow|vector)\b') AS has_badword,
+  (NOT contains(lt, 'lorem ipsum') AND NOT contains(lt, '{')
+   AND NOT regexp_matches(lt, '\b(slow|vector)\b')
+   AND len(regexp_extract_all(clean_text, '[.!?]+')) >= 3) AS keep,
+  clean_text
+FROM c
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H-Q1-shaped pricing summary at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3595,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": dedup_paragraphs_q,
         "lm_perplexity": lm_perplexity_q,
         "gopher_quality": gopher_quality_q,
+        "c4_filter": c4_filter_q,
         "link_pagerank": link_pagerank_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
@@ -3692,6 +3750,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_paragraphs": _PARAGRAPH_DEDUP_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "gopher_quality": _GOPHER_SQL,
+        "c4_filter": _C4_SQL,
         "link_pagerank": _pagerank_sql(),
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
