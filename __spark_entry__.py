@@ -3562,6 +3562,33 @@ FROM c
 """
 
 
+def ccnet_buckets_q(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.4): rank
+    the lm_perplexity scores ascending (ties by doc_id) and split into
+    exact thirds — the LLaMA-1 recipe keeps head+middle. Ranking is the
+    engine's two-phase global_row_number (range exchange + local rank,
+    no single-reducer window); bucket = floor((rank-1)*3/total)."""
+    from cord19_crawler_spark.operators.traindata import ccnet_ppl_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return ccnet_ppl_buckets(
+        d, F.col("doc_id") % 10 == 0, min_bigram_count=2, backoff=0.4
+    )
+
+
+_CCNET_BUCKETS_SQL = (
+    "WITH scored AS (" + _LM_PPL_SQL + "), ranked AS (\n"
+    "  SELECT *, CAST(row_number() OVER (ORDER BY ppl, doc_id) AS BIGINT)\n"
+    "    AS rank, count(*) OVER () AS _tot\n"
+    "  FROM scored\n"
+    ")\n"
+    "SELECT doc_id, n_tokens, log_prob, ppl, rank,\n"
+    "  (['head', 'middle', 'tail'])[\n"
+    "    CAST(floor((rank - 1) * 3.0 / _tot) AS INT) + 1] AS bucket\n"
+    "FROM ranked\n"
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H-Q1-shaped pricing summary at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3651,6 +3678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "document_chunks": document_chunks_q,
         "dedup_paragraphs": dedup_paragraphs_q,
         "lm_perplexity": lm_perplexity_q,
+        "ccnet_buckets": ccnet_buckets_q,
         "gopher_quality": gopher_quality_q,
         "c4_filter": c4_filter_q,
         "link_pagerank": link_pagerank_q,
@@ -3749,6 +3777,7 @@ def oracle_sql() -> dict[str, str]:
         "document_chunks": _DOCUMENT_CHUNKS_SQL,
         "dedup_paragraphs": _PARAGRAPH_DEDUP_SQL,
         "lm_perplexity": _LM_PPL_SQL,
+        "ccnet_buckets": _CCNET_BUCKETS_SQL,
         "gopher_quality": _GOPHER_SQL,
         "c4_filter": _C4_SQL,
         "link_pagerank": _pagerank_sql(),

@@ -511,3 +511,49 @@ def lm_perplexity_scores(
             F.round(F.exp(-F.col("_lp") / F.size("_toks")), 6).alias("ppl"),
         )
     )
+
+
+def ccnet_ppl_buckets(
+    docs: DataFrame,
+    train_pred: Column,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    **ppl_kwargs,
+) -> DataFrame:
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.4): rank every scored document by perplexity under the
+    ``lm_perplexity_scores`` model (ascending — fluent first) and split
+    the ranking into ``len(labels)`` equal-size buckets. The LLaMA-1 data
+    recipe keeps head+middle and drops tail.
+
+    Ranking uses the engine's two-phase global_row_number (range exchange
+    + per-partition rank — no single-reducer window), with (ppl, doc_id)
+    as the total order so ties are deterministic. Bucket index is
+    floor((rank-1) * k / total) — exact equal thirds (sizes differ by at
+    most 1). Returns (doc_id, n_tokens, log_prob, ppl, rank, bucket).
+
+    Scale note: exact ranking is fully parallel but pays one range
+    exchange of the scored frame (one narrow row per document). CCNet
+    itself derives the cutoffs from a SAMPLE of the scored corpus and
+    broadcasts the two thresholds — at 10^10 docs, replace the ranking
+    with sampled percentile cutoffs + a map-side bucket assignment; the
+    bucket SEMANTICS here are the exact-rank reference for that
+    approximation.
+    """
+    if len(labels) < 2:
+        raise ValueError(f"need >= 2 bucket labels, got {labels!r}")
+    from .ranking import global_row_number
+
+    scored = lm_perplexity_scores(docs, train_pred, **ppl_kwargs)
+    total = scored.count() or 1  # 0 rows -> constant never evaluated
+    ranked = global_row_number(
+        scored,
+        [F.col("ppl").asc(), F.col("doc_id").asc()],
+        name="rank",
+        dtype="long",
+    )
+    lab = F.array(*[F.lit(x) for x in labels])
+    idx = F.floor((F.col("rank") - 1) * len(labels) / total).cast("int")
+    return ranked.select(
+        "doc_id", "n_tokens", "log_prob", "ppl", "rank",
+        F.element_at(lab, idx + 1).alias("bucket"),
+    )

@@ -134,3 +134,38 @@ def test_ppl_validation(spark):
         lm_perplexity_scores(docs, F.col("doc_id") == 0, backoff=0.0)
     with pytest.raises(ValueError):
         lm_perplexity_scores(docs, F.col("doc_id") == 0, backoff=1.5)
+
+
+def test_ccnet_buckets_exact_thirds(spark):
+    from cord19_crawler_spark.operators.traindata import ccnet_ppl_buckets
+
+    rows = [(0, "aa bb aa bb cc dd aa bb")] + [
+        (i, f"aa bb tok{i} cc dd w{i * 7 % 13}") for i in range(1, 13)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ccnet_ppl_buckets(docs, F.col("doc_id") == 0).collect()
+    assert len(out) == 12
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    # rank follows (ppl, doc_id) totally and buckets are exact thirds
+    keys = [(r["ppl"], r["doc_id"]) for r in by_rank]
+    assert keys == sorted(keys)
+    assert [r["bucket"] for r in by_rank] == (
+        ["head"] * 4 + ["middle"] * 4 + ["tail"] * 4
+    )
+
+
+def test_ccnet_buckets_replay_and_validation(spark):
+    from cord19_crawler_spark.operators.traindata import ccnet_ppl_buckets
+
+    docs = spark.createDataFrame(_ROWS, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ccnet_ppl_buckets(docs, _train()).collect()}
+    exp = _py_ppl(_ROWS, {0, 1, 2})
+    order = sorted(exp, key=lambda i: (round(exp[i][2], 6), i))
+    k, total = 3, len(order)
+    for rank, i in enumerate(order, start=1):
+        assert out[i]["rank"] == rank
+        assert out[i]["bucket"] == ("head", "middle", "tail")[
+            (rank - 1) * k // total
+        ]
+    with pytest.raises(ValueError):
+        ccnet_ppl_buckets(docs, _train(), labels=("only",))
