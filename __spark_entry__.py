@@ -3589,6 +3589,33 @@ _CCNET_BUCKETS_SQL = (
 )
 
 
+def stratified_sample_q(spark, sf_dir):
+    """Exact-k deterministic per-stratum sample: the 7 docs per source
+    with the smallest Knuth hash of doc_id (exact quotas — the
+    domain-balanced counterpart of the Bernoulli hash sample). Spark side
+    runs the salted two-phase top-k so a hot stratum never sorts in one
+    task; the oracle replays the hash order directly."""
+    from cord19_crawler_spark.operators.traindata import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), 7, group_col="source"
+    )
+
+
+_STRATIFIED_SAMPLE_SQL = """\
+WITH h AS (
+  SELECT doc_id, source, (doc_id * 2654435761) % 4294967296 AS hk
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY hk, doc_id)
+              AS BIGINT) AS sample_rank
+  FROM h
+)
+SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 7
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H-Q1-shaped pricing summary at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3679,6 +3706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": dedup_paragraphs_q,
         "lm_perplexity": lm_perplexity_q,
         "ccnet_buckets": ccnet_buckets_q,
+        "stratified_sample": stratified_sample_q,
         "gopher_quality": gopher_quality_q,
         "c4_filter": c4_filter_q,
         "link_pagerank": link_pagerank_q,
@@ -3778,6 +3806,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_paragraphs": _PARAGRAPH_DEDUP_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "ccnet_buckets": _CCNET_BUCKETS_SQL,
+        "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "gopher_quality": _GOPHER_SQL,
         "c4_filter": _C4_SQL,
         "link_pagerank": _pagerank_sql(),

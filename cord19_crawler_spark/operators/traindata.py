@@ -39,6 +39,8 @@ __all__ = [
     "pack_sequences",
     "dsir_importance_weights",
     "chunk_documents",
+    "ccnet_ppl_buckets",
+    "stratified_sample",
 ]
 
 # Same constants as functions/quality.py — one sampling hash engine-wide.
@@ -556,4 +558,59 @@ def ccnet_ppl_buckets(
     return ranked.select(
         "doc_id", "n_tokens", "log_prob", "ppl", "rank",
         F.element_at(lab, idx + 1).alias("bucket"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Exact-k deterministic sample per stratum: within each group keep
+    the ``k`` rows with the SMALLEST Knuth hash of the id. The multiplier
+    is odd, so ``id * KNUTH mod 2^32`` is a bijection on sub-2^32 ids —
+    the order is a uniform-looking but fully reproducible permutation,
+    making this the exact-quota counterpart of ``hash_sample_pred``
+    (Bernoulli) and ``temperature_mixture_sample`` (rate per source):
+    domain-balanced eval splits, per-source audit samples, "k docs per
+    language" training subsets all want exact quotas, not expected ones.
+
+    Scale: a hot stratum (one domain with 10^8 docs) would otherwise sort
+    entirely inside one window task. Phase 1 takes the per-(group, salt)
+    top-k — any group-global top-k row is top-k within its own salt cell,
+    so the union of cell winners is a superset — bounding every task sort
+    at ~|group|/salt_buckets rows; phase 2 ranks the <= k*salt_buckets
+    survivors per group. ``salt_buckets=1`` (or k >= group size) degrades
+    to the single-phase plan; results are bit-identical either way.
+
+    Returns (doc_id, <group_col>, sample_rank) with sample_rank in 1..k
+    by hash order. No counterpart in /root/reference; same id-domain
+    caveat as hash_sample_pred (pre-hash ids that may exceed 2^31).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+    from pyspark.sql import Window
+
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(group_col).alias("_grp"),
+    ).withColumn("_hk", (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_M32))
+    if salt_buckets > 1:
+        cell = Window.partitionBy(
+            "_grp", F.pmod(F.col("doc_id"), F.lit(salt_buckets))
+        ).orderBy("_hk", "doc_id")
+        d = (
+            d.withColumn("_rn", F.row_number().over(cell))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    w = Window.partitionBy("_grp").orderBy("_hk", "doc_id")
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+        .select("doc_id", F.col("_grp").alias(group_col), "sample_rank")
     )
