@@ -3592,9 +3592,10 @@ _CCNET_BUCKETS_SQL = (
 def stratified_sample_q(spark, sf_dir):
     """Exact-k deterministic per-stratum sample: the 7 docs per source
     with the smallest Knuth hash of doc_id (exact quotas — the
-    domain-balanced counterpart of the Bernoulli hash sample). Spark side
-    runs the salted two-phase top-k so a hot stratum never sorts in one
-    task; the oracle replays the hash order directly."""
+    domain-balanced counterpart of the Bernoulli hash sample). The
+    row_number window compiles to a partial WindowGroupLimit before the
+    exchange (map tasks forward <= k rows per group), so a hot stratum
+    never sorts in one task; the oracle replays the hash order."""
     from cord19_crawler_spark.operators.traindata import stratified_sample
 
     return stratified_sample(

@@ -566,7 +566,7 @@ def stratified_sample(
     k: int,
     group_col: str = "source",
     id_col: str = "doc_id",
-    salt_buckets: int = 16,
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """Exact-k deterministic sample per stratum: within each group keep
     the ``k`` rows with the SMALLEST Knuth hash of the id. The multiplier
@@ -577,13 +577,16 @@ def stratified_sample(
     domain-balanced eval splits, per-source audit samples, "k docs per
     language" training subsets all want exact quotas, not expected ones.
 
-    Scale: a hot stratum (one domain with 10^8 docs) would otherwise sort
-    entirely inside one window task. Phase 1 takes the per-(group, salt)
-    top-k — any group-global top-k row is top-k within its own salt cell,
-    so the union of cell winners is a superset — bounding every task sort
-    at ~|group|/salt_buckets rows; phase 2 ranks the <= k*salt_buckets
-    survivors per group. ``salt_buckets=1`` (or k >= group size) degrades
-    to the single-phase plan; results are bit-identical either way.
+    Scale: the default single-phase plan is already skew-safe on Spark
+    >= 3.5 — rank <= k over a row_number window compiles to a PARTIAL
+    ``WindowGroupLimit`` before the exchange (verified in this plan), so
+    each map task forwards at most k rows per group and the hot-stratum
+    final sort sees <= k * upstream_partitions rows, one exchange total.
+    ``salt_buckets > 1`` adds an explicit per-(group, salt) top-k phase —
+    any group-global top-k row is top-k within its own salt cell, so the
+    union of cell winners is a superset — for engines/orderings where the
+    group-limit pushdown does not apply; results are bit-identical
+    either way (pinned under a 500-row hot group).
 
     Returns (doc_id, <group_col>, sample_rank) with sample_rank in 1..k
     by hash order. No counterpart in /root/reference; same id-domain

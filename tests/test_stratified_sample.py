@@ -61,6 +61,23 @@ def test_salted_vs_single_phase_identical_under_skew(spark):
     assert keys == sorted(keys)
 
 
+def test_single_phase_plan_has_partial_group_limit(spark):
+    # the skew-safety claim: rank<=k over a row_number window compiles to
+    # a PARTIAL WindowGroupLimit before the one exchange, so map tasks
+    # forward at most k rows per group
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(100)], "doc_id long, src string"
+    )
+    plan = (
+        stratified_sample(df, 5, group_col="src", salt_buckets=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert plan.count("Exchange") == 1
+
+
 def test_rank_dtype_and_columns(spark):
     df = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, src string")
     out = stratified_sample(df, 1, group_col="src")
