@@ -3073,6 +3073,53 @@ deg AS (
     return "".join(parts)
 
 
+def anchor_text_topk_q(spark, sf_dir):
+    """Anchor-text aggregation per link target (Brin & Page 1998 §2.2):
+    top-3 anchor phrases per target by vote count with per-target inlink /
+    source-breadth / vocabulary rollups, over a deterministic synthetic
+    anchor edge list from orders (src = o_custkey % 200, dst =
+    o_orderkey % 97, anchor = o_orderpriority — parallel edges are votes,
+    NOT collapsed). Two linear aggregates + a WindowGroupLimit top-k; the
+    oracle replays votes, rollups and the (votes DESC, anchor ASC) total
+    order in DuckDB."""
+    from cord19_crawler_spark.operators.graph import anchor_text_index
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 200).alias("src"),
+        (F.col("o_orderkey") % 97).alias("dst"),
+        F.col("o_orderpriority").alias("anchor"),
+    )
+    return anchor_text_index(edges, k=3)
+
+
+_ANCHOR_TEXT_SQL = """
+WITH e AS (
+  SELECT o_custkey % 200 AS src, o_orderkey % 97 AS dst,
+         trim(o_orderpriority) AS anchor
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND trim(o_orderpriority) <> ''
+), votes AS (
+  SELECT dst, anchor, count(*) AS votes FROM e GROUP BY dst, anchor
+), per_dst AS (
+  SELECT dst, CAST(sum(votes) AS BIGINT) AS inlinks,
+         count(*) AS n_anchors
+  FROM votes GROUP BY dst
+), breadth AS (
+  SELECT dst, count(DISTINCT src) AS distinct_srcs FROM e GROUP BY dst
+), topk AS (
+  SELECT dst, anchor, votes,
+    row_number() OVER (PARTITION BY dst ORDER BY votes DESC, anchor ASC)
+      AS anchor_rank
+  FROM votes
+  QUALIFY anchor_rank <= 3
+)
+SELECT t.dst, CAST(t.anchor_rank AS BIGINT) AS anchor_rank, t.anchor,
+  t.votes, p.inlinks, b.distinct_srcs, p.n_anchors
+FROM topk t JOIN per_dst p USING (dst) JOIN breadth b USING (dst)
+"""
+
+
 def document_chunks_q(spark, sf_dir):
     """Fixed-token training-chunk windowing (HF return_overflowing_tokens
     semantics): 40-token chunks with 8-token overlap (stride 32); trailing
@@ -3711,6 +3758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": gopher_quality_q,
         "c4_filter": c4_filter_q,
         "link_pagerank": link_pagerank_q,
+        "anchor_text_topk": anchor_text_topk_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
@@ -3811,6 +3859,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _GOPHER_SQL,
         "c4_filter": _C4_SQL,
         "link_pagerank": _pagerank_sql(),
+        "anchor_text_topk": _ANCHOR_TEXT_SQL,
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,

@@ -193,3 +193,69 @@ def test_pagerank_validation(spark):
         pagerank(e, iterations=0)
     with pytest.raises(ValueError):
         pagerank(e, damping=1.5)
+
+
+def test_anchor_text_index_semantics(spark):
+    from cord19_crawler_spark.operators.graph import anchor_text_index
+
+    # target 10: 4 links from 3 sources, anchors: "covid" x2, "virus" x1,
+    # "" (dropped) x1; target 20: one link with a NULL anchor only -> absent
+    edges = spark.createDataFrame(
+        [
+            (1, 10, " covid "),
+            (2, 10, "covid"),
+            (3, 10, "virus"),
+            (1, 10, ""),
+            (4, 20, None),
+        ],
+        "src long, dst long, anchor string",
+    )
+    rows = {
+        (r["dst"], r["anchor_rank"]): r
+        for r in anchor_text_index(edges, k=2).collect()
+    }
+    assert set(rows) == {(10, 1), (10, 2)}
+    top = rows[(10, 1)]
+    assert top["anchor"] == "covid" and top["votes"] == 2
+    assert top["inlinks"] == 3  # empty-anchor link dropped
+    assert top["distinct_srcs"] == 3
+    assert top["n_anchors"] == 2
+    second = rows[(10, 2)]
+    assert second["anchor"] == "virus" and second["votes"] == 1
+
+
+def test_anchor_text_index_tie_break_and_k(spark):
+    from cord19_crawler_spark.operators.graph import anchor_text_index
+
+    # three anchors with equal votes: rank order must be anchor ASC
+    edges = spark.createDataFrame(
+        [(s, 1, a) for s, a in enumerate(["b", "c", "a"])],
+        "src long, dst long, anchor string",
+    )
+    got = [
+        (r["anchor_rank"], r["anchor"])
+        for r in anchor_text_index(edges, k=2)
+        .orderBy("anchor_rank")
+        .collect()
+    ]
+    assert got == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError):
+        anchor_text_index(edges, k=0)
+
+
+def test_anchor_text_topk_plan_is_group_limited(spark):
+    # the hot-hub safety claim: the per-dst top-k compiles to a partial
+    # WindowGroupLimit, so a 10^8-inlink hub forwards <= k rows per map task
+    from cord19_crawler_spark.operators.graph import anchor_text_index
+
+    edges = spark.createDataFrame(
+        [(i, i % 3, f"a{i % 7}") for i in range(100)],
+        "src long, dst long, anchor string",
+    )
+    plan = (
+        anchor_text_index(edges, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan
