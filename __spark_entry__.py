@@ -3120,6 +3120,83 @@ FROM topk t JOIN per_dst p USING (dst) JOIN breadth b USING (dst)
 """
 
 
+def recrawl_staleness_q(spark, sf_dir):
+    """Freshness-driven re-crawl priority (Cho & Garcia-Molina, ACM TOIT
+    2003): per-URL Poisson change-rate estimates from a synthetic fetch
+    history over events (url keyed by event_id % 120, changed = value >
+    50), then staleness = 1 - exp(-lambda * age) at now = max(ts) + 7
+    days. One linear aggregate per URL (min_by pulls the first-fetch flag
+    — no per-URL window); the oracle replays the bias-corrected estimator
+    -ln((n-X+.5)/(n+.5))/mean_interval and the staleness curve exactly."""
+    from cord19_crawler_spark.frontier.recrawl import change_rate_estimates
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        F.concat(
+            F.lit("https://h"),
+            ((F.col("event_id") % 120) % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            (F.col("event_id") % 120).cast("string"),
+        ).alias("url"),
+        F.col("ts").alias("fetch_ts"),
+        (F.col("value") > 50.0).alias("changed"),
+    )
+    est = change_rate_estimates(hist)
+    now = (
+        est.agg(F.max("last_fetch_ts").alias("m")).collect()[0]["m"]
+        + 7 * 86400.0
+    )
+    age = F.greatest(F.lit(now) - F.col("last_fetch_ts"), F.lit(0.0))
+    return est.select(
+        "url",
+        "n_fetches",
+        "n_changes",
+        F.round(F.col("lambda_hat") * 86400.0, 6).alias("lambda_per_day"),
+        F.round(
+            F.lit(1.0) - F.exp(-F.col("lambda_hat") * age), 6
+        ).alias("staleness"),
+    )
+
+
+_RECRAWL_SQL = """
+WITH h AS (
+  SELECT 'https://h' || CAST((event_id % 120) % 7 AS VARCHAR)
+           || '.example.com/p/' || CAST(event_id % 120 AS VARCHAR) AS url,
+         epoch(ts) AS ts, (value > 50.0) AS changed
+  FROM events
+), agg AS (
+  SELECT url, count(*) AS n_fetches,
+    CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS raw_changes,
+    min(ts) AS first_ts, max(ts) AS last_ts
+  FROM h GROUP BY url
+), firsts AS (
+  SELECT url, changed AS first_changed
+  FROM (
+    SELECT url, changed,
+      row_number() OVER (PARTITION BY url ORDER BY ts, changed) AS rn
+    FROM h
+  ) WHERE rn = 1
+), est AS (
+  SELECT a.url, a.n_fetches,
+    a.raw_changes - CASE WHEN f.first_changed THEN 1 ELSE 0 END AS n_changes,
+    a.last_ts - a.first_ts AS span_seconds, a.last_ts,
+    a.n_fetches - 1 AS n
+  FROM agg a JOIN firsts f USING (url)
+), lam AS (
+  SELECT url, n_fetches, n_changes, last_ts,
+    CASE WHEN n > 0 AND span_seconds > 0
+      THEN -ln((n - n_changes + 0.5) / (n + 0.5)) / (span_seconds / n)
+      ELSE 1e-6 END AS lambda_hat
+  FROM est
+), now_t AS (SELECT max(ts) + 7 * 86400.0 AS now FROM h)
+SELECT url, n_fetches, n_changes,
+  round(lambda_hat * 86400.0, 6) AS lambda_per_day,
+  round(1.0 - exp(-lambda_hat * greatest(now_t.now - last_ts, 0.0)), 6)
+    AS staleness
+FROM lam, now_t
+"""
+
+
 def document_chunks_q(spark, sf_dir):
     """Fixed-token training-chunk windowing (HF return_overflowing_tokens
     semantics): 40-token chunks with 8-token overlap (stride 32); trailing
@@ -3759,6 +3836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": c4_filter_q,
         "link_pagerank": link_pagerank_q,
         "anchor_text_topk": anchor_text_topk_q,
+        "recrawl_staleness": recrawl_staleness_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
@@ -3860,6 +3938,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_filter": _C4_SQL,
         "link_pagerank": _pagerank_sql(),
         "anchor_text_topk": _ANCHOR_TEXT_SQL,
+        "recrawl_staleness": _RECRAWL_SQL,
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,
