@@ -3197,6 +3197,53 @@ FROM lam, now_t
 """
 
 
+def bpe_pair_counts_q(spark, sf_dir):
+    """BPE tokenizer training, iteration-0 statistics (Sennrich et al.
+    2016): corpus → word-frequency table (the ONE pass over raw text) →
+    adjacent character-pair counts weighted by word frequency, with the
+    paper's </w> end-of-word sentinel; top-300 pairs by (count DESC,
+    left ASC, right ASC — a total order). The oracle replays
+    pre-tokenize, char split, sentinel append and the weighted pair
+    aggregate in DuckDB."""
+    from cord19_crawler_spark.operators.bpe import (
+        _initial_symbols,
+        pair_counts,
+        word_frequencies,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sym = word_frequencies(d).select(
+        "word", _initial_symbols(F.col("word")).alias("symbols"), "freq"
+    )
+    return (
+        pair_counts(sym)
+        .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+        .limit(300)
+    )
+
+
+_BPE_PAIRS_SQL = """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+), wf AS (
+  SELECT word, count(*) AS freq FROM w GROUP BY word
+), sym AS (
+  SELECT freq, list_append(regexp_extract_all(word, '.'), '</w>') AS s
+  FROM wf
+), idx AS (
+  SELECT freq, s, unnest(generate_series(1, len(s) - 1)) AS i FROM sym
+), pairs AS (
+  SELECT freq, s[CAST(i AS INT)] AS lft, s[CAST(i AS INT) + 1] AS rgt
+  FROM idx
+)
+SELECT lft AS "left", rgt AS "right",
+  CAST(sum(freq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY 1, 2
+ORDER BY pair_count DESC, "left" ASC, "right" ASC LIMIT 300
+"""
+
+
 def document_chunks_q(spark, sf_dir):
     """Fixed-token training-chunk windowing (HF return_overflowing_tokens
     semantics): 40-token chunks with 8-token overlap (stride 32); trailing
@@ -3837,6 +3884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": link_pagerank_q,
         "anchor_text_topk": anchor_text_topk_q,
         "recrawl_staleness": recrawl_staleness_q,
+        "bpe_pair_counts": bpe_pair_counts_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
@@ -3939,6 +3987,7 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": _pagerank_sql(),
         "anchor_text_topk": _ANCHOR_TEXT_SQL,
         "recrawl_staleness": _RECRAWL_SQL,
+        "bpe_pair_counts": _BPE_PAIRS_SQL,
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,

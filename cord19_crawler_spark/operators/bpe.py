@@ -1,0 +1,146 @@
+"""Byte-pair-encoding tokenizer training — the word-count formulation.
+
+Training a BPE vocabulary (Sennrich et al., "Neural Machine Translation
+of Rare Words with Subword Units", ACL 2016) is the canonical tokenizer
+step of an LLM data pipeline.  The key scale property is the paper's own:
+merges are learned from the WORD FREQUENCY table, not the corpus — a
+100-TB corpus collapses to ~10^7 distinct words in ONE linear hash
+aggregate, and every subsequent iteration runs on that small table.
+
+* ``word_frequencies`` — the corpus-wide reduce (the only pass over the
+  raw text; map-side partial counts, one shuffle on the word key).
+* ``pair_counts`` — adjacent-symbol pair statistics weighted by word
+  frequency: a scan-side ``transform``/``posexplode`` over the symbol
+  arrays plus one linear aggregate on the pair key.  This is the i-th
+  iteration's "count all pairs" step and is independently useful as a
+  bigram-statistics operator.
+* ``merge_pair_expr`` — applies one merge rule to a symbol array as a
+  single Catalyst ``aggregate`` fold (greedy left-to-right, exactly the
+  reference algorithm's semantics) — JVM-side, no UDF.
+* ``train_bpe`` — the iteration: argmax pair (count DESC, pair ASC — a
+  total order, so training is deterministic) → rewrite symbol arrays →
+  repeat.  The per-round driver traffic is ONE (left, right, count) row;
+  the symbol table stays partitioned, with per-round lineage truncated
+  via localCheckpoint (the iterative-operator pattern from
+  operators/graph.py).
+
+End-of-word is marked with the paper's ``</w>`` sentinel so merges never
+cross word boundaries and word-final units stay distinct from prefixes.
+No counterpart in /root/reference (its tokenizer is spaCy, pre-trained);
+the algorithm is from the published paper above.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+__all__ = ["word_frequencies", "pair_counts", "merge_pair_expr", "train_bpe"]
+
+END = "</w>"
+_WORD_RE = "[a-z0-9]+"
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text", pattern: str = _WORD_RE
+) -> DataFrame:
+    """Corpus → (word, freq): lowercase, regex pre-tokenize, one linear
+    count aggregate. The single pass over raw text in BPE training."""
+    words = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
+        ).alias("word")
+    )
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def _initial_symbols(word: Column) -> Column:
+    return F.concat(F.split(word, ""), F.array(F.lit(END)))
+
+
+def pair_counts(symbol_table: DataFrame) -> DataFrame:
+    """(word, symbols, freq) → (left, right, pair_count): every adjacent
+    symbol pair weighted by the word's corpus frequency.  transform over
+    the array on the scan side, one hash aggregate on the pair."""
+    pairs = symbol_table.filter(F.size("symbols") >= 2).select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("symbols") - 1),
+                lambda i: F.struct(
+                    F.element_at("symbols", i).alias("left"),
+                    F.element_at("symbols", i + 1).alias("right"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.left").alias("left"), F.col("p.right").alias("right")
+        )
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def merge_pair_expr(symbols: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right application of one merge (left, right) to a
+    symbol array, as a pure Catalyst fold: walking the array, whenever the
+    accumulated tail equals ``left`` and the next symbol is ``right``,
+    replace the tail with their concatenation ("aaa" under (a,a) →
+    ["aa","a"], the reference semantics). JVM-side; no UDF."""
+    ll, rl = F.lit(left), F.lit(right)
+    return F.aggregate(
+        symbols,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(F.size(acc) == 0, F.array(x)).otherwise(
+            F.when(
+                (F.element_at(acc, -1) == ll) & (x == rl),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), x)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+        ),
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    pattern: str = _WORD_RE,
+    min_pair_count: int = 1,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merge rules from the corpus.
+
+    Returns (merges, symbol_table): ``merges`` is the ordered rule list
+    [(left, right, pair_count), ...] — the tokenizer artifact — and
+    ``symbol_table`` is the final (word, symbols, freq) frame (useful for
+    vocabulary extraction: explode + distinct).  Stops early when no pair
+    reaches ``min_pair_count``.  Argmax tie-break is (count DESC, left
+    ASC, right ASC), so training is reproducible across partitionings.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    sym = (
+        word_frequencies(docs, text_col=text_col, pattern=pattern)
+        .select("word", _initial_symbols(F.col("word")).alias("symbols"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            pair_counts(sym)
+            .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pair_count"] < min_pair_count:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], top[0]["pair_count"]
+        merges.append((left, right, cnt))
+        sym = sym.select(
+            "word",
+            merge_pair_expr(F.col("symbols"), left, right).alias("symbols"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return merges, sym
