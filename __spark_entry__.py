@@ -3244,6 +3244,63 @@ ORDER BY pair_count DESC, "left" ASC, "right" ASC LIMIT 300
 """
 
 
+def training_order_shards_q(spark, sf_dir):
+    """Deterministic global training-order shuffle (epoch seed 3, 8
+    shards): shard + within-shard position from the seeded Knuth-hash
+    permutation — reproducible across engines, so the oracle replays the
+    full (doc_id, shard, pos) assignment, not just counts."""
+    from cord19_crawler_spark.operators.traindata import shuffle_shards
+
+    d = _t(spark, sf_dir, "documents")
+    return shuffle_shards(d, n_shards=8, seed=3)
+
+
+_SHUFFLE_SHARDS_SQL = """
+WITH d AS (
+  SELECT doc_id, ((doc_id + 3) * 2654435761) % 4294967296 AS hk
+  FROM documents
+)
+SELECT doc_id, CAST(hk % 8 AS BIGINT) AS shard,
+  CAST(row_number() OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id) - 1
+    AS BIGINT) AS pos
+FROM d
+"""
+
+
+def vocab_oov_rate_q(spark, sf_dir):
+    """Tokenizer-coverage diagnostic: per-document OOV rate against the
+    corpus's own top-50 word vocabulary (freq DESC, word ASC — a total
+    order, so the cutoff is deterministic). Vocabulary is broadcast; the
+    corpus is scanned once and reduced by one doc_id rollup."""
+    from cord19_crawler_spark.operators.bpe import (
+        vocab_coverage,
+        word_frequencies,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    wf = word_frequencies(d)
+    vocab = wf.orderBy(F.desc("freq"), F.asc("word")).limit(50).select("word")
+    return vocab_coverage(d, vocab)
+
+
+_VOCAB_OOV_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+), wf AS (
+  SELECT word, count(*) AS freq FROM w GROUP BY word
+), vocab AS (
+  SELECT word FROM wf ORDER BY freq DESC, word ASC LIMIT 50
+)
+SELECT w.doc_id, count(*) AS n_tokens,
+  CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+    / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM w LEFT JOIN vocab v ON w.word = v.word
+GROUP BY w.doc_id
+"""
+
+
 def document_chunks_q(spark, sf_dir):
     """Fixed-token training-chunk windowing (HF return_overflowing_tokens
     semantics): 40-token chunks with 8-token overlap (stride 32); trailing
@@ -3885,6 +3942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_topk": anchor_text_topk_q,
         "recrawl_staleness": recrawl_staleness_q,
         "bpe_pair_counts": bpe_pair_counts_q,
+        "training_order_shards": training_order_shards_q,
+        "vocab_oov_rate": vocab_oov_rate_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
@@ -3988,6 +4047,8 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_topk": _ANCHOR_TEXT_SQL,
         "recrawl_staleness": _RECRAWL_SQL,
         "bpe_pair_counts": _BPE_PAIRS_SQL,
+        "training_order_shards": _SHUFFLE_SHARDS_SQL,
+        "vocab_oov_rate": _VOCAB_OOV_SQL,
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,

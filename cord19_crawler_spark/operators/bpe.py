@@ -34,7 +34,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-__all__ = ["word_frequencies", "pair_counts", "merge_pair_expr", "train_bpe"]
+__all__ = [
+    "word_frequencies",
+    "pair_counts",
+    "merge_pair_expr",
+    "train_bpe",
+    "vocab_coverage",
+]
 
 END = "</w>"
 _WORD_RE = "[a-z0-9]+"
@@ -144,3 +150,51 @@ def train_bpe(
             "freq",
         ).localCheckpoint(eager=True)
     return merges, sym
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = _WORD_RE,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a word vocabulary — the
+    standard tokenizer-coverage diagnostic (what fraction of a corpus a
+    candidate vocab fails to cover decides vocab size / byte-fallback
+    needs before a training run).
+
+    ``vocab`` is a one-column frame of covered words (e.g. the top-V rows
+    of ``word_frequencies``, or the units learned by ``train_bpe``).
+    Returns (doc_id, n_tokens, n_oov, oov_rate) for docs with at least
+    one token; oov_rate counts token OCCURRENCES, not types, so a doc
+    repeating one rare word is scored as the loader would see it.
+
+    Plan shape (100 TB): vocabularies are 10^4-10^6 rows — broadcast; the
+    corpus is scanned once (explode + broadcast left join marks misses)
+    and reduced by ONE uniform doc_id aggregate. No corpus shuffle beyond
+    that rollup, no pair joins.
+    """
+    v = F.broadcast(
+        vocab.select(F.col(vocab.columns[0]).alias("word"))
+        .distinct()
+        .withColumn("_in", F.lit(True))
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
+        ).alias("word"),
+    )
+    return (
+        toks.join(v, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in"), 0).otherwise(1)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 6),
+        )
+    )

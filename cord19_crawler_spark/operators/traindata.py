@@ -41,6 +41,7 @@ __all__ = [
     "chunk_documents",
     "ccnet_ppl_buckets",
     "stratified_sample",
+    "shuffle_shards",
 ]
 
 # Same constants as functions/quality.py — one sampling hash engine-wide.
@@ -616,4 +617,47 @@ def stratified_sample(
         d.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= k)
         .select("doc_id", F.col("_grp").alias(group_col), "sample_rank")
+    )
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle with shard assignment.
+
+    Training runs read the corpus in a "shuffled" order that must be (a)
+    uniform-looking, (b) reproducible bit-for-bit across runs/engines for
+    resumable data loaders, and (c) re-rollable by seed across epochs.
+    RNG-based ``orderBy(rand())`` fails (b); this uses the engine-wide
+    Knuth multiplicative hash as a seeded PERMUTATION: h = ((id + seed) *
+    2654435761) mod 2^32 is a bijection on sub-2^32 ids (odd multiplier),
+    so every epoch seed yields a distinct total order with no collisions
+    beyond id-space wrap. Shard = h mod n_shards (uniform by the hash),
+    position = rank of h within the shard.
+
+    Returns (doc_id, shard, pos) with pos in 0..shard_size-1.
+
+    Scale shape (10^10 docs): ONE exchange on the shard key; the per-shard
+    rank is the within-partition sort every sharded writer pays anyway
+    (shards are hash-uniform, so no skew — this is `repartition +
+    sortWithinPartitions` expressed as an oracle-checkable frame). Epoch
+    re-shuffles change only `seed` — no new design, no extra state.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id")).withColumn(
+        "_hk", ((F.col("doc_id") + F.lit(int(seed))) * F.lit(_KNUTH)) % F.lit(_M32)
+    )
+    w = Window.partitionBy(F.col("_hk") % F.lit(n_shards)).orderBy(
+        "_hk", "doc_id"
+    )
+    return d.select(
+        "doc_id",
+        (F.col("_hk") % F.lit(n_shards)).cast("long").alias("shard"),
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias("pos"),
     )

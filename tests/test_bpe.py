@@ -109,3 +109,34 @@ def test_pair_counts_plan_single_aggregate_exchange(spark):
     )
     plan = pair_counts(sym)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_vocab_coverage_occurrence_counting(spark):
+    from cord19_crawler_spark.operators.bpe import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "zebra zebra zebra cat")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("cat",), ("dog",)], "word string")
+    got = {r["doc_id"]: r for r in vocab_coverage(docs, vocab).collect()}
+    assert got[1]["n_tokens"] == 3 and got[1]["n_oov"] == 0
+    assert got[2]["n_tokens"] == 4 and got[2]["n_oov"] == 3
+    assert got[2]["oov_rate"] == 0.75
+
+
+def test_vocab_coverage_plan_broadcasts_vocab(spark):
+    from cord19_crawler_spark.operators.bpe import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(50)], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame([("alpha",)], "word string")
+    plan = (
+        vocab_coverage(docs, vocab)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -321,3 +321,48 @@ def test_chunk_documents_validation(spark):
         chunk_documents(docs, max_tokens=4, overlap=4)
     with pytest.raises(ValueError):
         chunk_documents(docs, max_tokens=4, overlap=-1)
+
+
+def test_shuffle_shards_is_seeded_permutation(spark):
+    from cord19_crawler_spark.operators.traindata import (
+        _KNUTH,
+        _M32,
+        shuffle_shards,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = shuffle_shards(docs, n_shards=4, seed=7).collect()
+    assert len(out) == 200
+    # exact replay of shard + position
+    hk = {i: ((i + 7) * _KNUTH) % _M32 for i in range(200)}
+    by_shard: dict[int, list[int]] = {}
+    for i in range(200):
+        by_shard.setdefault(hk[i] % 4, []).append(i)
+    for s, ids in by_shard.items():
+        ids.sort(key=lambda i: (hk[i], i))
+    exp = {
+        (i, s, p)
+        for s, ids in by_shard.items()
+        for p, i in enumerate(ids)
+    }
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in out} == exp
+    # positions dense per shard
+    for s, ids in by_shard.items():
+        ps = sorted(r["pos"] for r in out if r["shard"] == s)
+        assert ps == list(range(len(ids)))
+
+
+def test_shuffle_shards_seed_changes_order_not_membership(spark):
+    from cord19_crawler_spark.operators.traindata import shuffle_shards
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    a = shuffle_shards(docs, n_shards=4, seed=0).collect()
+    b = shuffle_shards(docs, n_shards=4, seed=1).collect()
+    assert {r["doc_id"] for r in a} == {r["doc_id"] for r in b}
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in a} != {
+        (r["doc_id"], r["shard"], r["pos"]) for r in b
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        shuffle_shards(docs, n_shards=0)
