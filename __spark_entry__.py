@@ -3301,6 +3301,78 @@ GROUP BY w.doc_id
 """
 
 
+def trap_url_shapes_q(spark, sf_dir):
+    """Crawler-trap detection from URL shape (Mercator-style depth/loop/
+    query signals, Heydon & Najork WWW 1999): per-host rollups over a
+    deterministic synthetic URL set from orders — path depth driven by
+    o_orderkey % 6 ('seg/' repeats, so >= 3 repeats trips the loop
+    heuristic), query strings on every third URL. One scan projection +
+    one host aggregate; the oracle replays parsing, the loop rule and the
+    is_suspect thresholds in DuckDB."""
+    from cord19_crawler_spark.frontier.traps import url_shape_signals
+
+    o = _t(spark, sf_dir, "orders")
+    urls = o.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("o_custkey") % 12).cast("string"),
+            F.lit(".example.com/"),
+            F.expr("repeat('seg/', CAST(o_orderkey % 6 AS INT))"),
+            F.lit("p"),
+            (F.col("o_orderkey") % 1000).cast("string"),
+            F.when(
+                F.col("o_orderkey") % 3 == 0,
+                F.concat(
+                    F.lit("?id="), (F.col("o_orderkey") % 50).cast("string")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("url")
+    )
+    return url_shape_signals(urls, min_urls=5)
+
+
+_TRAP_SHAPES_SQL = """
+WITH u AS (
+  SELECT 'https://h' || CAST(o_custkey % 12 AS VARCHAR) || '.example.com/'
+      || repeat('seg/', CAST(o_orderkey % 6 AS INT))
+      || 'p' || CAST(o_orderkey % 1000 AS VARCHAR)
+      || CASE WHEN o_orderkey % 3 = 0
+           THEN '?id=' || CAST(o_orderkey % 50 AS VARCHAR) ELSE '' END AS url
+  FROM orders
+), shaped AS (
+  SELECT
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+      AS path,
+    len(list_filter(string_split(
+      regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+      '/'), x -> x <> '')) AS depth,
+    CASE WHEN contains(url, '?') THEN 1 ELSE 0 END AS q,
+    CASE WHEN len(list_filter(string_split(
+           regexp_extract(url,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+           '/'), x -> x <> ''))
+         - len(list_distinct(list_filter(string_split(
+           regexp_extract(url,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+           '/'), x -> x <> ''))) >= 2 THEN 1 ELSE 0 END AS loop
+  FROM u
+  WHERE regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) <> ''
+), agg AS (
+  SELECT host, count(*) AS n_urls, count(DISTINCT path) AS n_paths,
+    round(avg(depth), 6) AS avg_depth, max(depth) AS max_depth,
+    round(avg(q), 6) AS frac_query,
+    CAST(sum(loop) AS BIGINT) AS n_loop_urls
+  FROM shaped GROUP BY host
+)
+SELECT *,
+  (n_urls >= 5 AND (avg_depth > 6.0
+    OR n_loop_urls > CAST(n_urls AS DOUBLE) * 0.1
+    OR frac_query > 0.8)) AS is_suspect
+FROM agg
+"""
+
+
 def document_chunks_q(spark, sf_dir):
     """Fixed-token training-chunk windowing (HF return_overflowing_tokens
     semantics): 40-token chunks with 8-token overlap (stride 32); trailing
@@ -3944,6 +4016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": bpe_pair_counts_q,
         "training_order_shards": training_order_shards_q,
         "vocab_oov_rate": vocab_oov_rate_q,
+        "trap_url_shapes": trap_url_shapes_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
@@ -4049,6 +4122,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": _BPE_PAIRS_SQL,
         "training_order_shards": _SHUFFLE_SHARDS_SQL,
         "vocab_oov_rate": _VOCAB_OOV_SQL,
+        "trap_url_shapes": _TRAP_SHAPES_SQL,
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,
