@@ -3373,6 +3373,89 @@ FROM agg
 """
 
 
+def crawl_diff_summary_q(spark, sf_dir):
+    """Incremental-crawl snapshot diff: two synthetic crawl snapshots from
+    orders (old = o_orderkey % 4 != 0, new = % 4 != 1; digest = md5 of
+    priority#orderkey, mutated on % 5 == 0, NULL on % 11 == 0 in both — exercising
+    the null-safe 'unchanged' — and NULLed only in new on % 13 == 0 —
+    a changed-to-null edge), classified added/removed/changed/unchanged
+    by ONE full-outer join and rolled up per host. The oracle replays the
+    join and every classification rule in DuckDB."""
+    from cord19_crawler_spark.frontier.diff import (
+        crawl_diff,
+        crawl_diff_summary,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("o_custkey") % 15).cast("string"),
+        F.lit(".com/o/"),
+        F.col("o_orderkey").cast("string"),
+    )
+    k = F.col("o_orderkey")
+    _cm = F.concat(
+        F.col("o_orderpriority"), F.lit("#"), k.cast("string")
+    )
+    old = o.filter(k % 4 != 0).select(
+        url.alias("url"),
+        F.when(k % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.md5(_cm))
+        .alias("digest"),
+    )
+    new = o.filter(k % 4 != 1).select(
+        url.alias("url"),
+        F.when(k % 13 == 0, F.lit(None).cast("string"))
+        .when(k % 11 == 0, F.lit(None).cast("string"))
+        .when(k % 5 == 0, F.md5(F.concat(_cm, F.lit("v2"))))
+        .otherwise(F.md5(_cm))
+        .alias("digest"),
+    )
+    return crawl_diff_summary(crawl_diff(old, new))
+
+
+_CRAWL_DIFF_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+    'https://h' || CAST(o_custkey % 15 AS VARCHAR) || '.com/o/'
+      || CAST(o_orderkey AS VARCHAR) AS url,
+    o_orderpriority || '#' || CAST(o_orderkey AS VARCHAR) AS cm
+  FROM orders
+), old AS (
+  SELECT url,
+    CASE WHEN k % 11 = 0 THEN NULL ELSE md5(cm) END AS old_digest
+  FROM base WHERE k % 4 <> 0
+), new AS (
+  SELECT url,
+    CASE WHEN k % 13 = 0 THEN NULL
+         WHEN k % 11 = 0 THEN NULL
+         WHEN k % 5 = 0 THEN md5(cm || 'v2')
+         ELSE md5(cm) END AS new_digest
+  FROM base WHERE k % 4 <> 1
+), j AS (
+  SELECT coalesce(o.url, n.url) AS url,
+    CASE WHEN o.url IS NULL THEN 'added'
+         WHEN n.url IS NULL THEN 'removed'
+         WHEN o.old_digest IS NOT DISTINCT FROM n.new_digest
+           THEN 'unchanged'
+         ELSE 'changed' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.url = n.url
+)
+SELECT regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)
+    AS host,
+  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+    AS added,
+  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+    AS removed,
+  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+    AS changed,
+  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+    AS unchanged,
+  count(*) AS n_urls
+FROM j GROUP BY 1
+"""
+
+
 def document_chunks_q(spark, sf_dir):
     """Fixed-token training-chunk windowing (HF return_overflowing_tokens
     semantics): 40-token chunks with 8-token overlap (stride 32); trailing
@@ -4017,6 +4100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order_shards": training_order_shards_q,
         "vocab_oov_rate": vocab_oov_rate_q,
         "trap_url_shapes": trap_url_shapes_q,
+        "crawl_diff_summary": crawl_diff_summary_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
@@ -4123,6 +4207,7 @@ def oracle_sql() -> dict[str, str]:
         "training_order_shards": _SHUFFLE_SHARDS_SQL,
         "vocab_oov_rate": _VOCAB_OOV_SQL,
         "trap_url_shapes": _TRAP_SHAPES_SQL,
+        "crawl_diff_summary": _CRAWL_DIFF_SQL,
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,
