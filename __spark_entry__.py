@@ -1960,6 +1960,47 @@ WHERE round(list_dot_product(l.v, r.v) /
 """
 
 
+def semdedup_keep_q(spark, sf_dir):
+    """SemDedup (Abbas et al. 2023): cluster-restricted semantic dedup
+    with the deterministic lower-id survivor rule, sign-bucket backend
+    (bucket_dims=4, threshold 0.35 for the random synthetic embeddings —
+    production uses learned k-means cells + >=0.95 on the identical
+    plan). The oracle replays bucketing, the per-cluster pair join, and
+    the exists-lower-id-similar drop rule."""
+    from cord19_crawler_spark.operators.dedup import semantic_dedup
+
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 400)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    return semantic_dedup(e, threshold=0.35, clusters="sign", bucket_dims=4)
+
+
+_SEMDEDUP_SQL = """
+WITH b AS (
+  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) +
+         (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+         (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) +
+         (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings WHERE vec_id < 400
+), dropped AS (
+  SELECT DISTINCT r.vid
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vid < r.vid
+  WHERE round(list_dot_product(l.v, r.v) /
+        (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))),
+        6) >= 0.35
+)
+SELECT b.vid AS vec_id, CAST(b.bucket AS BIGINT) AS cluster,
+  (d.vid IS NULL) AS kept
+FROM b LEFT JOIN dropped d ON b.vid = d.vid
+"""
+
+
 def text_token_stats(spark, sf_dir):
     """Language/token analytics: per lang, doc count + avg whitespace-token
     count + avg chars (training-data quality rollup)."""
@@ -4101,6 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_oov_rate": vocab_oov_rate_q,
         "trap_url_shapes": trap_url_shapes_q,
         "crawl_diff_summary": crawl_diff_summary_q,
+        "semdedup_keep": semdedup_keep_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
@@ -4208,6 +4250,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_oov_rate": _VOCAB_OOV_SQL,
         "trap_url_shapes": _TRAP_SHAPES_SQL,
         "crawl_diff_summary": _CRAWL_DIFF_SQL,
+        "semdedup_keep": _SEMDEDUP_SQL,
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,

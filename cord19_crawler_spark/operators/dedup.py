@@ -857,3 +857,95 @@ def remove_duplicate_paragraphs(
         F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    clusters: str = "sign",
+    bucket_dims: int = 6,
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_cluster_df: int | None = None,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and removing near-identical
+    points WITHIN each cluster — the insight being that a k-means-style
+    partition makes the pairwise-similarity stage tractable because true
+    semantic duplicates land in the same cell.
+
+    Survivor rule (pinned deterministic variant of the paper's
+    keep-one-per-group): a point is DROPPED iff some LOWER-id point in
+    its cluster has cosine >= ``threshold`` to it. Lowest id of every
+    duplicate neighborhood always survives, the rule needs no transitive
+    closure (one semi-join instead of an iterative CC), and the whole
+    result is replayable in SQL. For chain-shaped duplicate sets this
+    keeps slightly fewer points than closure-based grouping (a dropped
+    middle link can still drop its right neighbor) — the conservative
+    direction for training-data dedup.
+
+    Cluster backends: ``"sign"`` = deterministic coordinate-hyperplane
+    buckets on the first ``bucket_dims`` dims (oracle-checkable, the
+    operator's small/verification mode); ``"kmeans"`` = pyspark.ml KMeans
+    with ``n_clusters``/``seed`` (the paper's actual setting — learned
+    cells balance occupancy far better on real embedding manifolds where
+    sign buckets skew). Both run the SAME downstream plan.
+
+    Returns (vec_id, cluster, kept).
+
+    Scale shape (10^10 vectors): the pair join is per-cluster (never
+    all-pairs); ``max_cluster_df`` caps degenerate cells via
+    _cap_hot_buckets (same bounded-recall semantics as the banded text
+    paths); the survivor rule is one aggregate-free semi-join. With the
+    assigned table written partitioned by cluster (ivf_write), each
+    cluster dedups from its own partition directory — embarrassingly
+    parallel across cells.
+    """
+    from .similarity import _dot, _norm, sign_bucket_expr
+
+    if clusters == "sign":
+        assigned = emb.select(
+            F.col(id_col).cast("long").alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            sign_bucket_expr(vec_col, bucket_dims).cast("long").alias("cluster"),
+        )
+    elif clusters == "kmeans":
+        from .similarity import ivf_index
+
+        _, a = ivf_index(
+            emb, n_centroids=n_clusters, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+        assigned = a.select(
+            F.col(id_col).cast("long").alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.col("cluster").cast("long").alias("cluster"),
+        )
+    else:
+        raise ValueError(f"unknown clusters backend: {clusters!r}")
+    capped = _cap_hot_buckets(
+        assigned, ["cluster"], "vid", max_cluster_df, rank_narrow=True
+    )
+    l, r = capped.alias("l"), capped.alias("r")
+    cosine = F.round(
+        _dot(F.col("l.v"), F.col("r.v"))
+        / (_norm(F.col("l.v")) * _norm(F.col("r.v"))),
+        6,
+    )
+    dropped = (
+        l.join(r, "cluster")
+        .filter(F.col("l.vid") < F.col("r.vid"))
+        .filter(cosine >= F.lit(float(threshold)))
+        .select(F.col("r.vid").alias("vid"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cluster",
+            F.col("_dropped").isNull().alias("kept"),
+        )
+    )
