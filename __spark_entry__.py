@@ -2001,6 +2001,37 @@ FROM b LEFT JOIN dropped d ON b.vid = d.vid
 """
 
 
+def length_quantiles_q(spark, sf_dir):
+    """EXACT per-language doc-length quantiles (quantile_cont linear
+    interpolation) via positional order statistics on the two-phase
+    range-partitioned global rank — no single-reducer window, no
+    percentile() per-group value buffering. The oracle is DuckDB's native
+    quantile_cont, so the interpolation arithmetic itself is
+    cross-checked."""
+    from cord19_crawler_spark.operators.traindata import exact_quantiles
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_quantiles(
+        d, "n_chars", [0.25, 0.5, 0.9, 0.99], group_col="lang"
+    )
+
+
+_LENGTH_QUANTILES_SQL = """
+WITH q AS (
+  SELECT lang,
+    quantile_cont(CAST(n_chars AS DOUBLE), [0.25, 0.5, 0.9, 0.99]) AS qs
+  FROM documents GROUP BY lang
+)
+SELECT lang, CAST(0.25 AS DOUBLE) AS p, round(qs[1], 6) AS quantile FROM q
+UNION ALL
+SELECT lang, CAST(0.5 AS DOUBLE), round(qs[2], 6) FROM q
+UNION ALL
+SELECT lang, CAST(0.9 AS DOUBLE), round(qs[3], 6) FROM q
+UNION ALL
+SELECT lang, CAST(0.99 AS DOUBLE), round(qs[4], 6) FROM q
+"""
+
+
 def text_token_stats(spark, sf_dir):
     """Language/token analytics: per lang, doc count + avg whitespace-token
     count + avg chars (training-data quality rollup)."""
@@ -4143,6 +4174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_url_shapes": trap_url_shapes_q,
         "crawl_diff_summary": crawl_diff_summary_q,
         "semdedup_keep": semdedup_keep_q,
+        "length_quantiles": length_quantiles_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
@@ -4251,6 +4283,7 @@ def oracle_sql() -> dict[str, str]:
         "trap_url_shapes": _TRAP_SHAPES_SQL,
         "crawl_diff_summary": _CRAWL_DIFF_SQL,
         "semdedup_keep": _SEMDEDUP_SQL,
+        "length_quantiles": _LENGTH_QUANTILES_SQL,
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,

@@ -42,6 +42,7 @@ __all__ = [
     "ccnet_ppl_buckets",
     "stratified_sample",
     "shuffle_shards",
+    "exact_quantiles",
 ]
 
 # Same constants as functions/quality.py — one sampling hash engine-wide.
@@ -661,3 +662,96 @@ def shuffle_shards(
         (F.col("_hk") % F.lit(n_shards)).cast("long").alias("shard"),
         (F.row_number().over(w) - F.lit(1)).cast("long").alias("pos"),
     )
+
+
+def exact_quantiles(
+    docs: DataFrame,
+    value_col: str,
+    probs: list[float],
+    group_col: str | None = None,
+) -> DataFrame:
+    """EXACT per-group quantiles with linear interpolation (the
+    quantile_cont / numpy-linear definition: position 1 + p*(n-1),
+    interpolate between the bracketing order statistics) — corpus length
+    and score distributions are the first thing a data pipeline reports,
+    and approx_percentile's error bars make small-percentile regression
+    tracking noisy.
+
+    Built-in ``percentile()`` is exact but buffers EVERY group value in
+    the aggregation buffer — fatal for 10^10-row groups (languages,
+    sources are few groups × huge groups). This instead computes order
+    statistics positionally: rows are ranked by (group, value) through
+    the two-phase range-partitioned ``global_row_number`` (no
+    single-reducer window, no per-group buffering), per-group offsets and
+    counts are tiny aggregates broadcast back, and only the <= 2 bracket
+    rows per (group, prob) survive the broadcast target join. One range
+    exchange over the data; everything else is metadata-sized.
+
+    Ties: ranks among equal values are assignment-arbitrary, but
+    interpolation reads VALUES at bracket ranks, so any sort-consistent
+    ranking yields the same quantile.
+
+    Returns (group, p, quantile) — group column keeps ``group_col``'s
+    name (or 'group' for the global case); quantile rounded to 6.
+    """
+    from .ranking import global_row_number
+
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    if any(p < 0.0 or p > 1.0 for p in probs):
+        raise ValueError(f"probs must be in [0, 1], got {probs}")
+    gname = group_col or "group"
+    d = docs.select(
+        (F.col(group_col) if group_col else F.lit("all")).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    ranked = global_row_number(
+        d, order_by=[F.col("_g"), F.col("_v")], name="_rn", dtype="long"
+    )
+    spark = docs.sparkSession
+    stats = (
+        ranked.groupBy("_g")
+        .agg(F.min("_rn").alias("_first"), F.count(F.lit(1)).alias("_n"))
+    )
+    pdf = spark.createDataFrame([(float(p),) for p in probs], "p double")
+    pos = F.lit(1.0) + F.col("p") * (F.col("_n") - F.lit(1)).cast("double")
+    targets = (
+        stats.crossJoin(F.broadcast(pdf))
+        .select(
+            F.col("_g").alias("_tg"),
+            "p",
+            pos.alias("_pos"),
+            (F.floor(pos) + F.col("_first") - 1).alias("_lo_rn"),
+            (F.ceil(pos) + F.col("_first") - 1).alias("_hi_rn"),
+        )
+    )
+    j = ranked.join(
+        F.broadcast(targets),
+        (F.col("_g") == F.col("_tg"))
+        & ((F.col("_rn") == F.col("_lo_rn")) | (F.col("_rn") == F.col("_hi_rn"))),
+    ).select(
+        F.col("_g").alias("_gg"),
+        "p",
+        "_pos",
+        "_lo_rn",
+        "_hi_rn",
+        "_rn",
+        "_v",
+    )
+    frac = F.col("_pos") - F.floor(F.col("_pos"))
+    out = (
+        j.groupBy("_gg", "p")
+        .agg(
+            F.max(F.when(F.col("_rn") == F.col("_lo_rn"), F.col("_v"))).alias("_lo"),
+            F.max(F.when(F.col("_rn") == F.col("_hi_rn"), F.col("_v"))).alias("_hi"),
+            F.first(frac).alias("_f"),
+        )
+        .select(
+            F.col("_gg").alias(gname),
+            "p",
+            F.round(
+                F.col("_lo") + F.col("_f") * (F.col("_hi") - F.col("_lo")), 6
+            ).alias("quantile"),
+        )
+    )
+    return out

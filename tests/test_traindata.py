@@ -366,3 +366,53 @@ def test_shuffle_shards_seed_changes_order_not_membership(spark):
 
     with _pytest.raises(ValueError):
         shuffle_shards(docs, n_shards=0)
+
+
+def test_exact_quantiles_matches_numpy_linear(spark):
+    import numpy as np
+
+    from cord19_crawler_spark.operators.traindata import exact_quantiles
+
+    vals = {"a": [3.0, 1.0, 7.0, 20.0, 5.0], "b": [10.0, 10.0, 2.0]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    probs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = {
+        (r["grp"], r["p"]): r["quantile"]
+        for r in exact_quantiles(df, "x", probs, group_col="grp").collect()
+    }
+    for g, vs in vals.items():
+        for p in probs:
+            exp = round(float(np.quantile(vs, p, method="linear")), 6)
+            assert got[(g, p)] == exp, (g, p)
+
+
+def test_exact_quantiles_global_and_validation(spark):
+    import pytest as _pytest
+
+    from cord19_crawler_spark.operators.traindata import exact_quantiles
+
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "x double")
+    got = {
+        r["p"]: r["quantile"]
+        for r in exact_quantiles(df, "x", [0.5, 0.25]).collect()
+    }
+    assert got == {0.5: 50.0, 0.25: 25.0}
+    with _pytest.raises(ValueError):
+        exact_quantiles(df, "x", [])
+    with _pytest.raises(ValueError):
+        exact_quantiles(df, "x", [1.5])
+
+
+def test_exact_quantiles_no_unpartitioned_window(spark):
+    from cord19_crawler_spark.operators.traindata import exact_quantiles
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(200)], "grp string, x double"
+    )
+    plans = []
+    captured = exact_quantiles(df, "x", [0.5], group_col="grp")
+    plan = captured._jdf.queryExecution().executedPlan().toString()
+    # ranks come from the two-phase range path: the only window is
+    # partitioned by the range-partition id, never "No Partition Defined"
+    assert "windowspecdefinition()" not in plan.lower()
