@@ -2032,6 +2032,49 @@ SELECT lang, CAST(0.99 AS DOUBLE), round(qs[4], 6) FROM q
 """
 
 
+def winnowing_fingerprints_q(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. SIGMOD 2003, robust
+    variant): k=5 token grams hashed with the engine-wide md5-56bit, a
+    4-wide sliding window selecting the RIGHTMOST minimal hash — the
+    selection with the guaranteed-detection property (any >= k+w-1-token
+    overlap shares a fingerprint). Scan-side HOFs; the only exchange is
+    the final distinct. The oracle replays gram hashing, the window fold
+    and the tie rule in DuckDB."""
+    from cord19_crawler_spark.operators.dedup import winnowing_fingerprints
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return winnowing_fingerprints(d, k=5, window=4)
+
+
+_WINNOWING_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents WHERE doc_id < 300
+), g AS (
+  SELECT doc_id, list_transform(
+    generate_series(1, len(toks) - 4),
+    i -> CAST(('0x' || substr(md5(array_to_string(
+           toks[CAST(i AS INT):CAST(i AS INT) + 4], ' ')), 1, 14)) AS BIGINT)
+  ) AS gs
+  FROM t WHERE len(toks) >= 5
+), w AS (
+  SELECT doc_id, gs, unnest(generate_series(1, len(gs) - 3)) AS s
+  FROM g WHERE len(gs) >= 4
+), pick AS (
+  SELECT doc_id, s, gs,
+    list_min(gs[CAST(s AS INT):CAST(s AS INT) + 3]) AS fp
+  FROM w
+), located AS (
+  SELECT doc_id, fp,
+    list_max(list_filter(
+      generate_series(s, s + 3),
+      j -> list_extract(gs, CAST(j AS INT)) = fp)) - 1 AS pos
+  FROM pick
+)
+SELECT DISTINCT doc_id, pos, fp FROM located
+"""
+
+
 def text_token_stats(spark, sf_dir):
     """Language/token analytics: per lang, doc count + avg whitespace-token
     count + avg chars (training-data quality rollup)."""
@@ -4175,6 +4218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff_summary": crawl_diff_summary_q,
         "semdedup_keep": semdedup_keep_q,
         "length_quantiles": length_quantiles_q,
+        "winnowing_fingerprints": winnowing_fingerprints_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
@@ -4284,6 +4328,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_diff_summary": _CRAWL_DIFF_SQL,
         "semdedup_keep": _SEMDEDUP_SQL,
         "length_quantiles": _LENGTH_QUANTILES_SQL,
+        "winnowing_fingerprints": _WINNOWING_SQL,
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,

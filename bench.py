@@ -57,6 +57,15 @@ HEADLINE = [
     "dsir_importance_sample",
     "link_pagerank",
     "lm_perplexity",
+    # late round-4 crawl-lifecycle + tokenizer family
+    "anchor_text_topk",
+    "recrawl_staleness",
+    "trap_url_shapes",
+    "crawl_diff_summary",
+    "bpe_pair_counts",
+    "semdedup_keep",
+    "length_quantiles",
+    "winnowing_fingerprints",
 ]
 
 

@@ -949,3 +949,94 @@ def semantic_dedup(
             F.col("_dropped").isNull().alias("kept"),
         )
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003) — the fingerprint selection with a GUARANTEE the rolling-hash
+    and minhash schemes lack: any shared substring of at least
+    k + window - 1 tokens between two documents is caught by at least one
+    selected fingerprint, while only ~2/(window+1) of all gram hashes are
+    kept. The standard choice for plagiarism/overlap detection (MOSS).
+
+    Algorithm (robust winnowing, §5 of the paper): hash every k-token
+    gram (md5_long56 — the engine-wide oracle-mirrorable hash), slide a
+    ``window``-wide window over the hash sequence, select the RIGHTMOST
+    minimal hash in each window, and emit the distinct selected
+    (position, hash) pairs per document.
+
+    Returns (doc_id, pos, fp) — pos is the 0-based token index of the
+    selected gram, so downstream overlap detection can localize matches.
+
+    Scale shape (10^10 docs): everything up to the final per-doc distinct
+    is SCAN-SIDE Catalyst HOFs over the token array (gram hashing is
+    O(n·k) string work, window selection O(n·window) comparisons — both
+    per-row, no shuffle); the only exchange is the explode + distinct on
+    (doc_id, pos, fp), linear in selected fingerprints (~2n/window rows).
+    Matching selected fingerprints across docs is then exactly the
+    banded-join shape every other dedup family here uses (bucket by fp,
+    ``_cap_hot_buckets`` for boilerplate grams).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    )
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), toks.alias("_toks")
+    ).filter(F.size("_toks") >= k)
+    # gram hash at 0-based position i: md5_long56 of tokens i..i+k-1
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - F.lit(k - 1)),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.array_join(F.slice(F.col("_toks"), i, F.lit(k)), " ")
+                ),
+                1,
+                14,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    d = d.select("doc_id", grams.alias("_g"))
+    # robust winnowing: rightmost minimum of each window (ties -> larger
+    # index wins via <=), as a fold over the window's positions
+    sel = F.transform(
+        F.sequence(F.lit(1), F.size("_g") - F.lit(window - 1)),
+        lambda s: F.aggregate(
+            F.sequence(s, s + F.lit(window - 1)),
+            F.struct(
+                F.lit(None).cast("long").alias("h"),
+                F.lit(-1).cast("long").alias("p"),
+            ),
+            lambda acc, j: F.when(
+                acc["h"].isNull()
+                | (F.element_at(F.col("_g"), j) <= acc["h"]),
+                F.struct(
+                    F.element_at(F.col("_g"), j).alias("h"),
+                    (j - 1).cast("long").alias("p"),
+                ),
+            ).otherwise(acc),
+        ),
+    )
+    return (
+        d.filter(F.size("_g") >= window)
+        .select("doc_id", F.explode(F.array_distinct(sel)).alias("_s"))
+        .select(
+            "doc_id",
+            F.col("_s.p").alias("pos"),
+            F.col("_s.h").alias("fp"),
+        )
+        .distinct()
+    )

@@ -73,3 +73,83 @@ def test_hot_cluster_cap_bounds_and_unknown_backend(spark):
     assert capped.count() == 50
     with pytest.raises(ValueError):
         semantic_dedup(df, clusters="dbscan")
+
+
+# ---- winnowing fingerprints (same dedup module) ----
+
+
+def _py_winnow(text, k=5, w=4):
+    import hashlib
+    import re
+
+    toks = re.findall("[a-z0-9]+", text.lower())
+    if len(toks) < k:
+        return set()
+    gs = [
+        int(
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:14],
+            16,
+        )
+        for i in range(len(toks) - k + 1)
+    ]
+    if len(gs) < w:
+        return set()
+    sel = set()
+    for s in range(len(gs) - w + 1):
+        best_h, best_p = None, -1
+        for j in range(s, s + w):
+            if best_h is None or gs[j] <= best_h:
+                best_h, best_p = gs[j], j
+        sel.add((best_p, best_h))
+    return sel
+
+
+def test_winnowing_matches_python_replay(spark):
+    from cord19_crawler_spark.operators.dedup import winnowing_fingerprints
+
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven one two three four five"),
+        (3, "too short"),  # < k tokens: no fingerprints
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in winnowing_fingerprints(df, k=5, window=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, t in texts:
+        assert got.get(i, set()) == _py_winnow(t), i
+
+
+def test_winnowing_guarantee_shared_substring_detected(spark):
+    from cord19_crawler_spark.operators.dedup import winnowing_fingerprints
+
+    # docs share a k+w-1 = 8-token run -> MUST share >= 1 fingerprint hash
+    shared = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    df = spark.createDataFrame(
+        [
+            (1, "unique prefix words here " + shared),
+            (2, shared + " totally different suffix content words"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnowing_fingerprints(df, k=5, window=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2]
+
+
+def test_winnowing_density_and_validation(spark):
+    import pytest as _pytest
+
+    from cord19_crawler_spark.operators.dedup import winnowing_fingerprints
+
+    words = " ".join(f"w{i * 37 % 101}" for i in range(300))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    n = winnowing_fingerprints(df, k=5, window=8).count()
+    n_grams = 300 - 5 + 1
+    # paper: expected density 2/(w+1); allow generous slack
+    assert n_grams * 1 / 8 <= n <= n_grams * 4 / 8
+    with _pytest.raises(ValueError):
+        winnowing_fingerprints(df, k=0)
+    with _pytest.raises(ValueError):
+        winnowing_fingerprints(df, window=0)
