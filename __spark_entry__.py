@@ -2075,6 +2075,52 @@ SELECT DISTINCT doc_id, pos, fp FROM located
 """
 
 
+def host_budget_apportionment_q(spark, sf_dir):
+    """Fetch-budget apportionment (largest-remainder / Hamilton): 997
+    fetch slots split across 25 synthetic hosts proportionally to their
+    order counts, floored quotas + leftover units to the largest
+    fractional parts (frac DESC, host ASC), summing to the budget
+    EXACTLY. Global frac rank runs through the two-phase
+    global_row_number (no single-reducer window); the oracle replays
+    quotas, floors, and the leftover assignment."""
+    from cord19_crawler_spark.frontier.budget import apportion_budget
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        o.select(
+            F.concat(F.lit("h"), (F.col("o_custkey") % 25).cast("string"))
+            .alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    return apportion_budget(w, total=997)
+
+
+_HOST_BUDGET_SQL = """
+WITH w AS (
+  SELECT 'h' || CAST(o_custkey % 25 AS VARCHAR) AS host,
+         CAST(count(*) AS DOUBLE) AS weight
+  FROM orders GROUP BY 1
+), t AS (SELECT sum(weight) AS wsum FROM w),
+q AS (
+  SELECT host, weight,
+    floor(weight / t.wsum * 997) AS baseq,
+    weight / t.wsum * 997 - floor(weight / t.wsum * 997) AS frac
+  FROM w, t
+), lo AS (SELECT 997 - CAST(sum(baseq) AS BIGINT) AS leftover FROM q),
+r AS (
+  SELECT host, weight, CAST(baseq AS BIGINT) AS base, frac,
+    row_number() OVER (ORDER BY frac DESC, host ASC) AS rnk
+  FROM q
+)
+SELECT host, weight, base,
+  CAST(CASE WHEN rnk <= lo.leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+  base + CASE WHEN rnk <= lo.leftover THEN 1 ELSE 0 END AS budget
+FROM r, lo
+"""
+
+
 def text_token_stats(spark, sf_dir):
     """Language/token analytics: per lang, doc count + avg whitespace-token
     count + avg chars (training-data quality rollup)."""
@@ -4219,6 +4265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_keep": semdedup_keep_q,
         "length_quantiles": length_quantiles_q,
         "winnowing_fingerprints": winnowing_fingerprints_q,
+        "host_budget_apportionment": host_budget_apportionment_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
@@ -4329,6 +4376,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_keep": _SEMDEDUP_SQL,
         "length_quantiles": _LENGTH_QUANTILES_SQL,
         "winnowing_fingerprints": _WINNOWING_SQL,
+        "host_budget_apportionment": _HOST_BUDGET_SQL,
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,
