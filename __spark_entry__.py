@@ -2121,6 +2121,62 @@ FROM r, lo
 """
 
 
+def cdx_surt_index_q(spark, sf_dir):
+    """CDX-style URL index rows under the SURT sort key (the Internet
+    Archive / Common Crawl cc-index convention: reversed comma-joined
+    host + ')' + path, www. and default ports stripped) over synthetic
+    URLs from orders that exercise www/port/subdomain variants. Sorting
+    by SURT clusters a domain's URLs for prefix range scans; the oracle
+    replays the full transform in DuckDB."""
+    from cord19_crawler_spark.functions.urls import surt_key
+
+    o = _t(spark, sf_dir, "orders")
+    c, k = F.col("o_custkey"), F.col("o_orderkey")
+    host = (
+        F.when(c % 4 == 0, F.concat(F.lit("www.shop"), (c % 7).cast("string"), F.lit(".example.com")))
+        .when(c % 4 == 1, F.concat(F.lit("shop"), (c % 7).cast("string"), F.lit(".example.com:443")))
+        .when(c % 4 == 2, F.concat(F.lit("api.shop"), (c % 7).cast("string"), F.lit(".example.com")))
+        .otherwise(F.concat(F.lit("shop"), (c % 7).cast("string"), F.lit(".example.org:80")))
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), (k % 500).cast("string")
+    )
+    d = o.select(url.alias("url")).distinct()
+    return d.select(
+        surt_key(F.col("url")).alias("surt"),
+        "url",
+        F.md5(F.col("url")).alias("digest"),
+    )
+
+
+_CDX_SURT_SQL = """
+WITH u AS (
+  SELECT DISTINCT 'https://' ||
+    CASE WHEN o_custkey % 4 = 0
+           THEN 'www.shop' || CAST(o_custkey % 7 AS VARCHAR) || '.example.com'
+         WHEN o_custkey % 4 = 1
+           THEN 'shop' || CAST(o_custkey % 7 AS VARCHAR) || '.example.com:443'
+         WHEN o_custkey % 4 = 2
+           THEN 'api.shop' || CAST(o_custkey % 7 AS VARCHAR) || '.example.com'
+         ELSE 'shop' || CAST(o_custkey % 7 AS VARCHAR) || '.example.org:80'
+    END || '/p/' || CAST(o_orderkey % 500 AS VARCHAR) AS url
+  FROM orders
+), parts AS (
+  SELECT url,
+    regexp_replace(regexp_replace(
+      regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+      ':(80|443)$', ''), '^www\\.', '') AS host,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(.*)$', 1) AS rest
+  FROM u
+)
+SELECT
+  array_to_string(list_reverse(string_split(host, '.')), ',') || ')' ||
+    CASE WHEN rest = '' THEN '/' ELSE rest END AS surt,
+  url, md5(url) AS digest
+FROM parts WHERE host <> ''
+"""
+
+
 def text_token_stats(spark, sf_dir):
     """Language/token analytics: per lang, doc count + avg whitespace-token
     count + avg chars (training-data quality rollup)."""
@@ -4266,6 +4322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": length_quantiles_q,
         "winnowing_fingerprints": winnowing_fingerprints_q,
         "host_budget_apportionment": host_budget_apportionment_q,
+        "cdx_surt_index": cdx_surt_index_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
@@ -4377,6 +4434,7 @@ def oracle_sql() -> dict[str, str]:
         "length_quantiles": _LENGTH_QUANTILES_SQL,
         "winnowing_fingerprints": _WINNOWING_SQL,
         "host_budget_apportionment": _HOST_BUDGET_SQL,
+        "cdx_surt_index": _CDX_SURT_SQL,
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,

@@ -264,3 +264,34 @@ def canonicalize_url_sql(col: Column) -> Column:
             F.concat(F.lit("?"), sorted_q)
         ),
     )
+
+
+def surt_key(col: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the canonical
+    sort key of web-archive URL indexes (Internet Archive CDX(J), Common
+    Crawl's cc-index): scheme dropped, host lowercased with components
+    REVERSED and comma-joined, then ``)`` and the path. Reversing the
+    host makes a lexicographic sort cluster by registrable domain —
+    ``com,example)/a`` and ``com,example,sub)/b`` sort adjacently — which
+    is what turns a flat sorted file into a prefix-scannable domain
+    index (range scans / partition pruning on the SURT prefix at scale).
+
+    Input is expected CANONICAL (the output of ``canonicalize_url`` /
+    ``canonical_url_expr``: lowercased host, no fragment, sorted query);
+    this expression only reorders. Leading ``www.`` is dropped per SURT
+    convention; a default-port suffix is stripped. Pure Catalyst —
+    usable in scan-level projections and as a write-time sort key.
+    """
+    u = col
+    host = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    rest = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(.*)$", 1)
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(
+        F.concat(
+            rev,
+            F.lit(")"),
+            F.when(rest == "", F.lit("/")).otherwise(rest),
+        )
+    )

@@ -242,3 +242,41 @@ def test_vectorized_canonicalize_query_property(q):
     url = "http://h.example.com/p?" + q
     got = list(_canonicalize_series(pd.Series([url], dtype="object")))
     assert got == [canonicalize_one(url)]
+
+
+def test_surt_key_transform(spark):
+    import pyspark.sql.functions as F
+
+    from cord19_crawler_spark.functions.urls import surt_key
+
+    cases = [
+        ("https://www.example.com/a/b", "com,example)/a/b"),
+        ("https://sub.shop.example.com:443/x?a=1", "com,example,shop,sub)/x?a=1"),
+        ("http://example.org:80/", "org,example)/"),
+        ("https://example.net", "net,example)/"),
+        ("nonsense", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["s"] for r in df.select(surt_key(F.col("url")).alias("s")).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_surt_sort_clusters_domains(spark):
+    import pyspark.sql.functions as F
+
+    from cord19_crawler_spark.functions.urls import surt_key
+
+    urls = [
+        "https://a.example.com/1",
+        "https://zzz.other.org/x",
+        "https://example.com/2",
+        "https://b.example.com/3",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    surts = sorted(
+        r["s"] for r in df.select(surt_key(F.col("url")).alias("s")).collect()
+    )
+    # all example.com variants are contiguous under the sorted order
+    ex = [s for s in surts if s.startswith("com,example")]
+    i = surts.index(ex[0])
+    assert surts[i : i + len(ex)] == ex and len(ex) == 3
