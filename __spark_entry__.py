@@ -2177,6 +2177,65 @@ FROM parts WHERE host <> ''
 """
 
 
+def robots_sitemap_discovery_q(spark, sf_dir):
+    """Sitemap discovery from robots.txt bodies (RFC 9309 §2.3 non-group
+    directive — valid anywhere in the file, any case, multiple lines):
+    synthetic robots bodies from orders, Catalyst (?im) line regex, one
+    explode + distinct. Discovered URLs are what read_sitemap_seeds
+    consumes — the standard crawl bootstrap. Oracle replays the same RE2
+    pattern in DuckDB."""
+    from cord19_crawler_spark.frontier.robots import sitemap_urls_expr
+
+    o = _t(spark, sf_dir, "orders")
+    c, k = F.col("o_custkey"), F.col("o_orderkey")
+    host = F.concat(F.lit("h"), (c % 20).cast("string"), F.lit(".example.com"))
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /p"),
+        (k % 5).cast("string"),
+        F.lit("\n"),
+        F.when(
+            k % 2 == 0,
+            F.concat(
+                F.lit("Sitemap: https://"), host, F.lit("/sm"),
+                (k % 4).cast("string"), F.lit(".xml\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit("sitemap: https://"), host, F.lit("/extra.xml\n")),
+        ).otherwise(F.lit("")),
+    )
+    d = o.select(host.alias("host"), body.alias("robots_txt"))
+    return (
+        d.select(
+            "host",
+            F.explode(sitemap_urls_expr("robots_txt")).alias("sitemap_url"),
+        )
+        .distinct()
+    )
+
+
+_ROBOTS_SITEMAP_SQL = r"""
+WITH b AS (
+  SELECT 'h' || CAST(o_custkey % 20 AS VARCHAR) || '.example.com' AS host,
+    'User-agent: *' || chr(10) || 'Disallow: /p'
+      || CAST(o_orderkey % 5 AS VARCHAR) || chr(10)
+      || CASE WHEN o_orderkey % 2 = 0
+           THEN 'Sitemap: https://h' || CAST(o_custkey % 20 AS VARCHAR)
+             || '.example.com/sm' || CAST(o_orderkey % 4 AS VARCHAR)
+             || '.xml' || chr(10) ELSE '' END
+      || CASE WHEN o_orderkey % 3 = 0
+           THEN 'sitemap: https://h' || CAST(o_custkey % 20 AS VARCHAR)
+             || '.example.com/extra.xml' || chr(10) ELSE '' END AS robots_txt
+  FROM orders
+)
+SELECT DISTINCT host,
+  unnest(regexp_extract_all(robots_txt,
+    '(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)[ \t]*$', 1)) AS sitemap_url
+FROM b
+"""
+
+
 def text_token_stats(spark, sf_dir):
     """Language/token analytics: per lang, doc count + avg whitespace-token
     count + avg chars (training-data quality rollup)."""
@@ -4323,6 +4382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": winnowing_fingerprints_q,
         "host_budget_apportionment": host_budget_apportionment_q,
         "cdx_surt_index": cdx_surt_index_q,
+        "robots_sitemap_discovery": robots_sitemap_discovery_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
@@ -4435,6 +4495,7 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_fingerprints": _WINNOWING_SQL,
         "host_budget_apportionment": _HOST_BUDGET_SQL,
         "cdx_surt_index": _CDX_SURT_SQL,
+        "robots_sitemap_discovery": _ROBOTS_SITEMAP_SQL,
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,

@@ -153,3 +153,23 @@ def filter_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
         .filter(F.col("_allowed"))
         .drop("_allowed", "rules")
     )
+
+
+def sitemap_urls_expr(txt_col) -> "Column":
+    """All ``Sitemap:`` URLs declared in a robots.txt body, as an array
+    column. Per RFC 9309 §2.3 / sitemaps.org, ``Sitemap:`` is a
+    NON-group directive: valid anywhere in the file (before, inside, or
+    after User-agent groups), multiple lines allowed — so unlike the
+    stanza rules above it needs no sequential parse, just a multiline
+    case-insensitive line regex. Pure Catalyst (``(?im)`` inline flags
+    work in both Java regex and RE2, keeping the DuckDB oracle exact),
+    scan-side, no UDF.
+
+    Discovered URLs feed ``sources/warc.py:read_sitemap_seeds`` — robots
+    fetch → sitemap discovery → seed expansion is the standard crawl
+    bootstrap loop.
+    """
+    col = F.col(txt_col) if isinstance(txt_col, str) else txt_col
+    return F.regexp_extract_all(
+        col, F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)[ \t]*$"), 1
+    )

@@ -168,3 +168,69 @@ def test_crawl_delay_never_flips_rounds_mode(spark, tmp_path):
     assert all(c["scheduled"] > 0 for c in out)
     hs = s._read_host_state(2)
     assert hs.filter(hs.last_fetch_ts.isNotNull()).count() == 0
+
+
+def test_sitemap_urls_expr_nongroup_directive(spark):
+    import pyspark.sql.functions as F
+
+    from cord19_crawler_spark.frontier.robots import sitemap_urls_expr
+
+    body = (
+        "SITEMAP: https://a.com/s1.xml\n"        # before any group, caps
+        "User-agent: *\nDisallow: /x\n"
+        " sitemap:\thttps://a.com/s2.xml \n"      # inside group, ws + tab
+        "User-agent: Foo\nDisallow: /\n"
+        "Sitemap: https://a.com/s3.xml"           # after a non-* group
+    )
+    df = spark.createDataFrame(
+        [(1, body), (2, None), (3, "User-agent: *\nDisallow: /")],
+        "i long, robots_txt string",
+    )
+    got = {
+        r["i"]: r["s"]
+        for r in df.select(
+            "i",
+            F.coalesce(
+                sitemap_urls_expr("robots_txt"),
+                F.expr("CAST(array() AS array<string>)"),
+            ).alias("s"),
+        ).collect()
+    }
+    assert got[1] == [
+        "https://a.com/s1.xml",
+        "https://a.com/s2.xml",
+        "https://a.com/s3.xml",
+    ]
+    assert got[2] == [] and got[3] == []
+
+
+def test_discovered_sitemap_feeds_seed_source(spark, tmp_path):
+    # bootstrap loop: robots body -> sitemap_urls_expr -> a real sitemap
+    # XML on disk -> read_sitemap_seeds yields its URLs
+    import pyspark.sql.functions as F
+
+    from cord19_crawler_spark.frontier.robots import sitemap_urls_expr
+    from cord19_crawler_spark.sources.warc import read_sitemap_seeds
+
+    sm = tmp_path / "sitemap.xml"
+    sm.write_text(
+        '<?xml version="1.0"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "<url><loc>https://h.example.com/p/1</loc></url>\n"
+        "<url><loc>https://h.example.com/p/2</loc></url>\n"
+        "</urlset>\n"
+    )
+    robots = spark.createDataFrame(
+        [(f"Sitemap: file://{sm}",)], "robots_txt string"
+    )
+    discovered = [
+        r["u"]
+        for r in robots.select(
+            F.explode(sitemap_urls_expr("robots_txt")).alias("u")
+        ).collect()
+    ]
+    assert discovered == [f"file://{sm}"]
+    path = discovered[0].removeprefix("file://")
+    seeds = read_sitemap_seeds(spark, path)
+    urls = sorted(r[seeds.columns[0]] for r in seeds.collect())
+    assert urls == ["https://h.example.com/p/1", "https://h.example.com/p/2"]
