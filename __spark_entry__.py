@@ -2163,17 +2163,25 @@ WITH u AS (
   FROM orders
 ), parts AS (
   SELECT url,
-    regexp_replace(regexp_replace(
-      regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
-      ':(80|443)$', ''), '^www\\.', '') AS host,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS auth,
     regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(.*)$', 1) AS rest
   FROM u
+), hp AS (
+  SELECT url, scheme, rest,
+    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+    regexp_replace(regexp_replace(auth, ':[0-9]+$', ''), '^www\\.', '')
+      AS host
+  FROM parts
 )
 SELECT
-  array_to_string(list_reverse(string_split(host, '.')), ',') || ')' ||
-    CASE WHEN rest = '' THEN '/' ELSE rest END AS surt,
+  array_to_string(list_reverse(string_split(host, '.')), ',')
+  || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+            OR (scheme = 'https' AND port = '443')
+       THEN '' ELSE ':' || port END
+  || ')' || CASE WHEN rest = '' THEN '/' ELSE rest END AS surt,
   url, md5(url) AS digest
-FROM parts WHERE host <> ''
+FROM hp WHERE host <> ''
 """
 
 
@@ -2231,7 +2239,8 @@ WITH b AS (
 )
 SELECT DISTINCT host,
   unnest(regexp_extract_all(robots_txt,
-    '(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)[ \t]*$', 1)) AS sitemap_url
+    '(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)[ \t]*(?:#[^\r\n]*)?\r?$', 1))
+    AS sitemap_url
 FROM b
 """
 
@@ -3533,7 +3542,9 @@ def training_order_shards_q(spark, sf_dir):
 
 _SHUFFLE_SHARDS_SQL = """
 WITH d AS (
-  SELECT doc_id, ((doc_id + 3) * 2654435761) % 4294967296 AS hk
+  SELECT doc_id,
+    CAST(CAST((doc_id + 3) % 4294967296 AS HUGEINT) * 2654435761
+         % 4294967296 AS BIGINT) AS hk
   FROM documents
 )
 SELECT doc_id, CAST(hk % 8 AS BIGINT) AS shard,

@@ -46,9 +46,13 @@ def apportion_budget(
         F.col(key_col).alias("key"),
         F.col(weight_col).cast("double").alias("weight"),
     )
-    neg = w.filter(F.col("weight") < 0).limit(1).count()
-    if neg:
-        raise ValueError("weights must be non-negative")
+    bad = (
+        w.filter((F.col("weight") < 0) | F.col("weight").isNull())
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError("weights must be non-negative and non-null")
     tot = w.agg(F.sum("weight").alias("wsum"))
     wsum = tot.collect()[0]["wsum"]
     if not wsum or wsum <= 0:

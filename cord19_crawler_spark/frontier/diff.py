@@ -73,13 +73,12 @@ def crawl_diff_summary(
     """Per-host rollup of a ``crawl_diff`` frame: (host, added, removed,
     changed, unchanged, n_urls). ``host_expr`` defaults to parsing the
     authority out of the url. One linear conditional aggregate."""
-    host = (
-        host_expr
-        if host_expr is not None
-        else F.regexp_extract(
-            F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1
-        )
-    )
+    if host_expr is not None:
+        host = host_expr
+    else:
+        from ..functions.urls import authority_expr
+
+        host = authority_expr(F.col("url"))
 
     def _n(status: str):
         return F.sum(

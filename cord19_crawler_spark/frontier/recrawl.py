@@ -67,7 +67,13 @@ def change_rate_estimates(
     h = history.select(
         F.col(url_col).alias("url"),
         ts_in.cast("double").alias("ts"),
-        F.col(changed_col).cast("boolean").alias("changed"),
+        # NULL flags (the natural encoding for "no previous fetch to
+        # compare against") read as no-change-observed; without the
+        # coalesce a NULL first-fetch flag would poison n_changes and
+        # lambda_hat to NULL, silently dropping the URL from every batch
+        F.coalesce(F.col(changed_col).cast("boolean"), F.lit(False)).alias(
+            "changed"
+        ),
     )
     agg = h.groupBy("url").agg(
         F.count(F.lit(1)).alias("n_fetches"),

@@ -163,7 +163,12 @@ def sitemap_urls_expr(txt_col) -> "Column":
     stanza rules above it needs no sequential parse, just a multiline
     case-insensitive line regex. Pure Catalyst (``(?im)`` inline flags
     work in both Java regex and RE2, keeping the DuckDB oracle exact),
-    scan-side, no UDF.
+    scan-side, no UDF. The pattern tolerates RFC 9309 end-of-line
+    comments (``Sitemap: url  # note``) and consumes an optional ``\\r``
+    explicitly — RE2's multiline ``$`` matches only before ``\\n`` while
+    Java's also matches before ``\\r\\n``, so WITHOUT the explicit
+    ``\\r?`` a CRLF robots body would extract in Spark but not in the
+    oracle.
 
     Discovered URLs feed ``sources/warc.py:read_sitemap_seeds`` — robots
     fetch → sitemap discovery → seed expansion is the standard crawl
@@ -171,5 +176,7 @@ def sitemap_urls_expr(txt_col) -> "Column":
     """
     col = F.col(txt_col) if isinstance(txt_col, str) else txt_col
     return F.regexp_extract_all(
-        col, F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)[ \t]*$"), 1
+        col,
+        F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)[ \t]*(?:#[^\r\n]*)?\r?$"),
+        1,
     )

@@ -55,9 +55,11 @@ def url_shape_signals(
     avg_depth and frac_query are rounded to 6 places so the frame is
     oracle-comparable across engines.
     """
+    from ..functions.urls import authority_expr, path_expr
+
     u = F.col(url_col)
-    host = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
-    path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    host = authority_expr(u)
+    path = path_expr(u)
     has_query = u.contains("?")
     segs = F.filter(F.split(path, "/"), lambda x: x != F.lit(""))
     depth = F.size(segs)

@@ -190,8 +190,29 @@ def extract_canonical_urls(texts: pd.Series) -> pd.Series:
 
 def host_from_canonical(col: Column) -> Column:
     """Host of an already-canonical URL — pure Catalyst (codegen'd), since
-    canonical form guarantees ``scheme://host[:port]/...``."""
+    canonical form guarantees ``scheme://host[:port]/...``. Strips the
+    port; for the port-KEEPING authority (distinct origins stay
+    distinct), use :func:`authority_expr`."""
     return F.regexp_extract(col, r"^https?://([^/:]+)", 1)
+
+
+# The one generic-URL authority/path grammar, shared by every operator
+# that parses arbitrary (possibly non-canonical) URLs — traps, crawl
+# diff, SURT keys — so a parsing fix lands in one place. Oracle SQL
+# mirrors cite these literals.
+AUTHORITY_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)"
+REST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(.*)$"
+
+
+def authority_expr(col: Column) -> Column:
+    """Authority (host[:port]) of a generic URL; '' when unparseable."""
+    return F.regexp_extract(col, AUTHORITY_RE, 1)
+
+
+def path_expr(col: Column) -> Column:
+    """Path of a generic URL (query/fragment excluded)."""
+    return F.regexp_extract(col, PATH_RE, 1)
 
 
 @pandas_udf(T.StringType())
@@ -279,18 +300,34 @@ def surt_key(col: Column) -> Column:
     Input is expected CANONICAL (the output of ``canonicalize_url`` /
     ``canonical_url_expr``: lowercased host, no fragment, sorted query);
     this expression only reorders. Leading ``www.`` is dropped per SURT
-    convention; a default-port suffix is stripped. Pure Catalyst —
-    usable in scan-level projections and as a write-time sort key.
+    convention. Ports are handled scheme-aware: the scheme's DEFAULT
+    port (http:80 / https:443) is stripped, any other port survives in
+    SURT position — ``com,example:8080)`` — so it sorts inside the
+    domain's prefix range instead of riding the reversed last label to
+    the front of the key, and distinct origins never collide. Pure
+    Catalyst — usable in scan-level projections and as a write-time
+    sort key.
     """
     u = col
-    host = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
-    rest = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(.*)$", 1)
-    host = F.regexp_replace(host, r":(80|443)$", "")
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    )
+    auth = authority_expr(u)
+    rest = F.regexp_extract(u, REST_RE, 1)
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    host = F.regexp_replace(auth, r":\d+$", "")
     host = F.regexp_replace(host, r"^www\.", "")
+    is_default = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_sfx = F.when((port == "") | is_default, F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
     return F.when(host == "", F.lit(None).cast("string")).otherwise(
         F.concat(
             rev,
+            port_sfx,
             F.lit(")"),
             F.when(rest == "", F.lit("/")).otherwise(rest),
         )

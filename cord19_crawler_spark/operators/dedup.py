@@ -927,6 +927,12 @@ def semantic_dedup(
     capped = _cap_hot_buckets(
         assigned, ["cluster"], "vid", max_cluster_df, rank_narrow=True
     )
+    # zero-norm vectors (empty docs, padding) have no cosine to anything:
+    # exclude them from pair generation BEFORE dividing — ANSI mode faults
+    # 0.0/0.0 (the graph.py pagerank convention), and with ANSI off the
+    # NaN cosine compares >= threshold, silently dropping them. They stay
+    # in the output as kept=True.
+    capped = capped.filter(_norm(F.col("v")) > 0)
     l, r = capped.alias("l"), capped.alias("r")
     cosine = F.round(
         _dot(F.col("l.v"), F.col("r.v"))
@@ -1030,6 +1036,9 @@ def winnowing_fingerprints(
             ).otherwise(acc),
         ),
     )
+    # array_distinct already collapses repeated window selections per doc,
+    # and doc_id scopes the rows — no row-level distinct (and its extra
+    # exchange over ~2n/window rows) is needed
     return (
         d.filter(F.size("_g") >= window)
         .select("doc_id", F.explode(F.array_distinct(sel)).alias("_s"))
@@ -1038,5 +1047,4 @@ def winnowing_fingerprints(
             F.col("_s.p").alias("pos"),
             F.col("_s.h").alias("fp"),
         )
-        .distinct()
     )

@@ -633,11 +633,15 @@ def shuffle_shards(
     uniform-looking, (b) reproducible bit-for-bit across runs/engines for
     resumable data loaders, and (c) re-rollable by seed across epochs.
     RNG-based ``orderBy(rand())`` fails (b); this uses the engine-wide
-    Knuth multiplicative hash as a seeded PERMUTATION: h = ((id + seed) *
-    2654435761) mod 2^32 is a bijection on sub-2^32 ids (odd multiplier),
-    so every epoch seed yields a distinct total order with no collisions
-    beyond id-space wrap. Shard = h mod n_shards (uniform by the hash),
-    position = rank of h within the shard.
+    Knuth multiplicative hash as a seeded PERMUTATION: h = (((id + seed)
+    mod 2^32) * 2654435761) mod 2^32 is a bijection on [0, 2^32) (odd
+    multiplier), so every epoch seed yields a distinct total order with
+    no collisions beyond id-space wrap. Shard = h mod n_shards (uniform
+    by the hash), position = rank of h within the shard. The multiply
+    runs in decimal(38,0) (the scheduler's ANSI-overflow convention):
+    a raw long product overflows for ids >= ~3.5e9 — job-killing under
+    Spark 4's default ANSI mode — so unlike ``hash_sample_pred`` this
+    operator has NO sub-2^31 id caveat.
 
     Returns (doc_id, shard, pos) with pos in 0..shard_size-1.
 
@@ -652,7 +656,13 @@ def shuffle_shards(
     from pyspark.sql import Window
 
     d = docs.select(F.col(id_col).cast("long").alias("doc_id")).withColumn(
-        "_hk", ((F.col("doc_id") + F.lit(int(seed))) * F.lit(_KNUTH)) % F.lit(_M32)
+        "_hk",
+        (
+            ((F.col("doc_id") + F.lit(int(seed))) % F.lit(_M32))
+            .cast("decimal(38,0)")
+            * F.lit(_KNUTH)
+            % F.lit(_M32)
+        ).cast("long"),
     )
     w = Window.partitionBy(F.col("_hk") % F.lit(n_shards)).orderBy(
         "_hk", "doc_id"
@@ -727,7 +737,9 @@ def exact_quantiles(
     )
     j = ranked.join(
         F.broadcast(targets),
-        (F.col("_g") == F.col("_tg"))
+        # null-SAFE group match: a NULL group is a real stratum (DuckDB's
+        # GROUP BY emits it), and _g == _tg would silently drop its rows
+        F.col("_g").eqNullSafe(F.col("_tg"))
         & ((F.col("_rn") == F.col("_lo_rn")) | (F.col("_rn") == F.col("_hi_rn"))),
     ).select(
         F.col("_g").alias("_gg"),

@@ -44,3 +44,11 @@ def test_zero_budget_and_validation(spark):
     zero = spark.createDataFrame([("a", 0.0)], "host string, weight double")
     with pytest.raises(ValueError):
         apportion_budget(zero, total=5)
+
+
+def test_null_weight_rejected(spark):
+    w = spark.createDataFrame(
+        [("a", 1.0), ("b", None)], "host string, weight double"
+    )
+    with pytest.raises(ValueError):
+        apportion_budget(w, total=5)

@@ -91,3 +91,17 @@ def test_recrawl_batch_plan_is_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_null_changed_flags_do_not_poison_estimates(spark):
+    # natural fetch-log encoding: first fetch has changed=NULL; NULL must
+    # read as "no change observed", not poison lambda/staleness to NULL
+    df = spark.createDataFrame(
+        [("u", 0.0, None), ("u", 60.0, True), ("u", 120.0, None)],
+        "url string, fetch_ts double, changed boolean",
+    )
+    r = change_rate_estimates(df).collect()[0]
+    assert r["n_changes"] == 1
+    assert r["lambda_hat"] is not None and r["lambda_hat"] > 0
+    batch = recrawl_batch(change_rate_estimates(df), now=200.0, k=1).collect()
+    assert batch and batch[0]["staleness"] is not None

@@ -234,3 +234,32 @@ def test_discovered_sitemap_feeds_seed_source(spark, tmp_path):
     seeds = read_sitemap_seeds(spark, path)
     urls = sorted(r[seeds.columns[0]] for r in seeds.collect())
     assert urls == ["https://h.example.com/p/1", "https://h.example.com/p/2"]
+
+
+def test_sitemap_extraction_comments_and_crlf_match_duckdb(spark):
+    # RFC 9309 end-of-line comments and CRLF bodies: Spark (Java regex)
+    # and the DuckDB oracle (RE2) must extract identically
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from cord19_crawler_spark.frontier.robots import sitemap_urls_expr
+
+    body = (
+        "Sitemap: https://a.com/s1.xml # primary\r\n"
+        "User-agent: *\r\n"
+        "sitemap: https://a.com/s2.xml\r\n"
+        "Sitemap: https://a.com/s3.xml\t \r\n"
+    )
+    df = spark.createDataFrame([(body,)], "robots_txt string")
+    got = df.select(sitemap_urls_expr("robots_txt").alias("s")).collect()[0]["s"]
+    exp = duckdb.sql(
+        "SELECT regexp_extract_all(?, "
+        "'(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)[ \\t]*(?:#[^\\r\\n]*)?\\r?$'"
+        ", 1)",
+        params=[body],
+    ).fetchone()[0]
+    assert got == exp == [
+        "https://a.com/s1.xml",
+        "https://a.com/s2.xml",
+        "https://a.com/s3.xml",
+    ]

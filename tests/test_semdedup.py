@@ -153,3 +153,22 @@ def test_winnowing_density_and_validation(spark):
         winnowing_fingerprints(df, k=0)
     with _pytest.raises(ValueError):
         winnowing_fingerprints(df, window=0)
+
+
+def test_zero_norm_vectors_survive_and_do_not_crash(spark):
+    # ANSI mode faults 0.0/0.0 — zero-norm vectors (padding, empty docs)
+    # must be excluded from pair generation but kept in the output
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 1e-4]),       # near-dup of 1 -> dropped
+        (3, [0.0, 0.0]),        # zero norm
+        (4, [0.0, 0.0]),        # second zero norm in the same bucket
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            df, threshold=0.99, clusters="sign", bucket_dims=2
+        ).collect()
+    }
+    assert got == {1: True, 2: False, 3: True, 4: True}

@@ -416,3 +416,35 @@ def test_exact_quantiles_no_unpartitioned_window(spark):
     # ranks come from the two-phase range path: the only window is
     # partitioned by the range-partition id, never "No Partition Defined"
     assert "windowspecdefinition()" not in plan.lower()
+
+
+def test_shuffle_shards_large_ids_no_overflow(spark):
+    # ids past ~3.5e9 would overflow a raw long multiply (ANSI fault);
+    # the decimal(38,0) path must match the big-int Python replay exactly
+    from cord19_crawler_spark.operators.traindata import (
+        _KNUTH,
+        _M32,
+        shuffle_shards,
+    )
+
+    ids = [0, 1, 4_000_000_000, 2**33 + 5, 2**40 + 123]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {r["doc_id"]: r["shard"] for r in shuffle_shards(df, 4, seed=3).collect()}
+    for i in ids:
+        assert out[i] == (((i + 3) % _M32) * _KNUTH % _M32) % 4
+        assert 0 <= out[i] < 4
+
+
+def test_exact_quantiles_null_group_is_a_stratum(spark):
+    from cord19_crawler_spark.operators.traindata import exact_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 20.0)],
+        "grp string, x double",
+    )
+    got = {
+        (r["grp"], r["p"]): r["quantile"]
+        for r in exact_quantiles(df, "x", [0.5], group_col="grp").collect()
+    }
+    assert got[("a", 0.5)] == 2.0
+    assert got[(None, 0.5)] == 15.0

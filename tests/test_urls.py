@@ -280,3 +280,22 @@ def test_surt_sort_clusters_domains(spark):
     ex = [s for s in surts if s.startswith("com,example")]
     i = surts.index(ex[0])
     assert surts[i : i + len(ex)] == ex and len(ex) == 3
+
+
+def test_surt_key_port_semantics(spark):
+    import pyspark.sql.functions as F
+
+    from cord19_crawler_spark.functions.urls import surt_key
+
+    cases = [
+        # non-default port survives in SURT position (not glued to the
+        # reversed last label)
+        ("https://example.com:8080/b", "com,example:8080)/b"),
+        # default-port strip is scheme-aware: 443 is NOT default for http
+        ("http://h.com:443/x", "com,h:443)/x"),
+        ("http://h.com:80/x", "com,h)/x"),
+        ("https://h.com:443/x", "com,h)/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["s"] for r in df.select(surt_key(F.col("url")).alias("s")).collect()]
+    assert got == [e for _, e in cases]
