@@ -2245,6 +2245,31 @@ FROM b
 """
 
 
+def adaptive_quality_cut_q(spark, sf_dir):
+    """Adaptive per-group quality thresholding (FineWeb/CCNet practice):
+    drop each language's bottom 30% by length — the cut is each group's
+    OWN p=0.3 quantile, not a global constant, so lower-scoring
+    languages aren't over-pruned. Composes exact_quantiles (positional
+    order statistics) with a broadcast threshold join; the oracle
+    replays quantile_cont thresholds and the >= comparison."""
+    from cord19_crawler_spark.operators.traindata import adaptive_quality_cut
+
+    d = _t(spark, sf_dir, "documents")
+    return adaptive_quality_cut(d, "n_chars", 0.3, group_col="lang")
+
+
+_ADAPTIVE_CUT_SQL = """
+WITH t AS (
+  SELECT lang,
+    round(quantile_cont(CAST(n_chars AS DOUBLE), 0.3), 6) AS threshold
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS DOUBLE) AS score,
+  t.threshold, (CAST(d.n_chars AS DOUBLE) >= t.threshold) AS kept
+FROM documents d JOIN t ON d.lang = t.lang
+"""
+
+
 def text_token_stats(spark, sf_dir):
     """Language/token analytics: per lang, doc count + avg whitespace-token
     count + avg chars (training-data quality rollup)."""
@@ -4394,6 +4419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_budget_apportionment": host_budget_apportionment_q,
         "cdx_surt_index": cdx_surt_index_q,
         "robots_sitemap_discovery": robots_sitemap_discovery_q,
+        "adaptive_quality_cut": adaptive_quality_cut_q,
         "frontier_robots_filter": frontier_robots_filter,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
@@ -4507,6 +4533,7 @@ def oracle_sql() -> dict[str, str]:
         "host_budget_apportionment": _HOST_BUDGET_SQL,
         "cdx_surt_index": _CDX_SURT_SQL,
         "robots_sitemap_discovery": _ROBOTS_SITEMAP_SQL,
+        "adaptive_quality_cut": _ADAPTIVE_CUT_SQL,
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,

@@ -43,6 +43,7 @@ __all__ = [
     "stratified_sample",
     "shuffle_shards",
     "exact_quantiles",
+    "adaptive_quality_cut",
 ]
 
 # Same constants as functions/quality.py — one sampling hash engine-wide.
@@ -767,3 +768,55 @@ def exact_quantiles(
         )
     )
     return out
+
+
+def adaptive_quality_cut(
+    docs: DataFrame,
+    score_col: str,
+    p: float,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    keep_above: bool = True,
+) -> DataFrame:
+    """Adaptive per-group quality thresholding: cut at each group's own
+    p-quantile of a score instead of one global constant — the FineWeb /
+    CCNet practice (CCNet's head/middle/tail IS the 1/3-2/3 special
+    case, `ccnet_ppl_buckets`; a fixed global threshold over-prunes
+    whichever language/source scores systematically lower).
+
+    Composes ``exact_quantiles`` (positional order statistics — no
+    per-group buffering) with a broadcast threshold join: thresholds are
+    |groups| rows, the corpus is scanned once. Returns (doc_id, group,
+    score, threshold, kept) with kept = score >= threshold when
+    ``keep_above`` (strictly-below rows dropped; ties survive) else
+    score <= threshold. NULL scores are never kept.
+    """
+    if not (0.0 <= p <= 1.0):
+        raise ValueError(f"p must be in [0, 1], got {p}")
+    gname = group_col or "group"
+    thresholds = exact_quantiles(
+        docs, score_col, [float(p)], group_col=group_col
+    ).select(F.col(gname).alias("_tg"), F.col("quantile").alias("threshold"))
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(group_col) if group_col else F.lit("all")).alias(gname),
+        F.col(score_col).cast("double").alias("score"),
+    )
+    cmp = (
+        F.col("score") >= F.col("threshold")
+        if keep_above
+        else F.col("score") <= F.col("threshold")
+    )
+    return (
+        d.join(
+            F.broadcast(thresholds),
+            F.col(gname).eqNullSafe(F.col("_tg")),
+        )
+        .select(
+            "doc_id",
+            gname,
+            "score",
+            "threshold",
+            F.coalesce(cmp, F.lit(False)).alias("kept"),
+        )
+    )

@@ -448,3 +448,41 @@ def test_exact_quantiles_null_group_is_a_stratum(spark):
     }
     assert got[("a", 0.5)] == 2.0
     assert got[(None, 0.5)] == 15.0
+
+
+def test_adaptive_quality_cut_per_group_thresholds(spark):
+    import pytest as _pytest
+
+    from cord19_crawler_spark.operators.traindata import adaptive_quality_cut
+
+    rows = [
+        # group a: scores 1..4 -> p=0.5 threshold 2.5 -> kept {3,4}
+        (1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0), (4, "a", 4.0),
+        # group b: systematically lower scores; its OWN threshold keeps
+        # the top half (a global cut at 2.5 would drop the whole group)
+        (5, "b", 0.1), (6, "b", 0.2), (7, "b", 0.3), (8, "b", 0.4),
+        # NULL score: never kept
+        (9, "a", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score double")
+    got = {
+        r["doc_id"]: r["kept"]
+        for r in adaptive_quality_cut(df, "score", 0.5, group_col="grp").collect()
+    }
+    # NULL score is excluded from the quantile input, so group a's
+    # threshold stays 2.5; the NULL row itself joins and is not kept
+    assert got == {
+        1: False, 2: False, 3: True, 4: True,
+        5: False, 6: False, 7: True, 8: True,
+        9: False,
+    }
+    with _pytest.raises(ValueError):
+        adaptive_quality_cut(df, "score", 1.5, group_col="grp")
+    # keep_below flips the retained side
+    low = {
+        r["doc_id"]: r["kept"]
+        for r in adaptive_quality_cut(
+            df, "score", 0.5, group_col="grp", keep_above=False
+        ).collect()
+    }
+    assert low[1] and low[2] and not low[4]
