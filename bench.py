@@ -87,17 +87,30 @@ def crawl_benchmark(spark, n_docs: int = 60000, rounds: int = 3, batch: int = 80
     """North-star throughput: run the full scheduler (politeness, bloom seen,
     skew plan, checkpointing) and report URLs scheduled/sec.
 
+    SELF-CALIBRATING (r4 verdict item #1): the calibration that previously
+    lived in a manual quiet-window rerun now runs inside the bench itself —
+    (a) sleep-until-quiet before the first rep (measured 1-min loadavg gate,
+    bounded wait), (b) bracket every rep with fixed-work CPU probes
+    (bench_scaling.cpu_probe — guest loadavg cannot see hypervisor steal;
+    fixed work's wall time can), (c) the headline is the FASTEST CALIBRATED
+    rep — a rep whose both probes are within PROBE_TOL of the session-best
+    probe, i.e. the host actually delivered the cores for that window —
+    falling back to plain min-of-N only when no rep calibrates (flagged in
+    the output). All reps + probes + the start load are reported.
+
     Best-of-N (default 3, $SPARK_GRAFT_CRAWL_REPEATS): this box is shared
-    and background tenant load routinely swings single-run wall time ±30%;
-    min-of-N measures the engine, not the noisiest co-tenant. Crawl results
-    are asserted identical across repeats (determinism double-check)."""
+    and background tenant load routinely swings single-run wall time ±30%
+    (crawl rounds are hundreds of micro-stages, so every stage barrier pays
+    a straggler penalty during a steal burst — a ~1.2x average-steal epoch
+    amplifies to 3-10x here). Crawl results are asserted identical across
+    repeats (determinism double-check)."""
     from cord19_crawler_spark.datagen import generate_documents, seed_urls
     from cord19_crawler_spark.frontier import CrawlScheduler, SchedulerConfig
+    from bench_scaling import PROBE_TOL, cpu_probe, wait_quiet
 
-    # best-of-3: measured co-tenant swings on this box reach 2.5x between
-    # back-to-back identical runs (933 vs 362 urls/sec five minutes apart),
-    # so two samples under-report too often
     repeats = int(os.environ.get("SPARK_GRAFT_CRAWL_REPEATS", "3"))
+    quiet_load = float(os.environ.get("SPARK_GRAFT_CRAWL_QUIET_LOAD", "2.0"))
+    quiet_wait = int(os.environ.get("SPARK_GRAFT_CRAWL_QUIET_WAIT", "180"))
     docs = generate_documents(spark, n_docs, partitions=CPUS * 2).cache()
     docs.count()  # materialize corpus outside the timed section
     cfg = SchedulerConfig(
@@ -108,18 +121,9 @@ def crawl_benchmark(spark, n_docs: int = 60000, rounds: int = 3, batch: int = 80
         max_in_flight=batch,
         hot_host_threshold=50_000,
     )
-    # bracket each repeat with fixed-work CPU probes (bench_scaling.cpu_probe):
-    # this guest's loadavg cannot see hypervisor steal, and the crawl loop is
-    # the workload MOST sensitive to it — hundreds of micro-stages per round
-    # mean every stage barrier pays a straggler penalty during a steal burst,
-    # so a ~1.2x average-steal epoch amplifies to 3-10x here while long
-    # scan-heavy queries swing only ~1.5x (measured 2026-08-18; same-epoch
-    # A/B of r3-vs-r4 code showed parity, ruling out a code regression).
-    # Recording the probes makes a noisy crawl number attributable.
-    from bench_scaling import cpu_probe
-
-    runs = []
-    probes = []
+    load1 = wait_quiet(quiet_load=quiet_load, max_wait=quiet_wait)
+    runs: list[float] = []
+    probes: list[tuple[float, float]] = []
     signature = None
     for _ in range(max(1, repeats)):
         ckpt = "/tmp/bench_frontier_ckpt"
@@ -138,7 +142,13 @@ def crawl_benchmark(spark, n_docs: int = 60000, rounds: int = 3, batch: int = 80
         runs.append(elapsed)
     docs.unpersist()
     shutil.rmtree("/tmp/bench_frontier_ckpt", ignore_errors=True)
-    best = min(runs)
+    best_probe = min(p for pair in probes for p in pair)
+    calibrated = [
+        i for i, pair in enumerate(probes) if max(pair) <= PROBE_TOL * best_probe
+    ]
+    pool = calibrated if calibrated else range(len(runs))
+    best_idx = min(pool, key=lambda i: runs[i])
+    best = runs[best_idx]
     return {
         "n_docs": n_docs,
         "rounds": rounds,
@@ -147,6 +157,12 @@ def crawl_benchmark(spark, n_docs: int = 60000, rounds: int = 3, batch: int = 80
         "elapsed_sec": round(best, 3),
         "all_runs_sec": [round(r, 3) for r in runs],
         "cpu_probes_sec": probes,
+        "best_probe_sec": best_probe,
+        "probe_tol": PROBE_TOL,
+        "load1_at_start": load1,
+        "quiet_load_gate": quiet_load,
+        "calibrated_reps": calibrated,
+        "headline_rep_calibrated": bool(calibrated),
         "urls_scheduled_per_sec": round(signature[0] / best, 2) if best > 0 else 0.0,
     }
 
@@ -218,7 +234,11 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    out = {
+    # OUTPUT CONTRACT (r4 verdict item #1): the driver extracts the headline
+    # from a bounded tail window of stdout, so the FINAL line must be a
+    # compact JSON headline; the full detail (per-query min/med/max spread,
+    # per-rep crawl probes) goes to a PRECEDING line and a file.
+    full = {
         "metric": "frontier_urls_scheduled_per_sec",
         "value": crawl["urls_scheduled_per_sec"],
         "unit": "urls/sec",
@@ -231,7 +251,33 @@ def main() -> None:
         ),
         "crawl": crawl,
     }
-    print(json.dumps(out))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    detail_path = os.path.join(REPO, "BENCH", "bench_full_latest.json")
+    with open(detail_path, "w") as f:
+        json.dump(full, f, indent=2)
+    print(json.dumps(full))  # full record (preceding line, also in the file)
+    compact = {
+        "metric": "frontier_urls_scheduled_per_sec",
+        "value": crawl["urls_scheduled_per_sec"],
+        "unit": "urls/sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf_val,
+        "total_query_sec": full["total_query_sec"],
+        "total_query_sec_median": full["total_query_sec_median"],
+        "crawl": {
+            "elapsed_sec": crawl["elapsed_sec"],
+            "scheduled": crawl["scheduled"],
+            "all_runs_sec": crawl["all_runs_sec"],
+            "headline_rep_calibrated": crawl["headline_rep_calibrated"],
+            "load1_at_start": crawl["load1_at_start"],
+        },
+        "detail": "BENCH/bench_full_latest.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # must fit the driver's tail window whole
+        compact["queries"] = f"see {compact['detail']}"
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)  # FINAL stdout line — the driver parses this
 
 
 if __name__ == "__main__":

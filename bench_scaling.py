@@ -107,9 +107,10 @@ def cpu_probe(workers: int) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def wait_quiet() -> float:
-    """Sleep until the 1-min load average decays below QUIET_LOAD (or
-    QUIET_WAIT elapses) and return the load at run start.
+def wait_quiet(quiet_load: float | None = None, max_wait: int | None = None) -> float:
+    """Sleep until the 1-min load average decays below quiet_load (default
+    QUIET_LOAD; or max_wait — default QUIET_WAIT — elapses) and return the
+    load at run start.
 
     Why: this box is multi-tenant and a scaling RATIO is only meaningful
     when both runs of a pair execute against the same (ideally zero)
@@ -117,9 +118,10 @@ def wait_quiet() -> float:
     run's record — replaces after-the-fact guessing about which pairs were
     clean. The 1-min average also carries OUR OWN previous run for ~a
     minute, so the wait doubles as an inter-run cooldown."""
-    deadline = time.time() + QUIET_WAIT
+    gate = QUIET_LOAD if quiet_load is None else quiet_load
+    deadline = time.time() + (QUIET_WAIT if max_wait is None else max_wait)
     load = os.getloadavg()[0]
-    while load > QUIET_LOAD and time.time() < deadline:
+    while load > gate and time.time() < deadline:
         time.sleep(15)
         load = os.getloadavg()[0]
     return round(load, 2)

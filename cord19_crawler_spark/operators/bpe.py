@@ -115,6 +115,7 @@ def train_bpe(
     text_col: str = "text",
     pattern: str = _WORD_RE,
     min_pair_count: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merge rules from the corpus.
 
@@ -124,13 +125,20 @@ def train_bpe(
     vocabulary extraction: explode + distinct).  Stops early when no pair
     reaches ``min_pair_count``.  Argmax tie-break is (count DESC, left
     ASC, right ASC), so training is reproducible across partitionings.
+
+    ``checkpoint_dir``: None → per-merge localCheckpoint (fast, not
+    executor-loss-safe); a fault-tolerant dir → reliable checkpoint per
+    merge, so losing an executor at merge 900/1000 costs nothing (see
+    operators/iterutil.py for the trade).
     """
+    from .iterutil import lineage_truncator
+
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    sym = (
+    _ckpt = lineage_truncator(checkpoint_dir)
+    sym = _ckpt(
         word_frequencies(docs, text_col=text_col, pattern=pattern)
         .select("word", _initial_symbols(F.col("word")).alias("symbols"), "freq")
-        .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -144,11 +152,13 @@ def train_bpe(
             break
         left, right, cnt = top[0]["left"], top[0]["right"], top[0]["pair_count"]
         merges.append((left, right, cnt))
-        sym = sym.select(
-            "word",
-            merge_pair_expr(F.col("symbols"), left, right).alias("symbols"),
-            "freq",
-        ).localCheckpoint(eager=True)
+        sym = _ckpt(
+            sym.select(
+                "word",
+                merge_pair_expr(F.col("symbols"), left, right).alias("symbols"),
+                "freq",
+            )
+        )
     return merges, sym
 
 

@@ -199,6 +199,9 @@ def minhash_near_duplicates(
     * ``"cache"``: lineage-preserving (recomputes on executor loss) but
       pinned in the CacheManager until the CALLER unpersists — use on
       preemptible/spot clusters and own the unpersist.
+    * ``"checkpoint:<dir>"``: RELIABLE checkpoint into a fault-tolerant
+      directory — survives executor loss with no recompute AND no
+      CacheManager pin; one distributed write (see operators/iterutil.py).
     * ``"none"``: no reuse; recomputes shingles per consumer.
     """
     sh = shingles(docs, id_col, text_col, ngram)
@@ -206,6 +209,10 @@ def minhash_near_duplicates(
         sh = sh.localCheckpoint(eager=False)
     elif shingle_storage == "cache":
         sh = sh.cache()
+    elif shingle_storage.startswith("checkpoint:"):
+        from .iterutil import lineage_truncator
+
+        sh = lineage_truncator(shingle_storage.split(":", 1)[1], eager=False)(sh)
     elif shingle_storage != "none":
         raise ValueError(f"unknown shingle_storage: {shingle_storage!r}")
     sig = minhash_signatures(sh, num_perm)

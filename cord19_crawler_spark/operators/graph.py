@@ -26,9 +26,11 @@ Convergence is detected by an order-independent checksum of the edge set
 (count + XOR of a 64-bit hash); a fixed-point false positive needs a
 xor-of-xxhash64 collision (~2^-64 per round — negligible, and the planted
 tests + the DuckDB recursive-CTE oracle would catch it).  Per-round
-lineage is truncated with localCheckpoint (the reference-tracked pattern
-from operators/dedup.py) so 20 iterative rounds don't stack a 20-deep
-re-computable plan.
+lineage is truncated via ``iterutil.lineage_truncator`` so 20 iterative
+rounds don't stack a 20-deep re-computable plan: ``localCheckpoint`` by
+default (fast, executor-resident blocks), or a RELIABLE ``checkpoint``
+into ``checkpoint_dir`` for executor-loss safety on preemptible clusters
+(see iterutil module docstring for the trade).
 
 No counterpart in /root/reference (the reference never clusters —
 src/index.py folds a curated corpus dict-at-a-time); the algorithm is
@@ -38,6 +40,8 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+from .iterutil import lineage_truncator
 
 __all__ = [
     "connected_components",
@@ -111,6 +115,7 @@ def connected_components(
     algorithm: str = "two-phase",
     max_iterations: int = 50,
     stats: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list.
 
@@ -126,13 +131,22 @@ def connected_components(
     (rounds INCLUDING the fixed-point-confirming one) — the scale probe
     in tools/check_cc_scale.py uses this to evidence the O(log^2 n)
     round bound empirically.
+
+    ``checkpoint_dir``: None (default) truncates per-round lineage with
+    ``localCheckpoint`` — fast but NOT executor-loss-safe (a lost
+    executor's blocks have no lineage to recompute from). Pass a
+    fault-tolerant directory (HDFS/S3/local) to use reliable
+    ``checkpoint`` instead: one distributed write per round buys
+    survival of executor preemption — the right setting on spot
+    clusters for a 20-round job over 10^10 edges.
     """
-    e = _canon_edges(edges, src, dst).localCheckpoint(eager=True)
+    _ckpt = lineage_truncator(checkpoint_dir)
+    e = _ckpt(_canon_edges(edges, src, dst))
     if algorithm == "two-phase":
         prev = _checksum(e)
         rounds = 0
         for _ in range(max_iterations):
-            e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            e2 = _ckpt(_small_star(_large_star(e)))
             cur = _checksum(e2)
             e = e2
             rounds += 1
@@ -161,10 +175,10 @@ def connected_components(
             .distinct()
         )
         labels = nodes.select("node", F.col("node").alias("component"))
-        labels = labels.localCheckpoint(eager=True)
-        sym = e.union(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).localCheckpoint(eager=True)
+        labels = _ckpt(labels)
+        sym = _ckpt(
+            e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        )
         for rounds in range(1, max_iterations + 1):
             # component'(v) = min(component(v), min over neighbors u of component(u))
             from_nbrs = (
@@ -172,7 +186,7 @@ def connected_components(
                 .groupBy(sym["src"].alias("node"))
                 .agg(F.min("component").alias("_nc"))
             )
-            new_labels = (
+            new_labels = _ckpt(
                 labels.join(from_nbrs, "node", "left")
                 .select(
                     "node",
@@ -180,7 +194,6 @@ def connected_components(
                         F.col("component"), F.coalesce(F.col("_nc"), F.col("component"))
                     ).alias("component"),
                 )
-                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")
@@ -265,6 +278,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration power-method PageRank over a directed edge list
     (Page et al. 1999) — the principled generalization of the scheduler's
@@ -286,29 +300,29 @@ def pagerank(
     of edges against the current rank vector on src; outdegrees are
     computed once; the dangling mass is a 1-row aggregate broadcast back
     onto the node frame. Iteration count is FIXED (no convergence
-    collect), and per-round lineage is truncated with eager
-    localCheckpoint exactly like ``connected_components`` above, so deep
-    iteration never stacks a re-computable plan. No driver-resident
-    graph; the rank vector lives partitioned by node.
+    collect), and per-round lineage is truncated exactly like
+    ``connected_components`` above (``checkpoint_dir`` trades
+    localCheckpoint speed for reliable-checkpoint executor-loss safety —
+    see iterutil), so deep iteration never stacks a re-computable plan.
+    No driver-resident graph; the rank vector lives partitioned by node.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not (0.0 <= damping <= 1.0):
         raise ValueError(f"damping must be in [0, 1], got {damping}")
-    e = (
+    _ckpt = lineage_truncator(checkpoint_dir)
+    e = _ckpt(
         edges.select(
             F.col(src).cast("long").alias("src"),
             F.col(dst).cast("long").alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    nodes = (
+    nodes = _ckpt(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -316,9 +330,11 @@ def pagerank(
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
-    base = nodes.join(outdeg, "node", "left").select(
-        "node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
-    ).localCheckpoint(eager=True)
+    base = _ckpt(
+        nodes.join(outdeg, "node", "left").select(
+            "node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
+        )
+    )
     d = float(damping)
     teleport = (1.0 - d) / n_nodes
     ranks = base.select("node", "outdeg", F.lit(1.0 / n_nodes).alias("rank"))
@@ -339,7 +355,7 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("share").alias("contrib"))
         )
-        ranks = (
+        ranks = _ckpt(
             base.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -354,7 +370,6 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
     return ranks.select("node", "rank")
 
