@@ -1644,7 +1644,8 @@ def dedup_minhash_lsh_e2e(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     return minhash_near_duplicates(
-        d, num_perm=8, bands=4, threshold=0.7, ngram=1
+        d, num_perm=8, bands=4, threshold=0.7, ngram=1,
+        max_bucket_df=None,  # exact/oracle mode: uncapped (prod default is 10^4)
     )
 
 
@@ -1937,7 +1938,10 @@ def dedup_embedding_cosine_q(spark, sf_dir):
         .filter(F.col("vec_id") < 400)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     )
-    return embedding_near_duplicates(e, threshold=0.35, bucket_dims=4)
+    return embedding_near_duplicates(
+        e, threshold=0.35, bucket_dims=4,
+        max_bucket_df=None,  # exact/oracle mode: uncapped (prod default is 10^4)
+    )
 
 
 _EMB_DEDUP_SQL = """
@@ -1977,7 +1981,10 @@ def semdedup_keep_q(spark, sf_dir):
             F.col("embedding").cast("array<double>").alias("embedding"),
         )
     )
-    return semantic_dedup(e, threshold=0.35, clusters="sign", bucket_dims=4)
+    return semantic_dedup(
+        e, threshold=0.35, clusters="sign", bucket_dims=4,
+        max_cluster_df=None,  # exact/oracle mode: uncapped (prod default is 10^4)
+    )
 
 
 _SEMDEDUP_SQL = """
@@ -3236,7 +3243,9 @@ def dedup_cluster_canonical_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     from cord19_crawler_spark.operators.dedup import minhash_near_duplicates
 
-    pairs = minhash_near_duplicates(d, num_perm=8, bands=4, threshold=0.7, ngram=1)
+    pairs = minhash_near_duplicates(
+        d, num_perm=8, bands=4, threshold=0.7, ngram=1, max_bucket_df=None
+    )
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("_c"))
     return (

@@ -21,6 +21,18 @@ from pyspark.sql import functions as F
 
 from ..functions.hashes import md5_long56, minhash_expr, minhash_params
 
+# Production default for the hot-bucket caps in the e2e near-dup entry
+# points (r4 verdict item #3): at 100 TB an UNCAPPED degenerate bucket —
+# 10^6 boilerplate-identical docs sharing a band value — emits C(10^6, 2)
+# ≈ 5·10^11 join pairs and sinks the stage, and a caller who does not know
+# the footgun exists will hit it. 10^4 bounds any one bucket's pair
+# contribution at C(10^4, 2) ≈ 5·10^7 rows (seconds of shuffle) while
+# being far above any non-degenerate bucket's occupancy under real banding
+# (expected bucket size at 10^10 docs with 2^56-value bands is ≪ 10).
+# Pass ``max_bucket_df=None`` explicitly for exact/oracle mode — the
+# __spark_entry__ oracle rows do, and the capped variants pin both modes.
+DEFAULT_MAX_BUCKET_DF = 10_000
+
 
 def _cap_hot_buckets(
     banded: DataFrame,
@@ -182,7 +194,7 @@ def minhash_near_duplicates(
     threshold: float = 0.7,
     ngram: int = 3,
     shingle_storage: str = "localCheckpoint",
-    max_bucket_df: int | None = None,
+    max_bucket_df: int | None = DEFAULT_MAX_BUCKET_DF,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band → candidate pairs →
     EXACT Jaccard verification ≥ threshold. Returns
@@ -335,7 +347,7 @@ def simhash_near_duplicates(
     bits: int = 32,
     max_hamming: int = 3,
     bands: int = 4,
-    max_bucket_df: int | None = None,
+    max_bucket_df: int | None = DEFAULT_MAX_BUCKET_DF,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the fingerprint into ``bands`` chunks —
     any pair within ``max_hamming < bands`` differs in at most
@@ -402,7 +414,7 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     bucket_dims: int = 6,
-    max_bucket_df: int | None = None,
+    max_bucket_df: int | None = DEFAULT_MAX_BUCKET_DF,
 ) -> DataFrame:
     """Embedding-cosine near-dup: sign-projection bucketing on the first
     ``bucket_dims`` dimensions (deterministic hyperplanes = coordinate axes)
@@ -483,7 +495,7 @@ def embedding_near_duplicates_lsh(
     bits: int = 8,
     n_tables: int = 4,
     seed: int = 42,
-    max_bucket_df: int | None = None,
+    max_bucket_df: int | None = DEFAULT_MAX_BUCKET_DF,
 ) -> DataFrame:
     """Embedding near-dup at scale: L independent random-hyperplane tables
     (deterministic seed), per-(table, bucket) pair join, exact cosine ≥
@@ -875,7 +887,7 @@ def semantic_dedup(
     bucket_dims: int = 6,
     n_clusters: int = 16,
     seed: int = 42,
-    max_cluster_df: int | None = None,
+    max_cluster_df: int | None = DEFAULT_MAX_BUCKET_DF,
 ) -> DataFrame:
     """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and removing near-identical

@@ -120,3 +120,28 @@ def test_embedding_cap_bounds_flood(spark):
     assert 0 < len(flood) <= CAP * (CAP - 1) // 2
     # the small opposite-sign bucket is untouched by the cap
     assert any({r["vec_a"], r["vec_b"]} == {"w1", "w2"} for r in got)
+
+
+def test_production_defaults_are_capped():
+    """r4 verdict item #3: the e2e near-dup entry points must default to a
+    BOUNDED bucket cap (a 100-TB caller should not need to know the
+    degenerate-bucket footgun exists); the low-level primitive keeps None
+    (exact mode), and oracle rows opt out explicitly."""
+    import inspect
+
+    from cord19_crawler_spark.operators import dedup
+
+    assert dedup.DEFAULT_MAX_BUCKET_DF == 10_000
+    for fn, param in [
+        (dedup.minhash_near_duplicates, "max_bucket_df"),
+        (dedup.simhash_near_duplicates, "max_bucket_df"),
+        (dedup.embedding_near_duplicates, "max_bucket_df"),
+        (dedup.embedding_near_duplicates_lsh, "max_bucket_df"),
+        (dedup.semantic_dedup, "max_cluster_df"),
+    ]:
+        default = inspect.signature(fn).parameters[param].default
+        assert default == dedup.DEFAULT_MAX_BUCKET_DF, fn.__name__
+    assert (
+        inspect.signature(dedup.lsh_candidate_pairs).parameters["max_bucket_df"].default
+        is None
+    )
