@@ -2065,16 +2065,18 @@ WITH t AS (
   ) AS gs
   FROM t WHERE len(toks) >= 5
 ), w AS (
-  SELECT doc_id, gs, unnest(generate_series(1, len(gs) - 3)) AS s
-  FROM g WHERE len(gs) >= 4
+  -- short gram sequences (len < window) get ONE truncated window over
+  -- the whole sequence (greatest(1, ...)), mirroring the Spark edge rule
+  SELECT doc_id, gs, unnest(generate_series(1, greatest(1, len(gs) - 3))) AS s
+  FROM g
 ), pick AS (
   SELECT doc_id, s, gs,
-    list_min(gs[CAST(s AS INT):CAST(s AS INT) + 3]) AS fp
+    list_min(gs[CAST(s AS INT):CAST(least(s + 3, len(gs)) AS INT)]) AS fp
   FROM w
 ), located AS (
   SELECT doc_id, fp,
     list_max(list_filter(
-      generate_series(s, s + 3),
+      generate_series(s, least(s + 3, len(gs))),
       j -> list_extract(gs, CAST(j AS INT)) = fp)) - 1 AS pos
   FROM pick
 )
@@ -3492,7 +3494,7 @@ WITH h AS (
   SELECT url, changed AS first_changed
   FROM (
     SELECT url, changed,
-      row_number() OVER (PARTITION BY url ORDER BY ts, changed) AS rn
+      row_number() OVER (PARTITION BY url ORDER BY ts, changed DESC) AS rn
     FROM h
   ) WHERE rn = 1
 ), est AS (

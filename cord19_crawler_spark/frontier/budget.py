@@ -10,10 +10,15 @@ That is the classic largest-remainder (Hamilton) method: floor every
 proportional quota, then hand the leftover units to the hosts with the
 largest fractional parts (ties by host ASC — a total order).
 
-Scale shape (10^8 hosts): two 1-row aggregates (total weight, floored
-sum) broadcast back onto the scan, and ONE global rank on the fractional
-part via the two-phase range-partitioned ``global_row_number`` — no
-single-reducer window. Everything else is scan-side arithmetic.
+Scale shape (10^8 hosts): ONE driver action — a single 1-row aggregate
+computing (total weight, invalid-weight count, floored-quota sum) in one
+job — then ONE global rank on the fractional part via the two-phase
+range-partitioned ``global_row_number``; no single-reducer window.
+Everything else is scan-side arithmetic. The normalized weight frame is
+pinned with an eager localCheckpoint before the first action so a
+non-deterministic upstream (a sampled or recomputed frame) cannot yield
+a leftover/rank pair inconsistent with the final pass — the exact-sum
+guarantee holds against the SAME materialized weights everywhere.
 """
 from __future__ import annotations
 
@@ -42,19 +47,47 @@ def apportion_budget(
 
     if total < 0:
         raise ValueError(f"total must be >= 0, got {total}")
+    # pin the normalized weights before ANY action: every subsequent pass
+    # (validity/wsum/floored-sum and the final ranked job) must read the
+    # SAME materialized values or a non-deterministic upstream breaks the
+    # exact-sum guarantee
     w = weights.select(
         F.col(key_col).alias("key"),
         F.col(weight_col).cast("double").alias("weight"),
-    )
-    bad = (
-        w.filter((F.col("weight") < 0) | F.col("weight").isNull())
-        .limit(1)
-        .count()
-    )
-    if bad:
-        raise ValueError("weights must be non-negative and non-null")
+    ).localCheckpoint(eager=True)
+    # ONE driver action: wsum, invalid-weight count, and the floored-quota
+    # sum in a single job (wsum is a 1-row broadcast inside the same plan;
+    # try_divide because ANSI faults even double /0 and the wsum<=0 case
+    # must surface as the ValueError below, not a SparkArithmeticException;
+    # invalid rows are likewise rejected below before any result is
+    # derived from their quotas)
     tot = w.agg(F.sum("weight").alias("wsum"))
-    wsum = tot.collect()[0]["wsum"]
+    row = (
+        w.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("wsum").alias("wsum"),
+            F.coalesce(
+                F.sum(
+                    ((F.col("weight") < 0) | F.col("weight").isNull()).cast("long")
+                ),
+                F.lit(0),
+            ).alias("bad"),
+            F.coalesce(
+                F.sum(
+                    F.floor(
+                        F.try_divide(F.col("weight"), F.col("wsum"))
+                        * F.lit(float(total))
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("floored"),
+        )
+        .collect()
+    )
+    first = row[0] if row else None
+    if first is not None and first["bad"]:
+        raise ValueError("weights must be non-negative and non-null")
+    wsum = first["wsum"] if first is not None else None
     if not wsum or wsum <= 0:
         raise ValueError("total weight must be positive")
     quota = F.col("weight") / F.lit(float(wsum)) * F.lit(float(total))
@@ -64,10 +97,7 @@ def apportion_budget(
         F.floor(quota).cast("long").alias("base"),
         (quota - F.floor(quota)).alias("_frac"),
     )
-    leftover = int(
-        total - based.agg(F.coalesce(F.sum("base"), F.lit(0)).alias("s"))
-        .collect()[0]["s"]
-    )
+    leftover = int(total - first["floored"])
     ranked = global_row_number(
         based,
         order_by=[F.desc("_frac"), F.asc("key")],

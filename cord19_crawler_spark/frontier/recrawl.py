@@ -49,11 +49,14 @@ def change_rate_estimates(
     ``history`` has one row per fetch: (url, fetch_ts, changed) where
     ``changed`` says the content differed from the PREVIOUS fetch of the
     same url; the flag on a url's chronologically first fetch carries no
-    information and is ignored (ties on the first timestamp break by the
-    flag itself via ``min_by``'s struct order, so the result stays
-    deterministic even on degenerate histories).  URLs with a single
-    fetch have no interval evidence and get ``default_lambda``
-    (changes/second; callers pick a prior matching their corpus).
+    information and is ignored.  On a degenerate history where several
+    fetches TIE on the minimum timestamp, the tie breaks toward
+    changed=true (``min_by`` over struct(ts, NOT changed)): any of the
+    tied rows might be the true first fetch, so discarding a true flag
+    when one exists is the direction that never over-counts n_changes —
+    and the result stays deterministic.  URLs with a single fetch have
+    no interval evidence and get ``default_lambda`` (changes/second;
+    callers pick a prior matching their corpus).
 
     Returns (url, n_fetches, n_changes, span_seconds, lambda_hat) with
     lambda_hat in changes/second.
@@ -80,7 +83,10 @@ def change_rate_estimates(
         F.sum(F.col("changed").cast("long")).alias("_raw_changes"),
         F.min("ts").alias("_first_ts"),
         F.max("ts").alias("_last_ts"),
-        F.min_by(F.col("changed"), F.struct(F.col("ts"), F.col("changed")))
+        # struct(ts, NOT changed): at equal min-ts, changed=true sorts
+        # first (false < true), so the discarded first-fetch flag is the
+        # true one when any tied row has it — never over-counts
+        F.min_by(F.col("changed"), F.struct(F.col("ts"), ~F.col("changed")))
         .alias("_first_changed"),
     )
     n = F.col("n_fetches") - F.lit(1)

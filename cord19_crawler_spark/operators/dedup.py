@@ -995,7 +995,11 @@ def winnowing_fingerprints(
     gram (md5_long56 — the engine-wide oracle-mirrorable hash), slide a
     ``window``-wide window over the hash sequence, select the RIGHTMOST
     minimal hash in each window, and emit the distinct selected
-    (position, hash) pairs per document.
+    (position, hash) pairs per document. Documents whose gram sequence is
+    SHORTER than ``window`` (k <= tokens < k+window-1) get the standard
+    edge handling: one truncated window over the whole sequence, so every
+    doc with at least k tokens emits >= 1 fingerprint and stays matchable;
+    only docs with fewer than k tokens are absent.
 
     Returns (doc_id, pos, fp) — pos is the 0-based token index of the
     selected gram, so downstream overlap detection can localize matches.
@@ -1037,10 +1041,15 @@ def winnowing_fingerprints(
     d = d.select("doc_id", grams.alias("_g"))
     # robust winnowing: rightmost minimum of each window (ties -> larger
     # index wins via <=), as a fold over the window's positions
+    # window starts: 1..size-window+1, clamped to >= 1 so a short gram
+    # sequence (size < window) yields ONE truncated window; window end is
+    # clamped to the sequence length (only binds for that short case)
     sel = F.transform(
-        F.sequence(F.lit(1), F.size("_g") - F.lit(window - 1)),
+        F.sequence(
+            F.lit(1), F.greatest(F.lit(1), F.size("_g") - F.lit(window - 1))
+        ),
         lambda s: F.aggregate(
-            F.sequence(s, s + F.lit(window - 1)),
+            F.sequence(s, F.least(s + F.lit(window - 1), F.size("_g"))),
             F.struct(
                 F.lit(None).cast("long").alias("h"),
                 F.lit(-1).cast("long").alias("p"),
@@ -1059,8 +1068,7 @@ def winnowing_fingerprints(
     # and doc_id scopes the rows — no row-level distinct (and its extra
     # exchange over ~2n/window rows) is needed
     return (
-        d.filter(F.size("_g") >= window)
-        .select("doc_id", F.explode(F.array_distinct(sel)).alias("_s"))
+        d.select("doc_id", F.explode(F.array_distinct(sel)).alias("_s"))
         .select(
             "doc_id",
             F.col("_s.p").alias("pos"),

@@ -634,11 +634,15 @@ def shuffle_shards(
     uniform-looking, (b) reproducible bit-for-bit across runs/engines for
     resumable data loaders, and (c) re-rollable by seed across epochs.
     RNG-based ``orderBy(rand())`` fails (b); this uses the engine-wide
-    Knuth multiplicative hash as a seeded PERMUTATION: h = (((id + seed)
-    mod 2^32) * 2654435761) mod 2^32 is a bijection on [0, 2^32) (odd
+    Knuth multiplicative hash as a seeded PERMUTATION: h = pmod(pmod(id +
+    seed, 2^32) * 2654435761, 2^32) is a bijection on [0, 2^32) (odd
     multiplier), so every epoch seed yields a distinct total order with
-    no collisions beyond id-space wrap. Shard = h mod n_shards (uniform
-    by the hash), position = rank of h within the shard. The multiply
+    no collisions beyond id-space wrap. Shard = pmod(h, n_shards)
+    (uniform by the hash), position = rank of h within the shard. All
+    mod reductions use ``pmod`` — Spark's ``%`` is sign-preserving, so a
+    negative doc_id or seed would otherwise yield negative h / negative
+    shard ids and silently break the bijection and shard uniformity; with
+    pmod the id domain is the full long range, no caveat. The multiply
     runs in decimal(38,0) (the scheduler's ANSI-overflow convention):
     a raw long product overflows for ids >= ~3.5e9 — job-killing under
     Spark 4's default ANSI mode — so unlike ``hash_sample_pred`` this
@@ -658,19 +662,18 @@ def shuffle_shards(
 
     d = docs.select(F.col(id_col).cast("long").alias("doc_id")).withColumn(
         "_hk",
-        (
-            ((F.col("doc_id") + F.lit(int(seed))) % F.lit(_M32))
+        F.pmod(
+            F.pmod(F.col("doc_id") + F.lit(int(seed)), F.lit(_M32))
             .cast("decimal(38,0)")
-            * F.lit(_KNUTH)
-            % F.lit(_M32)
+            * F.lit(_KNUTH),
+            F.lit(_M32),
         ).cast("long"),
     )
-    w = Window.partitionBy(F.col("_hk") % F.lit(n_shards)).orderBy(
-        "_hk", "doc_id"
-    )
+    shard = F.pmod(F.col("_hk"), F.lit(n_shards))
+    w = Window.partitionBy(shard).orderBy("_hk", "doc_id")
     return d.select(
         "doc_id",
-        (F.col("_hk") % F.lit(n_shards)).cast("long").alias("shard"),
+        shard.cast("long").alias("shard"),
         (F.row_number().over(w) - F.lit(1)).cast("long").alias("pos"),
     )
 
@@ -789,7 +792,11 @@ def adaptive_quality_cut(
     |groups| rows, the corpus is scanned once. Returns (doc_id, group,
     score, threshold, kept) with kept = score >= threshold when
     ``keep_above`` (strictly-below rows dropped; ties survive) else
-    score <= threshold. NULL scores are never kept.
+    score <= threshold. NULL scores are never kept. A group whose scores
+    are ALL NULL has no quantile; its documents still appear in the
+    output with threshold NULL and kept=False (LEFT join against the
+    threshold frame — an inner join would silently drop the whole group,
+    violating the "never kept" contract's visibility).
     """
     if not (0.0 <= p <= 1.0):
         raise ValueError(f"p must be in [0, 1], got {p}")
@@ -811,6 +818,7 @@ def adaptive_quality_cut(
         d.join(
             F.broadcast(thresholds),
             F.col(gname).eqNullSafe(F.col("_tg")),
+            "left",
         )
         .select(
             "doc_id",
