@@ -4268,6 +4268,219 @@ FROM c
 """
 
 
+def curation_pipeline_q(spark, sf_dir):
+    """END-TO-END curation pipeline (plans/curation_pipeline.py): ONE
+    composed plan chaining the verified curation stages — Gopher
+    structural rules (min_words=30; stop rule disabled: the sentence
+    injection consumes 'the') → C4 line cleaning (badword 'dup' ≈ 5% of
+    docs — non-trivial, non-fatal) → exact-dedup keep-list (md5
+    fingerprint, min-id keeper) → adaptive per-lang quality cut (p=0.3
+    of quality_score) → 3000-token budget filled in (quality DESC,
+    doc_id) order via the two-phase global running sum. One row per
+    input doc with every stage flag + final kept. The oracle replays
+    ALL five stages and the budget window in a single SQL statement, so
+    the composition itself (not just the pieces) is value-checked."""
+    from cord19_crawler_spark.plans.curation_pipeline import curation_report
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.expr(r"replace(text, ' the ', '.\n')")
+    )
+    return curation_report(
+        d,
+        quality_p=0.3,
+        token_budget=3000,
+        gopher_kwargs=dict(min_words=30, min_stop_hits=0),
+        c4_kwargs=dict(badwords=["dup"], min_line_words=5, min_sentences=3),
+    )
+
+
+def _curation_pipeline_sql() -> str:
+    stops = _stops_sql()
+    return r"""
+WITH src AS (
+  SELECT doc_id, lang, replace(text, ' the ', '.' || chr(10)) AS text
+  FROM documents
+), base AS (
+  SELECT doc_id, lang,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+      AS n_tokens,
+    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+  FROM src
+), q0 AS (
+  SELECT doc_id, length(text) AS n,
+    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+    regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS toks
+  FROM src
+), qual AS (
+  SELECT doc_id,
+    round(0.4 * least(n / 500.0, 1.0)
+      + 0.4 * (CASE WHEN n > 0 THEN alpha / CAST(n AS DOUBLE) ELSE 0.0 END)
+      + 0.2 * (CASE WHEN len(toks) > 0 THEN
+          len(list_filter(toks, t -> list_contains([__STOPS__], t)))
+            / CAST(len(toks) AS DOUBLE) ELSE 0.0 END), 6) AS quality
+  FROM q0
+), gdw AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS w,
+    list_filter(list_transform(regexp_split_to_array(text, '\n+'),
+      l -> regexp_replace(l, '^\s+|\s+$', '', 'g')), l -> l <> '') AS l,
+    text AS t
+  FROM src
+), gbase AS (
+  SELECT doc_id, len(w) AS n_words,
+    CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT)
+      AS wc,
+    (length(t) - length(replace(t, '#', '')))
+      + (length(t) - length(replace(t, '...', ''))) / 3.0
+      + (length(t) - length(replace(t, '…', ''))) AS sym,
+    len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+    len(l) AS n_lines,
+    len(list_filter(l, x ->
+      list_contains(['•','‣','▪','-','*'], x[1:1]))) AS bullet,
+    len(list_filter(l, x -> x LIKE '%...' OR x LIKE '%…')) AS ell
+  FROM gdw
+), gla AS (
+  SELECT doc_id, sum(c - 1) AS dup_l,
+    sum((c - 1) * length(line)) AS dup_lc,
+    sum(c * length(line)) AS tot_lc
+  FROM (SELECT doc_id, line, count(*) AS c
+        FROM (SELECT doc_id, unnest(l) AS line FROM gdw)
+        GROUP BY doc_id, line)
+  GROUP BY doc_id
+), glw AS (
+  SELECT doc_id, list_transform(w, x -> lower(x)) AS lw, len(w) AS nw
+  FROM gdw
+), ggr AS (
+  SELECT doc_id, n.n AS n,
+    array_to_string(glw.lw[p.i : p.i + n.n - 1], ' ') AS g
+  FROM glw, unnest(generate_series(2, 10)) AS n(n),
+       unnest(generate_series(1, glw.nw - n.n + 1)) AS p(i)
+), ggx AS (
+  SELECT doc_id, n, c, c * length(g) AS cov,
+    max(c) OVER (PARTITION BY doc_id, n) AS m
+  FROM (SELECT doc_id, n, g, count(*) AS c FROM ggr GROUP BY doc_id, n, g)
+), ggn AS (
+  SELECT doc_id, n, max(cov) FILTER (WHERE c = m) AS topcov,
+    sum(CASE WHEN c >= 2 THEN cov ELSE 0 END) AS dupcov
+  FROM ggx GROUP BY doc_id, n
+), ggp AS (
+  SELECT doc_id,
+    max(topcov) FILTER (WHERE n = 2) AS top2,
+    max(topcov) FILTER (WHERE n = 3) AS top3,
+    max(topcov) FILTER (WHERE n = 4) AS top4,
+    max(dupcov) FILTER (WHERE n = 5) AS dup5,
+    max(dupcov) FILTER (WHERE n = 6) AS dup6,
+    max(dupcov) FILTER (WHERE n = 7) AS dup7,
+    max(dupcov) FILTER (WHERE n = 8) AS dup8,
+    max(dupcov) FILTER (WHERE n = 9) AS dup9,
+    max(dupcov) FILTER (WHERE n = 10) AS dup10
+  FROM ggn GROUP BY doc_id
+), gj AS (
+  SELECT gbase.*,
+    coalesce(gla.dup_l, 0) AS dup_l, coalesce(gla.dup_lc, 0) AS dup_lc,
+    coalesce(gla.tot_lc, 0) AS tot_lc,
+    coalesce(ggp.top2, 0) AS top2, coalesce(ggp.top3, 0) AS top3,
+    coalesce(ggp.top4, 0) AS top4, coalesce(ggp.dup5, 0) AS dup5,
+    coalesce(ggp.dup6, 0) AS dup6, coalesce(ggp.dup7, 0) AS dup7,
+    coalesce(ggp.dup8, 0) AS dup8, coalesce(ggp.dup9, 0) AS dup9,
+    coalesce(ggp.dup10, 0) AS dup10
+  FROM gbase LEFT JOIN gla USING (doc_id) LEFT JOIN ggp USING (doc_id)
+), gopher AS (
+  SELECT doc_id,
+    (n_words >= 30 AND n_words <= 100000
+     AND (CASE WHEN n_words > 0 THEN round(wc * 1.0 / n_words, 6)
+          ELSE 0.0 END) >= 3
+     AND (CASE WHEN n_words > 0 THEN round(wc * 1.0 / n_words, 6)
+          ELSE 0.0 END) <= 10
+     AND (CASE WHEN n_words > 0 THEN round(sym / n_words, 6)
+          ELSE 0.0 END) <= 0.1
+     AND (CASE WHEN n_lines > 0 THEN round(bullet * 1.0 / n_lines, 6)
+          ELSE 0.0 END) < 0.9
+     AND (CASE WHEN n_lines > 0 THEN round(ell * 1.0 / n_lines, 6)
+          ELSE 0.0 END) < 0.3
+     AND (CASE WHEN n_words > 0 THEN round(alpha * 1.0 / n_words, 6)
+          ELSE 0.0 END) >= 0.8
+     AND (CASE WHEN n_lines > 0 THEN round(dup_l * 1.0 / n_lines, 6)
+          ELSE 0.0 END) <= 0.3
+     AND (CASE WHEN tot_lc > 0 THEN round(dup_lc * 1.0 / tot_lc, 6)
+          ELSE 0.0 END) <= 0.2
+     AND (CASE WHEN wc > 0 THEN round(top2 * 1.0 / wc, 6) ELSE 0.0 END)
+       <= 0.20
+     AND (CASE WHEN wc > 0 THEN round(top3 * 1.0 / wc, 6) ELSE 0.0 END)
+       <= 0.18
+     AND (CASE WHEN wc > 0 THEN round(top4 * 1.0 / wc, 6) ELSE 0.0 END)
+       <= 0.16
+     AND (CASE WHEN wc > 0 THEN round(dup5 * 1.0 / wc, 6) ELSE 0.0 END)
+       <= 0.15
+     AND (CASE WHEN wc > 0 THEN round(dup6 * 1.0 / wc, 6) ELSE 0.0 END)
+       <= 0.14
+     AND (CASE WHEN wc > 0 THEN round(dup7 * 1.0 / wc, 6) ELSE 0.0 END)
+       <= 0.13
+     AND (CASE WHEN wc > 0 THEN round(dup8 * 1.0 / wc, 6) ELSE 0.0 END)
+       <= 0.12
+     AND (CASE WHEN wc > 0 THEN round(dup9 * 1.0 / wc, 6) ELSE 0.0 END)
+       <= 0.11
+     AND (CASE WHEN wc > 0 THEN round(dup10 * 1.0 / wc, 6) ELSE 0.0 END)
+       <= 0.10) AS gopher_keep
+  FROM gj
+), c4d AS (
+  SELECT doc_id,
+    list_filter(list_transform(regexp_split_to_array(text, '\n+'),
+      l -> regexp_replace(l, '^\s+|\s+$', '', 'g')), l -> l <> '') AS l,
+    lower(text) AS lt
+  FROM src
+), c4k AS (
+  SELECT doc_id,
+    list_filter(l, x ->
+      list_contains(['.', '!', '?', '"'], x[-1:])
+      AND len(list_filter(regexp_split_to_array(x, '\s+'),
+                          w -> w <> '')) >= 5
+      AND NOT regexp_matches(lower(x), '\bjavascript\b')) AS kept,
+    lt
+  FROM c4d
+), c4 AS (
+  SELECT doc_id,
+    (NOT contains(lt, 'lorem ipsum') AND NOT contains(lt, '{')
+     AND NOT regexp_matches(lt, '\b(dup)\b')
+     AND len(regexp_extract_all(
+           coalesce(array_to_string(kept, chr(10)), ''), '[.!?]+')) >= 3)
+      AS c4_keep
+  FROM c4k
+), keepers AS (
+  SELECT fp, min(doc_id) AS keeper FROM base GROUP BY fp
+), thr AS (
+  SELECT b.lang, round(quantile_cont(q.quality, 0.3), 6) AS threshold
+  FROM base b JOIN qual q USING (doc_id) GROUP BY b.lang
+), rep AS (
+  SELECT b.doc_id, b.lang, b.n_tokens, q.quality,
+    g.gopher_keep, c.c4_keep,
+    (b.doc_id = k.keeper) AS canonical,
+    t.threshold,
+    coalesce(q.quality >= t.threshold, false) AS quality_keep
+  FROM base b
+  JOIN qual q USING (doc_id)
+  JOIN gopher g USING (doc_id)
+  JOIN c4 c USING (doc_id)
+  JOIN keepers k ON b.fp = k.fp
+  LEFT JOIN thr t ON b.lang = t.lang
+), ranked AS (
+  SELECT doc_id,
+    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS BIGINT)
+      AS cum_tokens
+  FROM rep
+  WHERE gopher_keep AND c4_keep AND canonical AND quality_keep
+)
+SELECT r.doc_id, r.lang, r.n_tokens, r.quality, r.gopher_keep, r.c4_keep,
+  r.canonical, r.threshold, r.quality_keep,
+  rk.cum_tokens,
+  coalesce(rk.cum_tokens <= 3000, false) AS in_budget,
+  (r.gopher_keep AND r.c4_keep AND r.canonical AND r.quality_keep
+   AND coalesce(rk.cum_tokens <= 3000, false)) AS kept
+FROM rep r LEFT JOIN ranked rk USING (doc_id)
+""".replace("__STOPS__", stops)
+
+
 def ccnet_buckets_q(spark, sf_dir):
     """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.4): rank
     the lm_perplexity scores ascending (ties by doc_id) and split into
@@ -4416,6 +4629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": stratified_sample_q,
         "gopher_quality": gopher_quality_q,
         "c4_filter": c4_filter_q,
+        "curation_pipeline": curation_pipeline_q,
         "link_pagerank": link_pagerank_q,
         "anchor_text_topk": anchor_text_topk_q,
         "recrawl_staleness": recrawl_staleness_q,
@@ -4530,6 +4744,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "gopher_quality": _GOPHER_SQL,
         "c4_filter": _C4_SQL,
+        "curation_pipeline": _curation_pipeline_sql(),
         "link_pagerank": _pagerank_sql(),
         "anchor_text_topk": _ANCHOR_TEXT_SQL,
         "recrawl_staleness": _RECRAWL_SQL,

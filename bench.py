@@ -66,6 +66,8 @@ HEADLINE = [
     "semdedup_keep",
     "length_quantiles",
     "winnowing_fingerprints",
+    # round-5 addition: the composed curation pipeline (flagship e2e plan)
+    "curation_pipeline",
 ]
 
 

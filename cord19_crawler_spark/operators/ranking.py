@@ -94,3 +94,59 @@ def global_row_number(
         .withColumn(name, (F.col("_lrn") + off).cast(dtype))
         .drop("_pid", "_lrn")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    name: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append an INCLUSIVE global prefix sum of ``value_col`` under a TOTAL
+    order — the same two-phase plan shape as ``global_row_number`` (range
+    exchange + per-partition window + per-partition offsets collected as
+    metadata), so a 10^10-row cumulative sum never funnels through one
+    reducer. Callers must include a unique tie-break in ``order_by``.
+
+    The per-partition offsets are SUMS of the value column rather than row
+    counts; everything else (eager localCheckpoint to freeze the sampled
+    range boundaries, ≤ num_partitions driver rows) matches
+    global_row_number. Doubles accumulate in range order deterministically
+    (same partitioning → same per-partition fold order); use long inputs
+    for exact budgets.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(n, *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    parts = parts.localCheckpoint(eager=True)
+    sums = {
+        r["_pid"]: r["s"]
+        for r in parts.groupBy("_pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets: dict[int, float] = {}
+    acc = 0
+    for p in sorted(sums):
+        offsets[p] = acc
+        acc += sums[p] or 0
+    if offsets:
+        off = F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("_pid"),
+        )
+    else:
+        off = F.lit(0)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parts.withColumn("_lrs", F.sum(value_col).over(w))
+        .withColumn(name, F.col("_lrs") + off)
+        .drop("_pid", "_lrs")
+    )

@@ -95,3 +95,34 @@ def test_lexicon_and_docmap_unchanged(spark):
     assert rows["gamma"] == 4 and rows["w1"] == 5
     dm = {r["doc_id"]: r["int_id"] for r in doc_id_mapping(postings(toks)).collect()}
     assert dm == {i: i + 1 for i in range(60)}
+
+
+def test_global_running_sum_matches_window(spark):
+    """global_running_sum (two-phase prefix sum) must equal the
+    single-reducer window's inclusive cumulative sum under a total order,
+    including ties on the primary key (doc_id tie-break)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cord19_crawler_spark.operators.ranking import global_running_sum
+
+    rng = random.Random(13)
+    rows = [(i, rng.choice([1.0, 2.0, 2.0, 5.0]), rng.randint(1, 40))
+            for i in range(457)]
+    df = spark.createDataFrame(rows, "doc_id long, key double, val long")
+    order = [F.desc("key"), F.asc("doc_id")]
+    got = {
+        r["doc_id"]: r["rs"]
+        for r in global_running_sum(df, order, "val", name="rs").collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["doc_id"]: r["rs"]
+        for r in df.withColumn("rs", F.sum("val").over(w)).collect()
+    }
+    assert got == want
+    # empty input: no crash, no rows
+    empty = spark.createDataFrame([], "doc_id long, key double, val long")
+    assert global_running_sum(empty, order, "val").count() == 0
