@@ -47,6 +47,7 @@ scope — SURVEY.md §2.1).
 
 from __future__ import annotations
 
+import contextlib
 import html
 import json
 import os
@@ -82,7 +83,12 @@ class SearchService:
         text_col: str = "text",
         title_col: str | None = None,
         autocomplete_k: int = 5,
+        max_concurrent_queries: int = 8,
     ) -> None:
+        if max_concurrent_queries < 1:
+            raise ValueError(
+                f"max_concurrent_queries must be >= 1, got {max_concurrent_queries}"
+            )
         self.spark = spark
         self.index_dir = index_dir
         self.corpus_path = corpus_path
@@ -111,6 +117,19 @@ class SearchService:
             os.path.join(state_dir, "delta_docs") if state_dir else None
         )
         self._lock = threading.Lock()
+        # concurrency guard (r4 verdict item #8): ThreadingHTTPServer spawns
+        # one thread per connection, so a burst of requests would otherwise
+        # queue UNBOUNDED concurrent jobs on the one SparkSession (each
+        # search is several jobs — count + top-k collect — and local-mode
+        # scheduling degrades superlinearly when hundreds contend). The
+        # semaphore bounds Spark-job-running requests; excess HTTP threads
+        # block at the gate (cheap: one parked thread each) instead of
+        # flooding the scheduler. Peak tracking is for tests/monitoring.
+        self._query_sem = threading.BoundedSemaphore(max_concurrent_queries)
+        self.max_concurrent_queries = max_concurrent_queries
+        self._inflight = 0
+        self._inflight_peak = 0
+        self._inflight_lock = threading.Lock()
         self._dyn_titles: dict[str, str] = {}
         # in-memory fallback when no state_dir was given (ephemeral server);
         # bounded by uploads to THIS process, like the reference's
@@ -127,6 +146,22 @@ class SearchService:
                 m = _DYN_ID.match(r["doc_id"])
                 if m:
                     self._next_dyn = max(self._next_dyn, int(m.group(1)) + 1)
+
+    @contextlib.contextmanager
+    def _query_gate(self):
+        """Bound in-flight Spark-query requests (see __init__). NOT
+        reentrant — only leaf methods that actually run Spark jobs take
+        the gate (upload_file delegates to upload, which gates)."""
+        self._query_sem.acquire()
+        with self._inflight_lock:
+            self._inflight += 1
+            self._inflight_peak = max(self._inflight_peak, self._inflight)
+        try:
+            yield
+        finally:
+            with self._inflight_lock:
+                self._inflight -= 1
+            self._query_sem.release()
 
     # -- / ---------------------------------------------------------------
     def stats(self) -> dict:
@@ -163,22 +198,23 @@ class SearchService:
             synonyms = sorted(syn_set)  # reference: list(set(...))
             if synonyms:
                 final_query += " " + " ".join(synonyms)
-        full = search_pipeline.search(
-            self.spark,
-            self.index_dir,
-            final_query,
-            k=None,
-            delta_docs=self._delta_docs(),
-        ).cache()
-        try:
-            total = full.count()
-            rows = (
-                full.orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(max_results)
-                .collect()
-            )
-        finally:
-            full.unpersist()
+        with self._query_gate():
+            full = search_pipeline.search(
+                self.spark,
+                self.index_dir,
+                final_query,
+                k=None,
+                delta_docs=self._delta_docs(),
+            ).cache()
+            try:
+                total = full.count()
+                rows = (
+                    full.orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(max_results)
+                    .collect()
+                )
+            finally:
+                full.unpersist()
         results = []
         for r in rows:
             doc_id = str(r["doc_id"])
@@ -213,12 +249,13 @@ class SearchService:
         prefix = (prefix or "").strip().lower()
         if len(prefix) < 2:
             return []
-        return [
-            r["word"]
-            for r in prefix_match(
-                self._lexicon, prefix, self.autocomplete_k
-            ).collect()
-        ]
+        with self._query_gate():
+            return [
+                r["word"]
+                for r in prefix_match(
+                    self._lexicon, prefix, self.autocomplete_k
+                ).collect()
+            ]
 
     # -- /api/upload ---------------------------------------------------------
     def upload(self, title: str, content: str) -> dict:
@@ -228,7 +265,7 @@ class SearchService:
         can't double-index."""
         if not content or not content.strip():
             raise ValueError("Document content is empty")
-        with self._lock:
+        with self._query_gate(), self._lock:
             doc_id = f"dyn_{self._next_dyn}"
             self._next_dyn += 1
             new = self.spark.createDataFrame(
@@ -288,7 +325,10 @@ class SearchService:
         """app.py:225-236 — dynamic docs first, then a PUSHDOWN point
         lookup on the corpus parquet (vs the reference's full-CSV stream
         per click). Returns {"doc_id", "title", "content"}."""
-        doc_id = str(doc_id)
+        with self._query_gate():
+            return self._view_inner(str(doc_id))
+
+    def _view_inner(self, doc_id: str) -> dict:
         if doc_id in self._dyn_titles:
             if self._delta_path:
                 row = (

@@ -302,3 +302,50 @@ def test_semantic_expansion_path(spark, served_index, tmp_path):
     no_model = SearchService(spark, idx, corpus_path=corpus, title_col="title")
     off = no_model.search("vaccine", use_semantic=True)
     assert off["synonyms"] == [] and off["total_hits"] == plain["total_hits"]
+
+
+def test_concurrency_gate_bounds_inflight_queries(spark, served_index, tmp_path):
+    """r4 verdict item #8: a burst of concurrent HTTP requests must not
+    queue unbounded Spark jobs on the one session — the service's
+    BoundedSemaphore admits at most max_concurrent_queries requests into
+    the Spark-running sections; the rest park at the gate. Pinned via the
+    peak-in-flight counter under a 10-thread burst with a gate of 2, and
+    every request still returns a correct result."""
+    idx, corpus = served_index
+    svc = SearchService(
+        spark, idx, corpus_path=corpus,
+        state_dir=str(tmp_path / "state"), title_col="title",
+        max_concurrent_queries=2,
+    )
+    results, errors = [], []
+
+    def hit(i):
+        try:
+            if i % 3 == 0:
+                out = svc.search("covid vaccine")
+                assert out["total_hits"] == 4
+            elif i % 3 == 1:
+                words = svc.autocomplete("co")
+                assert isinstance(words, list)
+            else:
+                v = svc.view("1")
+                assert v["doc_id"] == "1"
+            results.append(i)
+        except Exception as e:  # pragma: no cover - fail loud below
+            errors.append((i, repr(e)))
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(10)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert len(results) == 10
+    assert 1 <= svc._inflight_peak <= 2  # the gate actually bound the burst
+    assert svc._inflight == 0  # all permits released
+
+
+def test_concurrency_gate_validation(spark, served_index):
+    idx, corpus = served_index
+    with pytest.raises(ValueError, match="max_concurrent_queries"):
+        SearchService(spark, idx, corpus_path=corpus, max_concurrent_queries=0)
