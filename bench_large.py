@@ -66,10 +66,15 @@ def soak(spark, frontier_size: int, rounds: int = ROUNDS) -> dict:
     docs.count()
     ckpt = f"/tmp/bench_large_ckpt_{frontier_size}"
     shutil.rmtree(ckpt, ignore_errors=True)
+    # PER-PARTITION bitset (BloomSeenFilter semantics): 2^27 bits x 32
+    # partitions = 2^32 total bits — ~3.1M keys per partition even at a
+    # 10^8 frontier (load 0.12 at k=5, FP ~1.6e-5), so one sizing covers
+    # all three soak magnitudes and the rows stay comparable.
+    bloom_bits = 1 << 27
     cfg = SchedulerConfig(
         batch_size=BATCH,
         seen_partitions=32,
-        bloom_bits=1 << 27,  # ~1.3% FP at 10^7 keys, k=5 → exact backstop idle
+        bloom_bits=bloom_bits,
         min_delay_rounds=1,
         max_in_flight=6_000,  # 20 hosts x 6k = 2x batch candidate pool
         hot_host_threshold=100_000,
@@ -92,6 +97,7 @@ def soak(spark, frontier_size: int, rounds: int = ROUNDS) -> dict:
     total = sum(round_secs)
     return {
         "frontier_size": frontier_size,
+        "bloom_bits": bloom_bits,
         "batch": BATCH,
         "rounds": rounds,
         "init_sec": round(init_sec, 2),
