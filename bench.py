@@ -258,12 +258,28 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(full, f, indent=2)
     print(json.dumps(full))  # full record (preceding line, also in the file)
+    print(compact_headline(full))  # FINAL stdout line — the driver parses this
+
+
+# byte budget for the final stdout line: the driver extracts the headline
+# from a bounded (~2000-char) tail window, so the line must fit WHOLE
+COMPACT_LINE_MAX = 1900
+
+
+def compact_headline(full: dict) -> str:
+    """Serialize the compact FINAL-line headline from the full bench record.
+
+    Contract (r4 verdict item #1, pinned by tests/test_bench_contract.py):
+    one JSON object on one line, <= COMPACT_LINE_MAX bytes, carrying
+    metric/value/unit plus the per-query map — or, when the map alone would
+    blow the budget, a pointer to the detail file instead of the map."""
+    crawl = full["crawl"]
     compact = {
-        "metric": "frontier_urls_scheduled_per_sec",
-        "value": crawl["urls_scheduled_per_sec"],
-        "unit": "urls/sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
-        "sf": sf_val,
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": {k: round(v, 2) for k, v in full["queries"].items()},
+        "sf": full["sf"],
         "total_query_sec": full["total_query_sec"],
         "total_query_sec_median": full["total_query_sec_median"],
         "crawl": {
@@ -276,10 +292,10 @@ def main() -> None:
         "detail": "BENCH/bench_full_latest.json",
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # must fit the driver's tail window whole
+    if len(line) > COMPACT_LINE_MAX:  # must fit the driver's tail window whole
         compact["queries"] = f"see {compact['detail']}"
         line = json.dumps(compact, separators=(",", ":"))
-    print(line)  # FINAL stdout line — the driver parses this
+    return line
 
 
 if __name__ == "__main__":
