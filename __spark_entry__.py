@@ -4462,8 +4462,8 @@ WITH src AS (
   JOIN qual q USING (doc_id)
   JOIN gopher g USING (doc_id)
   JOIN c4 c USING (doc_id)
-  JOIN keepers k ON b.fp = k.fp
-  LEFT JOIN thr t ON b.lang = t.lang
+  JOIN keepers k ON b.fp IS NOT DISTINCT FROM k.fp
+  LEFT JOIN thr t ON b.lang IS NOT DISTINCT FROM t.lang
 ), ranked AS (
   SELECT doc_id,
     CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS BIGINT)

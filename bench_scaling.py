@@ -242,16 +242,30 @@ def _append_history(r: dict) -> None:
     history file. The box's deliverable speed swings by epochs (hypervisor
     steal invisible to guest loadavg); a degraded window must never ERASE a
     clean one, so BASELINE.md renders the whole history and grades the best
-    calibrated pair across windows, not just the latest run."""
+    calibrated pair across windows, not just the latest run.
+
+    Tolerates reports from OLDER harness versions (missing quiet/calibrated
+    /probe keys — exactly what the `rerender` recovery path replays), and is
+    idempotent: re-appending a window whose measurement payload already
+    exists in the history is a no-op, so `rerender` on an already-recorded
+    report cannot duplicate rows."""
     rec = {
         "when": time.strftime("%Y-%m-%d %H:%M", time.localtime()),
-        "paired": r["paired_efficiencies"],
-        "quiet": r["quiet_pairs"],
-        "calibrated": r["calibrated_pairs"],
-        "best_probe_sec_by_workers": r["best_probe_sec_by_workers"],
+        "paired": r.get("paired_efficiencies", []),
+        "quiet": r.get("quiet_pairs", []),
+        "calibrated": r.get("calibrated_pairs", []),
+        # json round-trips dict keys as strings; normalize NOW so the
+        # dedup compare below sees the same shape finalize() wrote live
+        "best_probe_sec_by_workers": {
+            str(k): v for k, v in r.get("best_probe_sec_by_workers", {}).items()
+        },
         "min_low_sec": r["low"]["elapsed_sec"],
         "min_high_sec": r["high"]["elapsed_sec"],
     }
+    payload = {k: v for k, v in rec.items() if k != "when"}
+    for h in _load_history():
+        if {k: v for k, v in h.items() if k != "when"} == payload:
+            return
     with open(HIST_PATH, "a") as f:
         f.write(json.dumps(rec) + "\n")
 
@@ -270,13 +284,17 @@ def _history_md() -> str:
     rows = []
     for h in hist:
         probes = h.get("best_probe_sec_by_workers", {})
-        probe_s = ", ".join(f"{k}w {v}s" for k, v in sorted(probes.items()))
+        # json keys are strings: sort NUMERICALLY ("16" must follow "8")
+        probe_s = ", ".join(
+            f"{k}w {v}s" for k, v in sorted(probes.items(), key=lambda kv: int(kv[0]))
+        )
         rows.append(
-            f"| {h['when']} | {h['paired']} | {h['quiet']} | {h['calibrated']} "
+            f"| {h['when']} | {h.get('paired', [])} | {h.get('quiet', [])} "
+            f"| {h.get('calibrated', [])} "
             f"| {probe_s} | {h['min_low_sec']} / {h['min_high_sec']} |"
         )
-    all_cal = [p for h in hist for p in h["calibrated"]]
-    all_paired = [p for h in hist for p in h["paired"]]
+    all_cal = [p for h in hist for p in h.get("calibrated", [])]
+    all_paired = [p for h in hist for p in h.get("paired", [])]
     best_cal = max(all_cal) if all_cal else None
     return f"""
 ## Measurement-window history (persistent; windows never erased)
@@ -440,10 +458,21 @@ if __name__ == "__main__":
         runs32 = [json.load(open(p)) for p in sys.argv[split + 1 :]]
         finalize(runs8, runs32)
     elif sys.argv[1] == "rerender":
-        # re-render BASELINE.md (and append history) from a finalize()
-        # report JSON captured in a log — recovery path when a run was
-        # executed under an older harness version
+        # re-render BASELINE.md (and append history, idempotently — a
+        # window already in the history is NOT duplicated) from a
+        # finalize() report JSON captured in a log — recovery path when a
+        # run was executed under an older harness version, whose reports
+        # may lack the newer quiet/calibrated/probe fields
         r = json.load(open(sys.argv[2]))
+        defaults = {
+            "paired_efficiencies": [], "paired_best": None,
+            "paired_median": None, "quiet_load_gate": QUIET_LOAD,
+            "quiet_pairs": [], "quiet_best": None, "quiet_median": None,
+            "probe_tol": PROBE_TOL, "best_probe_sec_by_workers": {},
+            "calibrated_pairs": [], "calibrated_best": None,
+            "calibrated_median": None,
+        }
+        r = {**defaults, **r}
         _append_history(r)
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
             f.write(_report_md(r))

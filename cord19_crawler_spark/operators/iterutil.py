@@ -25,11 +25,24 @@ This module exists so every iterative operator exposes the SAME
 """
 from __future__ import annotations
 
+import threading
 from typing import Callable
 
 from pyspark.sql import DataFrame
 
 __all__ = ["lineage_truncator"]
+
+# The SparkContext checkpoint dir is SESSION-GLOBAL state.  Two threads
+# running iterative operators with different checkpoint_dirs on one session
+# (the serving layer is multi-threaded) would otherwise race: thread B's
+# setCheckpointDir can land between thread A's set and A's .checkpoint()
+# mark, silently writing A's round checkpoints into B's directory — whose
+# owner may delete it, destroying A's lineage-truncated blocks mid-job.
+# Spark captures the directory at the .checkpoint() CALL (ReliableRDD-
+# CheckpointData.cpDir is a val bound at construction), so holding this
+# lock across set + lazy-mark is sufficient; the expensive materialization
+# job runs OUTSIDE the lock and concurrent checkpoints do not serialize.
+_CHECKPOINT_DIR_LOCK = threading.Lock()
 
 
 def lineage_truncator(
@@ -40,14 +53,21 @@ def lineage_truncator(
     ``checkpoint_dir=None`` → eager ``localCheckpoint`` (fast, executor-
     resident, NOT executor-loss-safe).  A directory path → reliable
     ``DataFrame.checkpoint`` into that directory (sets the context's
-    checkpoint dir; safe to call repeatedly).
+    checkpoint dir under a process-wide lock; safe to call repeatedly and
+    from concurrent operators with different directories).
     """
     if checkpoint_dir is None:
         return lambda df: df.localCheckpoint(eager=eager)
 
     def _reliable(df: DataFrame) -> DataFrame:
         sc = df.sparkSession.sparkContext
-        sc.setCheckpointDir(checkpoint_dir)
-        return df.checkpoint(eager=eager)
+        with _CHECKPOINT_DIR_LOCK:
+            sc.setCheckpointDir(checkpoint_dir)
+            # lazy mark: the target directory is captured HERE, under the
+            # lock; the write job itself runs below, lock-free
+            out = df.checkpoint(eager=False)
+        if eager:
+            out.count()  # materialize + write the checkpoint files now
+        return out
 
     return _reliable

@@ -115,8 +115,13 @@ def curation_report(
     cq = c4_quality_filter(
         docs, id_col=id_col, text_col=text_col, **(c4_kwargs or {})
     ).select(F.col("doc_id"), F.col("keep").alias("c4_keep"))
-    # exact-dedup keep-list: ONE linear aggregate on the fingerprint
+    # exact-dedup keep-list: ONE linear aggregate on the fingerprint.
+    # NULL-text docs carry a NULL fingerprint; the keeper join below is
+    # null-SAFE so they surface in the report (one row per input document)
+    # as a single NULL-fp group rather than silently vanishing on a
+    # null-unsafe key.
     keepers = base.groupBy("_fp").agg(F.min("doc_id").alias("_keeper"))
+    keepers = keepers.select(F.col("_fp").alias("_kfp"), "_keeper")
     # adaptive per-group quality threshold (broadcast: |groups| rows)
     thresholds = exact_quantiles(
         base, "quality", [float(quality_p)], group_col="_grp"
@@ -124,7 +129,7 @@ def curation_report(
     rep = (
         base.join(gq, "doc_id")
         .join(cq, "doc_id")
-        .join(keepers, "_fp")
+        .join(keepers, F.col("_fp").eqNullSafe(F.col("_kfp")))
         .join(
             F.broadcast(thresholds),
             F.col("_grp").eqNullSafe(F.col("_tg")),

@@ -11,8 +11,9 @@ import json
 import bench
 
 
-def _full_record(n_queries: int, name_len: int = 28) -> dict:
+def _full_record(n_queries: int, name_len: int = 28, n_reps: int = 5) -> dict:
     queries = {f"q{i:03d}_{'x' * name_len}": 1.234 for i in range(n_queries)}
+    reps = ([57.3, 81.6, 23.958, 31.4, 25.8] * (n_reps // 5 + 1))[:n_reps]
     return {
         "metric": "frontier_urls_scheduled_per_sec",
         "value": 1001.82,
@@ -26,7 +27,7 @@ def _full_record(n_queries: int, name_len: int = 28) -> dict:
         "crawl": {
             "elapsed_sec": 23.958,
             "scheduled": 24000,
-            "all_runs_sec": [57.3, 81.6, 23.958, 31.4, 25.8],
+            "all_runs_sec": reps,
             "headline_rep_calibrated": True,
             "load1_at_start": 1.93,
             "cpu_probes_sec": [(0.8, 0.9)] * 5,  # compact line must DROP this
@@ -68,3 +69,27 @@ def test_compact_line_is_valid_json_across_sizes():
     for n in (0, 1, 10, 39, 60, 80, 120, 500):
         obj = _parse_final_line(bench.compact_headline(_full_record(n)))
         assert obj["metric"] == "frontier_urls_scheduled_per_sec"
+
+
+def test_compact_line_survives_long_crawl_rep_list():
+    """Review finding: with SPARK_GRAFT_CRAWL_REPEATS high, all_runs_sec
+    alone can re-overflow the budget AFTER the query-map fallback; the
+    headline must degrade it to a pointer, never return an oversized line."""
+    full = _full_record(200, n_reps=300)
+    obj = _parse_final_line(bench.compact_headline(full))
+    assert obj["value"] == 1001.82 and obj["unit"] == "urls/sec"
+    assert obj["queries"] == "see BENCH/bench_full_latest.json"
+    assert obj["crawl"]["all_runs_sec"] == "see BENCH/bench_full_latest.json"
+    # calibration flag still rides along when the reps drop out
+    assert obj["crawl"]["headline_rep_calibrated"] is True
+
+
+def test_compact_line_minimal_fallback_is_bounded():
+    """Even absurd inputs (hundreds of reps AND a huge sf string) collapse
+    to the minimal headline rather than exceeding the byte budget."""
+    full = _full_record(500, n_reps=1000)
+    full["sf"] = 0.1
+    obj = _parse_final_line(bench.compact_headline(full))
+    assert obj["metric"] == "frontier_urls_scheduled_per_sec"
+    assert obj["value"] == 1001.82
+    assert obj["detail"] == "BENCH/bench_full_latest.json"

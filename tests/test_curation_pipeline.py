@@ -75,6 +75,40 @@ def test_token_budget_cuts_in_quality_order(spark):
     assert rep_b[4]["cum_tokens"] is None
 
 
+def test_null_text_and_null_group_rows_stay_visible(spark):
+    """NULL text yields a NULL fingerprint and NULL lang a NULL quantile
+    group; both joins are null-SAFE, so these rows must surface in the
+    report (one row per input document) instead of vanishing on a
+    null-unsafe key — the review-found regression this pins."""
+    docs = spark.createDataFrame(
+        [
+            (1, GOOD, "en"),
+            (2, None, "en"),  # NULL text -> NULL fingerprint
+            (3, None, "en"),  # second NULL-text doc: same NULL-fp group
+            (4, GOOD + "more words here ok.\n", None),  # NULL lang group
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rep = {
+        r["doc_id"]: r
+        for r in curation_report(
+            docs,
+            quality_p=0.0,
+            gopher_kwargs=dict(min_words=8, min_stop_hits=0),
+            c4_kwargs=dict(min_line_words=3, min_sentences=2),
+        ).collect()
+    }
+    assert set(rep) == {1, 2, 3, 4}  # nothing vanishes
+    # NULL-text docs form ONE NULL-fp dedup group: min id is canonical
+    assert rep[2]["canonical"] is True
+    assert rep[3]["canonical"] is False
+    assert rep[2]["kept"] is False and rep[3]["kept"] is False
+    # NULL-lang doc gets its own group's real threshold (null-safe join)
+    assert rep[4]["threshold"] is not None
+    assert rep[4]["quality_keep"] is True
+    assert rep[4]["kept"] is True
+
+
 def test_quality_threshold_is_per_group(spark):
     docs = spark.createDataFrame(
         [
