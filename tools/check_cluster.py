@@ -363,7 +363,10 @@ def _core_history_md() -> str:
     rows = []
     for h in hist:
         probes = h.get("best_probe_sec_by_cores") or {}
-        probe_s = ", ".join(f"{k}c {v}s" for k, v in sorted(probes.items()))
+        # json keys are strings: sort NUMERICALLY ("16" must follow "8")
+        probe_s = ", ".join(
+            f"{k}c {v}s" for k, v in sorted(probes.items(), key=lambda kv: int(kv[0]))
+        )
         rows.append(
             f"| {h['when']} | {h['geometry']} | {h['paired']} | {h['quiet']} "
             f"| {h['calibrated']} | {probe_s} "
