@@ -342,6 +342,7 @@ def _append_core_history(c: dict) -> None:
     rec = {
         "when": time.strftime("%Y-%m-%d %H:%M", time.localtime()),
         "geometry": f"{LOW}x{CORES} vs {HIGH}x{CORES}",
+        "core_docs": CORE_DOCS,
         "paired": c["paired_efficiencies"],
         "quiet": c.get("quiet_pairs"),
         "calibrated": c.get("calibrated_pairs"),
@@ -367,9 +368,11 @@ def _core_history_md() -> str:
         probe_s = ", ".join(
             f"{k}c {v}s" for k, v in sorted(probes.items(), key=lambda kv: int(kv[0]))
         )
+        docs = h.get("core_docs")
+        docs_s = f"{docs:,}" if docs else "1,500,000"
         rows.append(
-            f"| {h['when']} | {h['geometry']} | {h['paired']} | {h['quiet']} "
-            f"| {h['calibrated']} | {probe_s} "
+            f"| {h['when']} | {h['geometry']} | {docs_s} | {h['paired']} "
+            f"| {h['quiet']} | {h['calibrated']} | {probe_s} "
             f"| {h['min_low_sec']} / {h['min_high_sec']} |"
         )
     all_cal = [p for h in hist for p in (h.get("calibrated") or [])]
@@ -382,8 +385,16 @@ As with BENCH/BASELINE.md, the honest estimate across a multi-tenant
 host's epochs is the best CALIBRATED pair across windows (quiet at start
 AND probe-clean brackets); uncalibrated windows are listed, not graded.
 
-| window | geometry | paired | quiet | calibrated | best probe | min low/high (s) |
-|---|---|---|---|---|---|---|
+The `core docs` column is the corpus size: the 1.5M-doc windows put the
+8-core level at only ~50s of work, where per-stage fixed costs (task
+scheduling, Python worker spin-up, stage tails) cap the ratio near 0.7
+regardless of steal — a SANDBOX artifact, not an engine property. The
+4.5M-doc windows amortize those costs (the 8-core level runs ~150s) the
+same way a real 100-TB job's multi-minute stages would; same job, same
+code, bigger input.
+
+| window | geometry | core docs | paired | quiet | calibrated | best probe | min low/high (s) |
+|---|---|---|---|---|---|---|---|
 {chr(10).join(rows)}
 
 **Best calibrated pair across all windows: {max(all_cal) if all_cal else None}**
