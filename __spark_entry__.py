@@ -3696,6 +3696,304 @@ FROM agg
 """
 
 
+def _dust_pages(o):
+    """Deterministic synthetic fetch log (url, content_fp) from orders —
+    shared by the DUST mining and canonicalization queries. Content key
+    c = o_orderkey % 199 (coprime with the 5-way variant selector, so
+    every content appears under several spellings); variants plant a
+    session param (supports strip_param:sid), a tracking param
+    (strip_param:utm), trailing-slash and www aliases; a 'page' param
+    with MIXED evidence (changes content on host h0, irrelevant on
+    h1/h2) lands at precision 2/3."""
+    c = (F.col("o_orderkey") % 199).cast("string")
+    v = F.col("o_orderkey") % 5
+    sid = (F.col("o_orderkey") % 97).cast("string")
+    item = F.concat(
+        F.when(v == 4, F.lit("https://www.shop.example.com/item/p")).otherwise(
+            F.lit("https://shop.example.com/item/p")
+        ),
+        c,
+        F.when(v == 3, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?id="),
+        c,
+        F.when(v == 1, F.concat(F.lit("&sid="), sid)).otherwise(F.lit("")),
+        F.when(v == 2, F.lit("&utm=x")).otherwise(F.lit("")),
+    )
+    h = (F.col("o_custkey") % 3).cast("string")
+    p = (F.col("o_orderkey") % 4).cast("string")
+    lst = F.concat(
+        F.lit("https://h"), h, F.lit(".example.com/list?page="), p
+    )
+    is_list = F.col("o_orderkey") % 11 == 0
+    return o.select(
+        F.when(is_list, lst).otherwise(item).alias("url"),
+        F.when(
+            is_list,
+            F.when(h == "0", F.concat(F.lit("lp0-"), p)).otherwise(
+                F.concat(F.lit("lp"), h)
+            ),
+        )
+        .otherwise(F.concat(F.lit("fp"), c))
+        .alias("content_fp"),
+    )
+
+
+def dust_alias_rules_q(spark, sf_dir):
+    """DUST URL-alias rule mining (Bar-Yossef et al. WWW 2007): learn
+    site-wide URL rewrite rules from (url, content-fingerprint) fetch
+    evidence so aliased spellings never reach the fetch queue — see
+    ``_dust_pages`` for the planted evidence. Fully linear plan — no
+    pair join; the oracle replays parsing, the rule fan-out, grouping,
+    support/refutation and the precision cut."""
+    from cord19_crawler_spark.frontier.dust import url_alias_rules
+
+    return url_alias_rules(
+        _dust_pages(_t(spark, sf_dir, "orders")), max_params=100,
+        min_support=2,
+    )
+
+
+def dust_canonicalize_q(spark, sf_dir):
+    """DUST rule APPLICATION: the rules mined by ``dust_alias_rules``
+    (precision >= 0.9 — takes the four perfect rules, leaves the mixed
+    'page' rule behind) rewrite the same fetch log into canonical URLs;
+    per canonical host: fetches, distinct spellings before, distinct
+    canonicals after, and aliases_removed — the fetches the frontier
+    stops re-scheduling. The rewrite is ONE pure-Catalyst projection
+    (the rule policy is a bounded driver-side broadcast, <= max_params+2
+    rows by construction); the oracle replays mining, selection and the
+    rewrite."""
+    from cord19_crawler_spark.frontier.dust import (
+        apply_alias_rules,
+        url_alias_rules,
+    )
+    from cord19_crawler_spark.functions.urls import authority_expr
+
+    pages = _dust_pages(_t(spark, sf_dir, "orders"))
+    rules = url_alias_rules(pages, max_params=100, min_support=2)
+    rewritten = apply_alias_rules(
+        pages, rules, min_precision=0.9, min_support=2
+    )
+    return (
+        rewritten.groupBy(
+            authority_expr(F.col("url_canonical")).alias("host")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.countDistinct("url").alias("n_spellings"),
+            F.countDistinct("url_canonical").alias("n_canonical"),
+        )
+        .withColumn(
+            "aliases_removed", F.col("n_spellings") - F.col("n_canonical")
+        )
+        .orderBy("host")
+    )
+
+
+_DUST_CTES = """
+WITH log AS (
+  SELECT
+    CASE WHEN o_orderkey % 11 = 0 THEN
+      'https://h' || CAST(o_custkey % 3 AS VARCHAR)
+        || '.example.com/list?page=' || CAST(o_orderkey % 4 AS VARCHAR)
+    ELSE
+      CASE WHEN o_orderkey % 5 = 4
+        THEN 'https://www.shop.example.com/item/p'
+        ELSE 'https://shop.example.com/item/p' END
+      || CAST(o_orderkey % 199 AS VARCHAR)
+      || CASE WHEN o_orderkey % 5 = 3 THEN '/' ELSE '' END
+      || '?id=' || CAST(o_orderkey % 199 AS VARCHAR)
+      || CASE WHEN o_orderkey % 5 = 1
+           THEN '&sid=' || CAST(o_orderkey % 97 AS VARCHAR) ELSE '' END
+      || CASE WHEN o_orderkey % 5 = 2 THEN '&utm=x' ELSE '' END
+    END AS url,
+    CASE WHEN o_orderkey % 11 = 0 THEN
+      CASE WHEN o_custkey % 3 = 0
+        THEN 'lp0-' || CAST(o_orderkey % 4 AS VARCHAR)
+        ELSE 'lp' || CAST(o_custkey % 3 AS VARCHAR) END
+    ELSE 'fp' || CAST(o_orderkey % 199 AS VARCHAR) END AS content_fp
+  FROM orders
+), base AS (
+  SELECT
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+      AS path,
+    list_sort(list_filter(
+      string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+      x -> x <> '')) AS params,
+    content_fp AS fp
+  FROM log
+  WHERE regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) <> ''
+), pnames AS (
+  SELECT pname, count(*) AS cnt FROM (
+    SELECT unnest(list_distinct(
+      list_transform(params, x -> split_part(x, '=', 1)))) AS pname
+    FROM base
+  ) GROUP BY pname ORDER BY cnt DESC, pname ASC LIMIT 100
+), rules AS (
+  SELECT 'strip_param:' || pname AS rule, pname AS arg FROM pnames
+  UNION ALL SELECT 'trailing_slash', NULL
+  UNION ALL SELECT 'strip_www', NULL
+), keyed AS (
+  SELECT r.rule,
+    (CASE WHEN r.rule = 'strip_www'
+       THEN regexp_replace(b.host, '^www\\.', '') ELSE b.host END)
+    || (CASE WHEN r.rule = 'trailing_slash'
+       THEN regexp_replace(b.path, '/+$', '') ELSE b.path END)
+    || (CASE WHEN r.rule LIKE 'strip_param:%' THEN
+          CASE WHEN len(list_filter(b.params,
+                 x -> split_part(x, '=', 1) <> r.arg)) > 0
+            THEN '?' || array_to_string(list_filter(b.params,
+                 x -> split_part(x, '=', 1) <> r.arg), '&')
+            ELSE '' END
+        ELSE
+          CASE WHEN len(b.params) > 0
+            THEN '?' || array_to_string(b.params, '&') ELSE '' END
+        END) AS norm,
+    b.host || b.path || (CASE WHEN len(b.params) > 0
+      THEN '?' || array_to_string(b.params, '&') ELSE '' END) AS orig,
+    b.fp
+  FROM base b CROSS JOIN rules r
+), groups AS (
+  SELECT rule, norm,
+    count(DISTINCT orig) AS n_originals,
+    count(DISTINCT fp) AS n_fps
+  FROM keyed GROUP BY rule, norm
+), merged AS (
+  SELECT * FROM groups WHERE n_originals > 1
+), out AS (
+  SELECT rule,
+    count(*) AS n_groups,
+    CAST(sum(CASE WHEN n_fps = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS support_groups,
+    CAST(sum(CASE WHEN n_fps = 1 THEN 0 ELSE 1 END) AS BIGINT)
+      AS refuted_groups,
+    CAST(sum(CASE WHEN n_fps = 1 THEN n_originals - 1 ELSE 0 END) AS BIGINT)
+      AS aliases_collapsed
+  FROM merged GROUP BY rule
+), scored AS (
+  SELECT rule, n_groups, support_groups, refuted_groups, aliases_collapsed,
+    round(CAST(support_groups AS DOUBLE)
+      / (support_groups + refuted_groups), 6) AS prec
+  FROM out
+  WHERE support_groups >= 2
+)"""
+
+_DUST_SQL = _DUST_CTES + """
+SELECT rule, n_groups, support_groups, refuted_groups, aliases_collapsed,
+  prec AS "precision"
+FROM scored
+ORDER BY prec DESC, aliases_collapsed DESC, rule ASC
+"""
+
+_DUST_CANON_SQL = _DUST_CTES + """
+, sel AS (
+  SELECT rule FROM scored WHERE prec >= 0.9 AND support_groups >= 2
+), pol AS (
+  SELECT
+    coalesce((SELECT list(split_part(rule, ':', 2)
+                          ORDER BY split_part(rule, ':', 2))
+              FROM sel WHERE rule LIKE 'strip_param:%'), []) AS strip,
+    EXISTS (SELECT 1 FROM sel WHERE rule = 'strip_www') AS www,
+    EXISTS (SELECT 1 FROM sel WHERE rule = 'trailing_slash') AS slash
+), parsed AS (
+  SELECT url,
+    regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) AS scheme,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+      AS path,
+    list_sort(list_filter(
+      string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+      x -> x <> '')) AS params
+  FROM log
+), rewritten AS (
+  SELECT p.url,
+    CASE WHEN p.host = '' THEN p.url ELSE
+      p.scheme || '://'
+      || (CASE WHEN pol.www
+            THEN regexp_replace(p.host, '^www\\.', '') ELSE p.host END)
+      || (CASE WHEN pol.slash
+            THEN regexp_replace(p.path, '/+$', '') ELSE p.path END)
+      || (CASE WHEN len(list_filter(p.params,
+              x -> NOT list_contains(pol.strip, split_part(x, '=', 1)))) > 0
+            THEN '?' || array_to_string(list_filter(p.params,
+              x -> NOT list_contains(pol.strip, split_part(x, '=', 1))), '&')
+            ELSE '' END)
+    END AS url_canonical
+  FROM parsed p CROSS JOIN pol
+)
+SELECT
+  regexp_extract(url_canonical,
+    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host,
+  count(*) AS n_fetches,
+  count(DISTINCT url) AS n_spellings,
+  count(DISTINCT url_canonical) AS n_canonical,
+  count(DISTINCT url) - count(DISTINCT url_canonical) AS aliases_removed
+FROM rewritten
+GROUP BY 1
+ORDER BY host
+"""
+
+
+def redirect_resolution_q(spark, sf_dir):
+    """Redirect-chain resolution (pointer doubling, frontier/redirects.py)
+    over a planted functional graph from orders: node n = o_orderkey %
+    500; blocks of 50 chain downward to a terminal (n % 50 == 0), so hop
+    counts span 1..49 — chains longer than max_hops=32 terminate but are
+    cap-cut (RFC 9110 §15.4); nodes 100..104 form a 5-cycle that
+    103/.../149 feed into (never resolved). ceil(log2(32)) = 5 self-join
+    rounds resolve every chain; the oracle is a recursive CTE walking
+    one hop at a time under the same cap."""
+    from cord19_crawler_spark.frontier.redirects import resolve_redirects
+
+    o = _t(spark, sf_dir, "orders")
+    n = F.col("o_orderkey") % 500
+    dst_n = (
+        F.when((n >= 100) & (n <= 104), F.lit(100) + ((n - 99) % 5))
+        .when(n % 50 == 0, F.lit(None).cast("long"))
+        .otherwise(n - 1)
+    )
+    edges = o.select(
+        F.concat(F.lit("https://r.example.com/u"), n.cast("string")).alias(
+            "src"
+        ),
+        F.concat(
+            F.lit("https://r.example.com/u"), dst_n.cast("string")
+        ).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return resolve_redirects(edges, max_hops=32).orderBy("src")
+
+
+_REDIRECTS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT
+    'https://r.example.com/u' || CAST(o_orderkey % 500 AS VARCHAR) AS src,
+    'https://r.example.com/u' || CAST(
+      CASE WHEN o_orderkey % 500 BETWEEN 100 AND 104
+             THEN 100 + ((o_orderkey % 500) - 99) % 5
+           WHEN o_orderkey % 500 % 50 = 0 THEN NULL
+           ELSE o_orderkey % 500 - 1 END AS VARCHAR) AS dst
+  FROM orders
+), fn AS (
+  SELECT src, min(dst) AS dst FROM e WHERE dst IS NOT NULL GROUP BY src
+), walk AS (
+  SELECT src, dst AS cur, 1 AS hops FROM fn
+  UNION ALL
+  SELECT w.src, f.dst, w.hops + 1
+  FROM walk w JOIN fn f ON w.cur = f.src
+  WHERE w.hops <= 32
+), res AS (
+  SELECT w.src, w.cur, w.hops
+  FROM walk w LEFT JOIN fn f ON w.cur = f.src
+  WHERE f.src IS NULL AND w.hops <= 32
+)
+SELECT f.src, r.cur AS final_url, CAST(r.hops AS INT) AS hops,
+  r.src IS NOT NULL AS resolved
+FROM fn f LEFT JOIN res r ON f.src = r.src
+ORDER BY f.src
+"""
+
+
 def crawl_diff_summary_q(spark, sf_dir):
     """Incremental-crawl snapshot diff: two synthetic crawl snapshots from
     orders (old = o_orderkey % 4 != 0, new = % 4 != 1; digest = md5 of
@@ -4637,6 +4935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order_shards": training_order_shards_q,
         "vocab_oov_rate": vocab_oov_rate_q,
         "trap_url_shapes": trap_url_shapes_q,
+        "dust_alias_rules": dust_alias_rules_q,
+        "dust_canonicalize": dust_canonicalize_q,
+        "redirect_resolution": redirect_resolution_q,
         "crawl_diff_summary": crawl_diff_summary_q,
         "semdedup_keep": semdedup_keep_q,
         "length_quantiles": length_quantiles_q,
@@ -4752,6 +5053,9 @@ def oracle_sql() -> dict[str, str]:
         "training_order_shards": _SHUFFLE_SHARDS_SQL,
         "vocab_oov_rate": _VOCAB_OOV_SQL,
         "trap_url_shapes": _TRAP_SHAPES_SQL,
+        "dust_alias_rules": _DUST_SQL,
+        "dust_canonicalize": _DUST_CANON_SQL,
+        "redirect_resolution": _REDIRECTS_SQL,
         "crawl_diff_summary": _CRAWL_DIFF_SQL,
         "semdedup_keep": _SEMDEDUP_SQL,
         "length_quantiles": _LENGTH_QUANTILES_SQL,

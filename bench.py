@@ -75,8 +75,11 @@ HEADLINE = [
     "semdedup_keep",
     "length_quantiles",
     "winnowing_fingerprints",
-    # round-5 addition: the composed curation pipeline (flagship e2e plan)
+    # round-5 additions: the composed curation pipeline (flagship e2e
+    # plan) and the DUST / redirect crawl-lifecycle operators
     "curation_pipeline",
+    "dust_alias_rules",
+    "redirect_resolution",
 ]
 
 
