@@ -11,8 +11,15 @@ import json
 import bench
 
 
-def _full_record(n_queries: int, name_len: int = 28, n_reps: int = 5) -> dict:
-    queries = {f"q{i:03d}_{'x' * name_len}": 1.234 for i in range(n_queries)}
+def _full_record(
+    n_queries: int,
+    name_len: int = 28,
+    n_reps: int = 5,
+    names: list[str] | None = None,
+) -> dict:
+    if names is None:
+        names = [f"q{i:03d}_{'x' * name_len}" for i in range(n_queries)]
+    queries = {n: 1.234 for n in names}
     reps = ([57.3, 81.6, 23.958, 31.4, 25.8] * (n_reps // 5 + 1))[:n_reps]
     return {
         "metric": "frontier_urls_scheduled_per_sec",
@@ -42,8 +49,12 @@ def _parse_final_line(line: str) -> dict:
 
 
 def test_compact_line_carries_headline_at_current_registry_size():
-    # the real HEADLINE list + the extra e2e entry, realistic name lengths
-    full = _full_record(len(bench.HEADLINE) + 1)
+    # the ACTUAL headline list + the extra e2e entry — the real names are
+    # what the driver will see, so this pins the real line, not a
+    # padded-name proxy of it (28-char synthetic names overflowed first
+    # and flagged a fallback the real 19-char-average list never takes)
+    names = [*bench.HEADLINE, "minhash_near_dup_e2e"]
+    full = _full_record(len(names), names=names)
     obj = _parse_final_line(bench.compact_headline(full))
     assert obj["metric"] == "frontier_urls_scheduled_per_sec"
     assert obj["value"] == 1001.82 and obj["unit"] == "urls/sec"
