@@ -2711,6 +2711,85 @@ def frontier_robots_filter(spark, sf_dir):
     )
 
 
+def robots_wildcard_rules_q(spark, sf_dir):
+    """RFC 9309 §2.2.3 wildcard matching: ``*`` spans octets, ``$``
+    anchors the end, precedence is raw-pattern octet length (§2.2.2)
+    with allow winning ties. Planted paths exercise every branch: a
+    plain allow, a trailing-``*`` deny, a ``/*.pdf$`` deny whose ``$``
+    must NOT catch ``.pdfx``, a LONGER allow overriding the pdf deny for
+    one file, and an exact length tie (deny ``/t/a$`` vs allow
+    ``/t/a*``) that allow must win. The oracle encodes the same rule
+    table as explicit LIKE/regexp precedence."""
+    _ensure_workers(spark)
+    from pyspark.sql import Row
+
+    from cord19_crawler_spark.frontier.robots import robots_allowed
+
+    o = _t(spark, sf_dir, "orders")
+    k = (F.col("o_orderkey") % 89).cast("string")
+    f = F.col("o_orderkey") % 5
+    path = (
+        F.when(f == 0, F.concat(F.lit("/public/p"), k))
+        .when(f == 1, F.concat(F.lit("/private"), k, F.lit("/x")))
+        .when(f == 2, F.concat(F.lit("/docs/f"), k, F.lit(".pdf")))
+        .when(f == 3, F.concat(F.lit("/docs/f"), k, F.lit(".pdfx")))
+        .otherwise(F.lit("/t/a"))
+    )
+    urls = o.select(
+        F.concat(F.lit("https://w.example.com"), path).alias("url")
+    ).distinct()
+    rules = spark.createDataFrame(
+        [
+            Row(
+                rules=[
+                    Row(allow=True, path_prefix="/public"),
+                    Row(allow=False, path_prefix="/private*"),
+                    Row(allow=False, path_prefix="/*.pdf$"),
+                    Row(allow=True, path_prefix="/docs/f1.pdf"),
+                    Row(allow=False, path_prefix="/t/a$"),
+                    Row(allow=True, path_prefix="/t/a*"),
+                ]
+            )
+        ]
+    )
+    return (
+        urls.crossJoin(F.broadcast(rules))
+        .select(
+            "url",
+            robots_allowed(F.col("url"), F.col("rules")).alias("allowed"),
+        )
+        .orderBy("url")
+    )
+
+
+_ROBOTS_WILDCARD_SQL = """
+WITH p AS (
+  SELECT DISTINCT
+    CASE WHEN o_orderkey % 5 = 0
+           THEN '/public/p' || CAST(o_orderkey % 89 AS VARCHAR)
+         WHEN o_orderkey % 5 = 1
+           THEN '/private' || CAST(o_orderkey % 89 AS VARCHAR) || '/x'
+         WHEN o_orderkey % 5 = 2
+           THEN '/docs/f' || CAST(o_orderkey % 89 AS VARCHAR) || '.pdf'
+         WHEN o_orderkey % 5 = 3
+           THEN '/docs/f' || CAST(o_orderkey % 89 AS VARCHAR) || '.pdfx'
+         ELSE '/t/a' END AS path
+  FROM orders
+)
+SELECT 'https://w.example.com' || path AS url,
+  CASE
+    WHEN path LIKE '/docs/f1.pdf%' THEN TRUE   -- allow, 12 octets, wins
+    WHEN path LIKE '/private%' THEN FALSE      -- deny via trailing *
+    WHEN path LIKE '/public%' THEN TRUE        -- plain allow
+    WHEN regexp_matches(path, '^/.*\\.pdf$') THEN FALSE  -- $-anchored deny
+    WHEN regexp_matches(path, '^/t/a') THEN TRUE  -- 5-octet tie: allow wins
+    ELSE TRUE
+  END AS allowed
+FROM p
+ORDER BY url
+"""
+
+
 _ROBOTS_SQL = f"""
 WITH canon AS (
   SELECT {_CANON_URL_SQL_EXPR} AS url,
@@ -4947,6 +5026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemap_discovery": robots_sitemap_discovery_q,
         "adaptive_quality_cut": adaptive_quality_cut_q,
         "frontier_robots_filter": frontier_robots_filter,
+        "robots_wildcard_rules": robots_wildcard_rules_q,
         # Arrow-UDF / sequential-policy operators with exact oracle mirrors
         "barrel_assignment_greedy": barrel_assignment_greedy,
         "barrel_stats": barrel_stats_q,
@@ -5066,6 +5146,7 @@ def oracle_sql() -> dict[str, str]:
         "adaptive_quality_cut": _ADAPTIVE_CUT_SQL,
         "text_fingerprints": _FINGERPRINT_SQL,
         "frontier_robots_filter": _ROBOTS_SQL,
+        "robots_wildcard_rules": _ROBOTS_WILDCARD_SQL,
         "barrel_assignment_greedy": _BARREL_GREEDY_SQL,
         "barrel_stats": _BARREL_STATS_SQL,
         "doc_to_barrels": _DOC_TO_BARRELS_SQL,

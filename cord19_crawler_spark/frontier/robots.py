@@ -112,9 +112,39 @@ def _path_of(url: str) -> str:
     return rest[slash:].split("?", 1)[0]
 
 
+def _compile_robots_pattern(pref: str):
+    """RFC 9309 §2.2.3 rule pattern → compiled regex: ``*`` matches any
+    octet sequence, ``$`` (only meaningful at the end) anchors the match
+    to the end of the path; everything else is literal. A pattern with
+    neither special char degenerates to a plain prefix match."""
+    import re as _re
+
+    anchored = pref.endswith("$")
+    body = pref[:-1] if anchored else pref
+    rx = ".*".join(_re.escape(part) for part in body.split("*"))
+    return _re.compile("^" + rx + ("$" if anchored else ""))
+
+
+_ROBOTS_PATTERN_CACHE: dict = {}
+
+
 @pandas_udf(T.BooleanType())
 def robots_allowed(urls: pd.Series, rules: pd.Series) -> pd.Series:
-    """Longest-prefix-match allow/deny; vectorized over the Arrow batch."""
+    """Most-specific-match allow/deny per RFC 9309: ``*`` wildcards and
+    the ``$`` end anchor are honored (§2.2.3), specificity is the raw
+    pattern's octet length (§2.2.2), and an allow rule wins a length tie.
+    Patterns without special characters behave exactly as the original
+    longest-prefix match. Vectorized over the Arrow batch; compiled
+    patterns are cached per executor (the rules dimension is small and
+    highly repetitive across rows)."""
+
+    def _match(pref: str, path: str) -> bool:
+        if "*" not in pref and not pref.endswith("$"):
+            return path.startswith(pref)  # fast path: plain prefix
+        rx = _ROBOTS_PATTERN_CACHE.get(pref)
+        if rx is None:
+            rx = _ROBOTS_PATTERN_CACHE[pref] = _compile_robots_pattern(pref)
+        return rx.match(path) is not None
 
     def _one(url: str | None, rls) -> bool:
         if url is None:
@@ -125,7 +155,7 @@ def robots_allowed(urls: pd.Series, rules: pd.Series) -> pd.Series:
         best_len, best_allow = -1, True
         for r in rls:
             pref = r["path_prefix"]
-            if pref is not None and path.startswith(pref):
+            if pref is not None and _match(pref, path):
                 plen = len(pref)
                 if plen > best_len or (plen == best_len and r["allow"]):
                     best_len, best_allow = plen, bool(r["allow"])

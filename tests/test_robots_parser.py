@@ -263,3 +263,45 @@ def test_sitemap_extraction_comments_and_crlf_match_duckdb(spark):
         "https://a.com/s2.xml",
         "https://a.com/s3.xml",
     ]
+
+
+def test_rfc9309_wildcard_and_anchor_matching(spark):
+    """RFC 9309 §2.2.3: * spans octets, $ anchors the end; §2.2.2:
+    most-octets pattern wins, allow wins a length tie. Wildcard-free
+    patterns must keep the original longest-prefix behavior."""
+    from pyspark.sql import Row
+
+    from cord19_crawler_spark.frontier.robots import robots_allowed
+
+    rules = [
+        Row(allow=True, path_prefix="/public"),
+        Row(allow=False, path_prefix="/private*"),
+        Row(allow=False, path_prefix="/*.pdf$"),
+        Row(allow=True, path_prefix="/docs/f1.pdf"),
+        Row(allow=False, path_prefix="/t/a$"),
+        Row(allow=True, path_prefix="/t/a*"),
+        Row(allow=False, path_prefix="/a*c"),
+    ]
+    cases = {
+        "https://w.com/public/p3": True,        # plain allow prefix
+        "https://w.com/private9/x": False,      # trailing-* deny
+        "https://w.com/docs/f7.pdf": False,     # $-anchored deny
+        "https://w.com/docs/f7.pdfx": True,     # $ must NOT catch .pdfx
+        "https://w.com/docs/f1.pdf": True,      # longer allow (12) beats deny (7)
+        "https://w.com/docs/f1.pdfx": True,     # prefix allow still matches
+        "https://w.com/t/a": True,              # 5-octet tie: allow wins
+        "https://w.com/abc": False,             # mid-pattern *
+        "https://w.com/ac": False,              # * matches empty too
+        "https://w.com/elsewhere": True,        # no rule matches
+    }
+    df = spark.createDataFrame(
+        [(u, rules) for u in cases],
+        "url string, rules array<struct<allow:boolean,path_prefix:string>>",
+    )
+    got = {
+        r["url"]: r["ok"]
+        for r in df.select(
+            "url", robots_allowed(F.col("url"), F.col("rules")).alias("ok")
+        ).collect()
+    }
+    assert got == cases
