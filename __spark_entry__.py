@@ -3644,6 +3644,67 @@ ORDER BY pair_count DESC, "left" ASC, "right" ASC LIMIT 300
 """
 
 
+# static merge table for the ENCODE oracle (training is oracled via
+# bpe_pair_counts + the exact Python replay in tests; data-dependent
+# merges inside one static SQL would require replaying the full argmax
+# loop): chained rules (t,h then th,e), sentinel merges, common bigrams
+_BPE_ENCODE_MERGES = [
+    ("t", "h"), ("th", "e"), ("e", "</w>"), ("a", "n"),
+    ("an", "d"), ("i", "n"), ("o", "n"), ("e", "r"),
+]
+
+
+def bpe_encode_words_q(spark, sf_dir):
+    """BPE ENCODING (the production tokenize step): apply a merge table
+    to the distinct-word table with the same greedy left-to-right
+    Catalyst fold training uses. The oracle replays each merge as a
+    single-pass string replace over pipe-delimited symbols
+    ('|l||r|' -> '|lr|' — replace() scans left-to-right and never
+    rescans behind the cursor, exactly the fold's semantics; pipes make
+    cross-symbol false matches impossible since symbols never contain
+    '|')."""
+    from cord19_crawler_spark.operators.bpe import (
+        encode_words,
+        word_frequencies,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    enc = encode_words(word_frequencies(d), _BPE_ENCODE_MERGES)
+    return enc.select(
+        "word",
+        "freq",
+        F.array_join("tokens", " ").alias("encoded"),
+        F.size("tokens").alias("n_subwords"),
+    ).orderBy("word")
+
+
+def _bpe_encode_sql() -> str:
+    steps, prev = [], "s0"
+    for i, (l, r) in enumerate(_BPE_ENCODE_MERGES, 1):
+        steps.append(
+            f", s{i} AS (SELECT word, freq,"
+            f" replace(s, '|{l}||{r}|', '|{l}{r}|') AS s FROM {prev})"
+        )
+        prev = f"s{i}"
+    return f"""
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+), wf AS (
+  SELECT word, count(*) AS freq FROM w GROUP BY word
+), s0 AS (
+  SELECT word, freq,
+    '|' || array_to_string(
+      list_append(regexp_extract_all(word, '.'), '</w>'), '||') || '|' AS s
+  FROM wf
+){chr(10).join(steps)}
+SELECT word, freq, replace(trim({prev}.s, '|'), '||', ' ') AS encoded,
+  CAST(len(string_split(replace(trim({prev}.s, '|'), '||', ' '), ' '))
+    AS INT) AS n_subwords
+FROM {prev} ORDER BY word
+"""
+
+
 def training_order_shards_q(spark, sf_dir):
     """Deterministic global training-order shuffle (epoch seed 3, 8
     shards): shard + within-shard position from the seeded Knuth-hash
@@ -5011,6 +5072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_topk": anchor_text_topk_q,
         "recrawl_staleness": recrawl_staleness_q,
         "bpe_pair_counts": bpe_pair_counts_q,
+        "bpe_encode_words": bpe_encode_words_q,
         "training_order_shards": training_order_shards_q,
         "vocab_oov_rate": vocab_oov_rate_q,
         "trap_url_shapes": trap_url_shapes_q,
@@ -5130,6 +5192,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_topk": _ANCHOR_TEXT_SQL,
         "recrawl_staleness": _RECRAWL_SQL,
         "bpe_pair_counts": _BPE_PAIRS_SQL,
+        "bpe_encode_words": _bpe_encode_sql(),
         "training_order_shards": _SHUFFLE_SHARDS_SQL,
         "vocab_oov_rate": _VOCAB_OOV_SQL,
         "trap_url_shapes": _TRAP_SHAPES_SQL,

@@ -39,6 +39,7 @@ __all__ = [
     "pair_counts",
     "merge_pair_expr",
     "train_bpe",
+    "encode_words",
     "vocab_coverage",
 ]
 
@@ -160,6 +161,48 @@ def train_bpe(
             )
         )
     return merges, sym
+
+
+def encode_words(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+    out_col: str = "tokens",
+    checkpoint_every: int = 16,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """ENCODE with a trained merge table — the production tokenize step.
+
+    Applying BPE to a corpus has the same scale property as training it
+    (Sennrich et al. 2016): encode the DISTINCT-WORD table, not every
+    token occurrence — a 100-TB corpus's ~10^7 distinct words fit one
+    small frame, and per-document sequences come back via a word-key
+    join against it.  This operator is that word-table step: it appends
+    ``out_col`` (the subword symbol array) to ``words``, applying every
+    merge IN TRAINING ORDER as the same greedy left-to-right Catalyst
+    fold training used (``merge_pair_expr`` — bit-identical semantics,
+    so encoding a corpus with its own training merges reproduces the
+    training symbol table exactly; test-pinned).
+
+    Merges accept (left, right) or train_bpe's (left, right, count)
+    tuples.  Consecutive folds collapse into one nested projection;
+    ``checkpoint_every`` bounds the expression depth by truncating
+    lineage every k merges (``operators/iterutil.lineage_truncator`` —
+    localCheckpoint default, fault-tolerant dir optional), which is what
+    makes a real ~30k-merge vocabulary tractable.
+    """
+    from .iterutil import lineage_truncator
+
+    truncate = lineage_truncator(checkpoint_dir)
+    out = words.withColumn(out_col, _initial_symbols(F.col(word_col)))
+    for i, m in enumerate(merges):
+        left, right = m[0], m[1]
+        out = out.withColumn(
+            out_col, merge_pair_expr(F.col(out_col), left, right)
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            out = truncate(out)
+    return out
 
 
 def vocab_coverage(

@@ -140,3 +140,54 @@ def test_vocab_coverage_plan_broadcasts_vocab(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_encode_words_reproduces_training_symbol_table(spark):
+    """Encoding a corpus with its OWN training merges must land on the
+    training run's final symbol table exactly — the round-trip that pins
+    encode/train semantic identity."""
+    from cord19_crawler_spark.operators.bpe import encode_words
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new wider wide",
+        "low new wide wider lowest",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges, sym = train_bpe(docs, n_merges=8)
+    enc = encode_words(word_frequencies(docs), merges)
+    got = {r["word"]: r["tokens"] for r in enc.collect()}
+    exp = {r["word"]: r["symbols"] for r in sym.collect()}
+    assert got == exp
+
+
+def test_encode_words_static_merges_and_checkpointing(spark, tmp_path):
+    from cord19_crawler_spark.operators.bpe import encode_words
+
+    words = spark.createDataFrame(
+        [("the",), ("then",), ("rather",), ("e",)], "word string"
+    )
+    merges = [("t", "h"), ("th", "e"), ("e", END), ("e", "r")]
+    got = {
+        r["word"]: r["tokens"]
+        for r in encode_words(words, merges, checkpoint_every=2).collect()
+    }
+    assert got == {
+        # t h -> th; th e -> the; e</w> only fires on word-final e
+        "the": ["the", END],
+        "then": ["the", "n", END],
+        # 'er' must NOT merge before its rule: a t h e r -> a th -> no:
+        # r a th e r: (th,e) tail 'th' + 'e' -> 'the'; (e,r) tail 'the'
+        # is not 'e', so the trailing r stays separate
+        "rather": ["r", "a", "the", "r", END],
+        "e": ["e</w>"],
+    }
+    # reliable-checkpoint path produces identical output
+    reli = {
+        r["word"]: r["tokens"]
+        for r in encode_words(
+            words, merges, checkpoint_every=1,
+            checkpoint_dir=str(tmp_path / "enc"),
+        ).collect()
+    }
+    assert reli == got
