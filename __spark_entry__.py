@@ -3705,6 +3705,63 @@ FROM {prev} ORDER BY word
 """
 
 
+def bpe_encode_corpus_q(spark, sf_dir):
+    """BPE CORPUS encoding (encode_words lifted to per-document subword
+    sequences): pre-tokenize each document into positioned words, encode
+    only the DISTINCT-word table with the merge folds, join the encoded
+    vocabulary back to the occurrences (broadcast — the vocab is small)
+    and reassemble in document order. The oracle replays the same shape
+    in DuckDB: positioned unnest, the per-merge string-replace encode on
+    the distinct words, an ORDER BY-position string_agg per document.
+    Documents with no words keep a row with an empty sequence."""
+    from cord19_crawler_spark.operators.bpe import encode_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    seqs = encode_corpus(d, _BPE_ENCODE_MERGES)
+    return seqs.select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("encoded"),
+        F.col("n_tokens"),
+    ).orderBy("doc_id")
+
+
+def _bpe_encode_corpus_sql() -> str:
+    steps, prev = [], "s0"
+    for i, (l, r) in enumerate(_BPE_ENCODE_MERGES, 1):
+        steps.append(
+            f", s{i} AS (SELECT word,"
+            f" replace(s, '|{l}||{r}|', '|{l}{r}|') AS s FROM {prev})"
+        )
+        prev = f"s{i}"
+    return f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+), idx AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM d
+), occ AS (
+  SELECT doc_id, i, ws[CAST(i AS INT)] AS word FROM idx
+), s0 AS (
+  SELECT DISTINCT word,
+    '|' || array_to_string(
+      list_append(regexp_extract_all(word, '.'), '</w>'), '||') || '|' AS s
+  FROM occ
+){chr(10).join(steps)}, enc AS (
+  SELECT word, replace(trim({prev}.s, '|'), '||', ' ') AS e,
+    len(string_split(replace(trim({prev}.s, '|'), '||', ' '), ' ')) AS n
+  FROM {prev}
+), seq AS (
+  SELECT occ.doc_id, string_agg(enc.e, ' ' ORDER BY occ.i) AS encoded,
+    CAST(sum(enc.n) AS BIGINT) AS n_tokens
+  FROM occ JOIN enc USING (word) GROUP BY occ.doc_id
+)
+SELECT d.doc_id, coalesce(seq.encoded, '') AS encoded,
+  coalesce(seq.n_tokens, 0) AS n_tokens
+FROM d LEFT JOIN seq USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def training_order_shards_q(spark, sf_dir):
     """Deterministic global training-order shuffle (epoch seed 3, 8
     shards): shard + within-shard position from the seeded Knuth-hash
@@ -5073,6 +5130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_staleness": recrawl_staleness_q,
         "bpe_pair_counts": bpe_pair_counts_q,
         "bpe_encode_words": bpe_encode_words_q,
+        "bpe_encode_corpus": bpe_encode_corpus_q,
         "training_order_shards": training_order_shards_q,
         "vocab_oov_rate": vocab_oov_rate_q,
         "trap_url_shapes": trap_url_shapes_q,
@@ -5193,6 +5251,7 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_staleness": _RECRAWL_SQL,
         "bpe_pair_counts": _BPE_PAIRS_SQL,
         "bpe_encode_words": _bpe_encode_sql(),
+        "bpe_encode_corpus": _bpe_encode_corpus_sql(),
         "training_order_shards": _SHUFFLE_SHARDS_SQL,
         "vocab_oov_rate": _VOCAB_OOV_SQL,
         "trap_url_shapes": _TRAP_SHAPES_SQL,

@@ -40,6 +40,7 @@ __all__ = [
     "merge_pair_expr",
     "train_bpe",
     "encode_words",
+    "encode_corpus",
     "vocab_coverage",
 ]
 
@@ -203,6 +204,66 @@ def encode_words(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             out = truncate(out)
     return out
+
+
+def encode_corpus(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = _WORD_RE,
+    broadcast_words: bool = True,
+    **encode_kwargs,
+) -> DataFrame:
+    """Corpus → per-document subword sequences via the encoded word table.
+
+    One pass pre-tokenizes each document into (pos, word); only the
+    DISTINCT words run the merge folds (:func:`encode_words`); the
+    occurrences join back on the word key (broadcast by default — the
+    encoded vocabulary is small; pass ``broadcast_words=False`` at an
+    extreme vocabulary to let the planner shuffle-join) and re-assemble
+    in document order with a single groupBy.  Returns one row per input
+    document: (id_col, tokens, n_tokens) — documents with no words keep
+    an empty token array rather than vanishing.
+    """
+    toks = docs.select(
+        id_col,
+        F.posexplode_outer(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
+        ).alias("_pos", "_word"),
+    )
+    enc = encode_words(
+        toks.filter(F.col("_word").isNotNull())
+        .select(F.col("_word").alias("word"))
+        .distinct(),
+        merges,
+        **encode_kwargs,
+    )
+    if broadcast_words:
+        enc = F.broadcast(enc)
+    joined = toks.join(enc, toks["_word"] == enc["word"], "left")
+    seqs = joined.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("tokens").isNotNull(),
+                            F.struct("_pos", "tokens"),
+                        )
+                    )
+                ),
+                lambda s: s["tokens"],
+            )
+        ).alias("tokens")
+    )
+    return seqs.select(
+        id_col,
+        F.coalesce(F.col("tokens"), F.expr("array()")).alias("tokens"),
+        F.size(F.coalesce(F.col("tokens"), F.expr("array()")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
 
 
 def vocab_coverage(

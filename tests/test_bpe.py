@@ -191,3 +191,49 @@ def test_encode_words_static_merges_and_checkpointing(spark, tmp_path):
         ).collect()
     }
     assert reli == got
+
+
+def _py_encode_word(word: str, merges) -> list[str]:
+    sym = list(word) + [END]
+    for left, right in [(m[0], m[1]) for m in merges]:
+        out: list[str] = []
+        for s in sym:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        sym = out
+    return sym
+
+
+def test_encode_corpus_matches_python_replay(spark):
+    """Per-document subword sequences equal the greedy per-word encode
+    replayed in Python, in document word order; a wordless document keeps
+    a row with an empty sequence."""
+    from cord19_crawler_spark.operators.bpe import encode_corpus
+
+    rows = [
+        ("d1", "the then rather"),
+        ("d2", "e the e"),
+        ("d3", "!!! ???"),  # no [a-z0-9]+ words at all
+        ("d4", None),
+        ("d5", "Rather THE then"),  # lowercased before tokenize
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    merges = [("t", "h"), ("th", "e"), ("e", END), ("e", "r")]
+    got = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in encode_corpus(docs, merges).collect()
+    }
+    exp = {}
+    for doc_id, text in rows:
+        words = re.findall("[a-z0-9]+", (text or "").lower())
+        toks = [t for w in words for t in _py_encode_word(w, merges)]
+        exp[doc_id] = (toks, len(toks))
+    assert got == exp
+    # shuffle-join path (extreme-vocabulary escape hatch) is equivalent
+    got_sj = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in encode_corpus(docs, merges, broadcast_words=False).collect()
+    }
+    assert got_sj == exp
