@@ -3705,6 +3705,111 @@ FROM {prev} ORDER BY word
 """
 
 
+def sitemap_parse_q(spark, sf_dir):
+    """Sitemap XML parsing (sitemaps.org protocol): synthetic urlset +
+    sitemapindex bodies are BUILT from orders-key arithmetic, run through
+    the real Catalyst parser (frontier/sitemaps.py — kind classification,
+    per-entry field extraction, entity decode, changefreq vocabulary,
+    priority clamping/defaulting, loc-required drop), while the oracle
+    derives the EXPECTED rows directly from the same key arithmetic —
+    an independent derivation, so a parser bug cannot hide in a shared
+    regex. Bodies exercise: &amp; entity in loc, case-normalized and
+    invalid changefreq, out-of-range/unparsable/absent priority, CRLF +
+    whitespace-padded loc, loc-less entries (dropped), index files
+    carrying lastmod-less children."""
+    from cord19_crawler_spark.frontier.sitemaps import parse_sitemaps
+
+    o = _t(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    ks, cs = k.cast("string"), c.cast("string")
+    host = F.concat(F.lit("s"), (c % 50).cast("string"), F.lit(".example.com"))
+    cf = F.array(*[F.lit(x) for x in (
+        "daily", "WEEKLY", "never", "sometimes", "hourly",
+        "monthly", "always", "yearly", "annually",
+    )])
+    pr = F.array(*[F.lit(x) for x in ("0.1", "0.9", "1.5", "x", "0")])
+    urlset_body = F.concat(
+        F.lit("<urlset>\r\n<url><loc>https://"), host, F.lit("/p"),
+        (k % 13).cast("string"), F.lit("?a=1&amp;b="),
+        (c % 17).cast("string"), F.lit("</loc>"),
+        F.when(
+            k % 2 == 0,
+            F.concat(F.lit("<lastmod>2026-0"), (k % 9 + 1).cast("string"),
+                     F.lit("-15</lastmod>")),
+        ).otherwise(F.lit("")),
+        F.lit("<changefreq>"), F.element_at(cf, (k % 9 + 1).cast("int")),
+        F.lit("</changefreq><priority>"),
+        F.element_at(pr, (k % 5 + 1).cast("int")),
+        F.lit("</priority></url>\r\n"),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit("<url><loc> https://"), host,
+                     F.lit("/extra </loc></url>\r\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 5 == 0,
+            F.lit("<url><priority>0.9</priority></url>\r\n"),
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    index_body = F.concat(
+        F.lit("<sitemapindex>\r\n<sitemap><loc>https://"), host,
+        F.lit("/child"), (k % 11).cast("string"),
+        F.lit(".xml</loc><lastmod>2026-02-01T10:00:00Z</lastmod></sitemap>\r\n"
+              "<sitemap><loc>https://"), host,
+        F.lit("/child"), ((k + 1) % 11).cast("string"),
+        F.lit(".xml</loc></sitemap>\r\n</sitemapindex>"),
+    )
+    files = o.select(
+        F.concat(F.lit("https://"), host, F.lit("/sm"), ks, F.lit(".xml"))
+        .alias("url"),
+        F.when(k % 7 == 0, index_body).otherwise(urlset_body).alias("body"),
+    )
+    return parse_sitemaps(files).orderBy("sitemap_url", "entry_pos")
+
+
+_SITEMAP_PARSE_SQL = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_custkey AS c,
+    's' || CAST(o_custkey % 50 AS VARCHAR) || '.example.com' AS host
+  FROM orders
+), f AS (
+  SELECT k, c, host,
+    'https://' || host || '/sm' || CAST(k AS VARCHAR) || '.xml' AS sitemap_url
+  FROM o
+), rows AS (
+  SELECT sitemap_url, 'urlset' AS kind, 0 AS entry_pos,
+    'https://' || host || '/p' || CAST(k % 13 AS VARCHAR)
+      || '?a=1&b=' || CAST(c % 17 AS VARCHAR) AS loc,
+    CASE WHEN k % 2 = 0
+      THEN '2026-0' || CAST(k % 9 + 1 AS VARCHAR) || '-15' END AS lastmod,
+    CASE k % 9 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly' WHEN 2 THEN 'never'
+      WHEN 4 THEN 'hourly' WHEN 5 THEN 'monthly' WHEN 6 THEN 'always'
+      WHEN 7 THEN 'yearly' END AS changefreq,
+    CASE k % 5 WHEN 0 THEN 0.1 WHEN 1 THEN 0.9 WHEN 4 THEN 0.0
+      ELSE 0.5 END AS priority
+  FROM f WHERE k % 7 <> 0
+  UNION ALL
+  SELECT sitemap_url, 'urlset', 1, 'https://' || host || '/extra',
+    NULL, NULL, 0.5
+  FROM f WHERE k % 7 <> 0 AND k % 3 = 0
+  UNION ALL
+  SELECT sitemap_url, 'index', 0,
+    'https://' || host || '/child' || CAST(k % 11 AS VARCHAR) || '.xml',
+    '2026-02-01T10:00:00Z', NULL, NULL
+  FROM f WHERE k % 7 = 0
+  UNION ALL
+  SELECT sitemap_url, 'index', 1,
+    'https://' || host || '/child' || CAST((k + 1) % 11 AS VARCHAR) || '.xml',
+    NULL, NULL, NULL
+  FROM f WHERE k % 7 = 0
+)
+SELECT sitemap_url, kind, entry_pos, loc, lastmod, changefreq,
+  CAST(priority AS DOUBLE) AS priority
+FROM rows ORDER BY sitemap_url, entry_pos
+"""
+
+
 def bpe_encode_corpus_q(spark, sf_dir):
     """BPE CORPUS encoding (encode_words lifted to per-document subword
     sequences): pre-tokenize each document into positioned words, encode
@@ -5131,6 +5236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": bpe_pair_counts_q,
         "bpe_encode_words": bpe_encode_words_q,
         "bpe_encode_corpus": bpe_encode_corpus_q,
+        "sitemap_parse": sitemap_parse_q,
         "training_order_shards": training_order_shards_q,
         "vocab_oov_rate": vocab_oov_rate_q,
         "trap_url_shapes": trap_url_shapes_q,
@@ -5252,6 +5358,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": _BPE_PAIRS_SQL,
         "bpe_encode_words": _bpe_encode_sql(),
         "bpe_encode_corpus": _bpe_encode_corpus_sql(),
+        "sitemap_parse": _SITEMAP_PARSE_SQL,
         "training_order_shards": _SHUFFLE_SHARDS_SQL,
         "vocab_oov_rate": _VOCAB_OOV_SQL,
         "trap_url_shapes": _TRAP_SHAPES_SQL,
