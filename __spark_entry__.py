@@ -3705,6 +3705,81 @@ FROM {prev} ORDER BY word
 """
 
 
+def fetch_retry_schedule_q(spark, sf_dir):
+    """Per-URL retry state + truncated exponential backoff from a
+    synthetic fetch-attempt log over events (url = event_id % 200, ts =
+    event_id — unique, so the reduction is tie-free; status cycles
+    through 2xx/3xx/permanent-4xx/408/429/5xx/network-0). ONE linear
+    url-key aggregate (no window/self-join — plan-asserted in pytest);
+    the oracle recomputes the trailing-transient streak via the
+    last-solid-timestamp join and replays the state machine and delay
+    formula exactly."""
+    from cord19_crawler_spark.frontier.retry import retry_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    status = F.element_at(
+        F.array(*[F.lit(s) for s in
+                  (200, 403, 304, 301, 404, 410, 500, 503, 429, 0)]),
+        (e % 10 + 1).cast("int"),
+    )
+    log = ev.select(
+        F.concat(F.lit("https://r"), (e % 200).cast("string"),
+                 F.lit(".example.com/doc")).alias("url"),
+        e.cast("double").alias("ts"),
+        status.alias("status"),
+    )
+    return retry_schedule(
+        log, base_delay=60.0, max_delay=86400.0, max_retries=5
+    ).orderBy("url")
+
+
+_RETRY_SQL = """
+WITH log AS (
+  SELECT 'https://r' || CAST(event_id % 200 AS VARCHAR)
+           || '.example.com/doc' AS url,
+    CAST(event_id AS DOUBLE) AS ts,
+    CASE event_id % 10 WHEN 0 THEN 200 WHEN 1 THEN 403 WHEN 2 THEN 304
+      WHEN 3 THEN 301 WHEN 4 THEN 404 WHEN 5 THEN 410 WHEN 6 THEN 500
+      WHEN 7 THEN 503 WHEN 8 THEN 429 ELSE 0 END AS status
+  FROM events
+), cls AS (
+  SELECT url, ts, status,
+    CASE WHEN status BETWEEN 200 AND 399 THEN 'success'
+         WHEN status BETWEEN 400 AND 499 AND status NOT IN (408, 429)
+           THEN 'permanent'
+         ELSE 'transient' END AS cl
+  FROM log
+), agg AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_attempts, max(ts) AS last_ts,
+    arg_max(status, ts) AS last_status,
+    max(ts) FILTER (WHERE cl <> 'transient') AS solid_ts
+  FROM cls GROUP BY url
+), st AS (
+  SELECT a.url, CAST(count(c.ts) AS BIGINT) AS fail_streak
+  FROM agg a LEFT JOIN cls c
+    ON c.url = a.url AND c.cl = 'transient'
+   AND (a.solid_ts IS NULL OR c.ts > a.solid_ts)
+  GROUP BY a.url
+), fin AS (
+  SELECT a.url, a.n_attempts, a.last_ts, a.last_status, st.fail_streak,
+    CASE WHEN a.last_status BETWEEN 200 AND 399 THEN 'ok'
+         WHEN a.last_status BETWEEN 400 AND 499
+              AND a.last_status NOT IN (408, 429) THEN 'gone'
+         WHEN st.fail_streak > 5 THEN 'dead' ELSE 'retry' END AS state
+  FROM agg a JOIN st ON st.url = a.url
+)
+SELECT url, n_attempts, last_ts, last_status, fail_streak, state,
+  CASE WHEN state = 'retry'
+    THEN least(86400.0, 60.0 * power(2.0, fail_streak - 1)) END
+    AS retry_delay,
+  last_ts + CASE WHEN state = 'retry'
+    THEN least(86400.0, 60.0 * power(2.0, fail_streak - 1)) END
+    AS next_attempt_ts
+FROM fin ORDER BY url
+"""
+
+
 def sitemap_parse_q(spark, sf_dir):
     """Sitemap XML parsing (sitemaps.org protocol): synthetic urlset +
     sitemapindex bodies are BUILT from orders-key arithmetic, run through
@@ -5237,6 +5312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_words": bpe_encode_words_q,
         "bpe_encode_corpus": bpe_encode_corpus_q,
         "sitemap_parse": sitemap_parse_q,
+        "fetch_retry_schedule": fetch_retry_schedule_q,
         "training_order_shards": training_order_shards_q,
         "vocab_oov_rate": vocab_oov_rate_q,
         "trap_url_shapes": trap_url_shapes_q,
@@ -5359,6 +5435,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_words": _bpe_encode_sql(),
         "bpe_encode_corpus": _bpe_encode_corpus_sql(),
         "sitemap_parse": _SITEMAP_PARSE_SQL,
+        "fetch_retry_schedule": _RETRY_SQL,
         "training_order_shards": _SHUFFLE_SHARDS_SQL,
         "vocab_oov_rate": _VOCAB_OOV_SQL,
         "trap_url_shapes": _TRAP_SHAPES_SQL,
