@@ -3780,6 +3780,65 @@ FROM fin ORDER BY url
 """
 
 
+def revalidation_plan_q(spark, sf_dir):
+    """Conditional-GET planning (RFC 9110 §13) over a synthetic fetch
+    history from events: per-URL freshest ETag and Last-Modified tracked
+    INDEPENDENTLY (max_by over a null-when-absent ts — most recent
+    response that carried each header), plus the 304-share of terminal
+    responses. One linear url-key aggregate (plan-asserted in pytest);
+    the oracle replays with FILTERed arg_max."""
+    from cord19_crawler_spark.frontier.revalidate import revalidation_plan
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    status = F.element_at(
+        F.array(*[F.lit(s) for s in (200, 304, 200, 301, 503)]),
+        (e % 5 + 1).cast("int"),
+    )
+    hist = ev.select(
+        F.concat(F.lit("https://v"), (e % 150).cast("string"),
+                 F.lit(".example.com/doc")).alias("url"),
+        e.cast("double").alias("ts"),
+        status.alias("status"),
+        F.when(e % 3 == 0,
+               F.concat(F.lit('"e'), (e % 7).cast("string"), F.lit('"')))
+        .alias("etag"),
+        F.when(e % 4 == 0,
+               F.concat(F.lit("LM-"), (e % 9).cast("string")))
+        .alias("last_modified"),
+    )
+    return revalidation_plan(hist).orderBy("url")
+
+
+_REVALIDATE_SQL = """
+WITH hist AS (
+  SELECT 'https://v' || CAST(event_id % 150 AS VARCHAR)
+           || '.example.com/doc' AS url,
+    CAST(event_id AS DOUBLE) AS ts,
+    CASE event_id % 5 WHEN 0 THEN 200 WHEN 1 THEN 304 WHEN 2 THEN 200
+      WHEN 3 THEN 301 ELSE 503 END AS status,
+    CASE WHEN event_id % 3 = 0
+      THEN '"e' || CAST(event_id % 7 AS VARCHAR) || '"' END AS etag,
+    CASE WHEN event_id % 4 = 0
+      THEN 'LM-' || CAST(event_id % 9 AS VARCHAR) END AS last_modified
+  FROM events
+)
+SELECT url,
+  arg_max(etag, ts) FILTER (WHERE etag IS NOT NULL) AS if_none_match,
+  arg_max(last_modified, ts) FILTER (WHERE last_modified IS NOT NULL)
+    AS if_modified_since,
+  (count(etag) > 0 OR count(last_modified) > 0) AS revalidable,
+  CAST(count(*) FILTER (WHERE status = 200) AS BIGINT) AS n_full,
+  CAST(count(*) FILTER (WHERE status = 304) AS BIGINT) AS n_not_modified,
+  CASE WHEN count(*) FILTER (WHERE status IN (200, 304)) > 0
+    THEN CAST(count(*) FILTER (WHERE status = 304) AS DOUBLE)
+         / (count(*) FILTER (WHERE status = 200)
+            + count(*) FILTER (WHERE status = 304)) END
+    AS not_modified_rate
+FROM hist GROUP BY url ORDER BY url
+"""
+
+
 def sitemap_parse_q(spark, sf_dir):
     """Sitemap XML parsing (sitemaps.org protocol): synthetic urlset +
     sitemapindex bodies are BUILT from orders-key arithmetic, run through
@@ -5313,6 +5372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_corpus": bpe_encode_corpus_q,
         "sitemap_parse": sitemap_parse_q,
         "fetch_retry_schedule": fetch_retry_schedule_q,
+        "revalidation_plan": revalidation_plan_q,
         "training_order_shards": training_order_shards_q,
         "vocab_oov_rate": vocab_oov_rate_q,
         "trap_url_shapes": trap_url_shapes_q,
@@ -5436,6 +5496,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_corpus": _bpe_encode_corpus_sql(),
         "sitemap_parse": _SITEMAP_PARSE_SQL,
         "fetch_retry_schedule": _RETRY_SQL,
+        "revalidation_plan": _REVALIDATE_SQL,
         "training_order_shards": _SHUFFLE_SHARDS_SQL,
         "vocab_oov_rate": _VOCAB_OOV_SQL,
         "trap_url_shapes": _TRAP_SHAPES_SQL,
