@@ -3440,7 +3440,7 @@ def link_pagerank_q(spark, sf_dir):
 def _pagerank_sql(iterations: int = 5, d: float = 0.85) -> str:
     parts = [
         """
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT DISTINCT o_custkey % 200 AS src, o_orderkey % 237 AS dst
   FROM orders WHERE o_custkey % 200 <> o_orderkey % 237
 ), nodes AS (
@@ -3456,20 +3456,81 @@ deg AS (
     ]
     for i in range(1, iterations + 1):
         parts.append(
-            f""", dm{i} AS (
+            f""", dm{i} AS MATERIALIZED (
   SELECT coalesce(sum(r.rank), 0) AS m
   FROM r{i - 1} r JOIN deg USING (node) WHERE outdeg = 0
-), c{i} AS (
+), c{i} AS MATERIALIZED (
   SELECT e.dst AS node, sum(r.rank / deg.outdeg) AS contrib
   FROM e JOIN r{i - 1} r ON r.node = e.src JOIN deg ON deg.node = e.src
   GROUP BY e.dst
-), r{i} AS (
+), r{i} AS MATERIALIZED (
   SELECT n.node,
     (1 - {d}) / nn.n + {d} * (coalesce(c.contrib, 0) + dm.m / nn.n) AS rank
   FROM nodes n LEFT JOIN c{i} c USING (node), nn, dm{i} dm
 )"""
         )
     parts.append(f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}")
+    return "".join(parts)
+
+
+def link_hits_q(spark, sf_dir):
+    """Fixed-iteration HITS hubs/authorities (Kleinberg JACM 1999, 4
+    rounds of I-then-O with L2 normalization) over the same deterministic
+    synthetic link graph family as link_pagerank (src = o_custkey % 150,
+    dst = o_orderkey % 173 — sources-only and sinks-only nodes exist, so
+    the zero-authority/zero-hub paths are value-checked). The oracle
+    UNROLLS all four iterations as chained CTEs — every intermediate
+    normalized vector must match, not just the final ranking."""
+    from cord19_crawler_spark.operators.graph import hits
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 150).alias("src"),
+        (F.col("o_orderkey") % 173).alias("dst"),
+    )
+    h = hits(edges, iterations=4)
+    return h.select(
+        "node",
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
+def _hits_sql(iterations: int = 4) -> str:
+    parts = [
+        """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % 150 AS src, o_orderkey % 173 AS dst
+  FROM orders WHERE o_custkey % 150 <> o_orderkey % 173
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+), h0 AS (SELECT node, 1.0 AS hub FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""", ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.hub) AS a
+  FROM e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst
+), an{i} AS MATERIALIZED (SELECT sqrt(sum(a * a)) AS s FROM ar{i}),
+a{i} AS MATERIALIZED (
+  SELECT n.node,
+    coalesce(ar.a, 0) / (CASE WHEN an.s > 0 THEN an.s ELSE 1 END) AS auth
+  FROM nodes n LEFT JOIN ar{i} ar USING (node), an{i} an
+), hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.auth) AS h
+  FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+), hn{i} AS MATERIALIZED (SELECT sqrt(sum(h * h)) AS s FROM hr{i}),
+h{i} AS MATERIALIZED (
+  SELECT n.node,
+    coalesce(hr.h, 0) / (CASE WHEN hn.s > 0 THEN hn.s ELSE 1 END) AS hub
+  FROM nodes n LEFT JOIN hr{i} hr USING (node), hn{i} hn
+)"""
+        )
+    parts.append(
+        f"""
+SELECT a.node, round(a.auth, 6) AS authority, round(h.hub, 6) AS hub
+FROM a{iterations} a JOIN h{iterations} h USING (node)"""
+    )
     return "".join(parts)
 
 
@@ -5365,6 +5426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": c4_filter_q,
         "curation_pipeline": curation_pipeline_q,
         "link_pagerank": link_pagerank_q,
+        "link_hits": link_hits_q,
         "anchor_text_topk": anchor_text_topk_q,
         "recrawl_staleness": recrawl_staleness_q,
         "bpe_pair_counts": bpe_pair_counts_q,
@@ -5489,6 +5551,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_filter": _C4_SQL,
         "curation_pipeline": _curation_pipeline_sql(),
         "link_pagerank": _pagerank_sql(),
+        "link_hits": _hits_sql(),
         "anchor_text_topk": _ANCHOR_TEXT_SQL,
         "recrawl_staleness": _RECRAWL_SQL,
         "bpe_pair_counts": _BPE_PAIRS_SQL,

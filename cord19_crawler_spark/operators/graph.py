@@ -48,6 +48,7 @@ __all__ = [
     "shared_gram_star_edges",
     "components_with_size",
     "pagerank",
+    "hits",
     "anchor_text_index",
 ]
 
@@ -439,3 +440,100 @@ def anchor_text_index(
         "dst", "anchor_rank", "anchor", "votes", "inlinks",
         "distinct_srcs", "n_anchors",
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration HITS hubs & authorities (Kleinberg, JACM 1999) —
+    the complement of :func:`pagerank` for crawl prioritization: a good
+    HUB (link directory, sitemap page, category index) is exactly the
+    page a crawler should fetch early because it funnels discovery,
+    while authorities rank what those hubs point AT.
+
+    Semantics pinned for oracle replay: parallel edges collapse to one,
+    self-loops drop; hubs start at 1.0; each iteration runs the paper's
+    I-then-O operations — auth'(v) = Σ_{u→v} hub(u) then L2-normalize,
+    hub'(u) = Σ_{u→v} auth'(v) (the FRESH authorities) then
+    L2-normalize — for exactly ``iterations`` rounds.  Nodes with no
+    inlinks/outlinks hold authority/hub 0.  Returns (node, authority,
+    hub) as raw doubles; callers round for cross-engine comparison
+    (floating sums are order-dependent at ~1e-15/iteration and the
+    normalized iteration is stable, so round-6 values match).
+
+    Scale shape (10^10 edges): per iteration TWO wide shuffles — the
+    hub-sum aggregate keyed on dst and the auth-sum aggregate keyed on
+    src, both with map-side partials — plus two 1-row L2-norm aggregates
+    broadcast back onto the node frame; the score vector stays
+    partitioned by node, nothing graph-sized touches the driver.
+    Per-round lineage is truncated like the other iterative operators
+    (``checkpoint_dir`` trades localCheckpoint speed for reliable
+    executor-loss safety — see iterutil).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    _ckpt = lineage_truncator(checkpoint_dir)
+    e = _ckpt(
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = _ckpt(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = nodes.select("node", F.lit(0.0).alias("authority"))
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("_a"))
+        )
+        a_norm = a_raw.agg(
+            F.sqrt(F.coalesce(F.sum(F.col("_a") * F.col("_a")), F.lit(0.0)))
+            .alias("_na")
+        )
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_norm))
+            .select(
+                "node",
+                (
+                    F.coalesce("_a", F.lit(0.0))
+                    / F.when(F.col("_na") > 0.0, F.col("_na")).otherwise(1.0)
+                ).alias("authority"),
+            )
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("_h"))
+        )
+        h_norm = h_raw.agg(
+            F.sqrt(F.coalesce(F.sum(F.col("_h") * F.col("_h")), F.lit(0.0)))
+            .alias("_nh")
+        )
+        hub = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_norm))
+            .select(
+                "node",
+                (
+                    F.coalesce("_h", F.lit(0.0))
+                    / F.when(F.col("_nh") > 0.0, F.col("_nh")).otherwise(1.0)
+                ).alias("hub"),
+            )
+        )
+        joined = _ckpt(auth.join(hub, "node"))
+        auth = joined.select("node", "authority")
+        hub = joined.select("node", "hub")
+    return auth.join(hub, "node").select("node", "authority", "hub")
