@@ -3841,6 +3841,111 @@ FROM fin ORDER BY url
 """
 
 
+def html_outlinks_q(spark, sf_dir):
+    """HTML outlink discovery: synthetic pages BUILT from orders-key
+    arithmetic (relative/parent/query-only/absolute/fragment/mailto
+    links, entity-escaped queries, optional <base href>) run through the
+    real extractor + RFC 3986 resolver (functions/html.py), while the
+    oracle constructs the EXPECTED (url, kind, ref, resolved) rows
+    directly from the same arithmetic — fully independent of the
+    extraction regexes and the Catalyst dot-segment fold. The RFC's own
+    §5.4 vectors are pinned in pytest; this row oracles the e2e
+    extract→effective-base→resolve→filter pipeline at corpus scale."""
+    from cord19_crawler_spark.functions.html import extract_outlinks
+
+    o = _t(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    host = F.concat(F.lit("w"), (c % 40).cast("string"), F.lit(".example.com"))
+    page = F.concat(
+        F.lit("https://"), host, F.lit("/a"), (k % 6).cast("string"),
+        F.lit("/b"), (k % 4).cast("string"), F.lit("/page"),
+        k.cast("string"), F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            k % 5 == 0,
+            F.concat(F.lit('<base href="/base'), (k % 7).cast("string"),
+                     F.lit('/">')),
+        ).otherwise(F.lit("")),
+        F.lit('</head><body><a href="rel'), (k % 9).cast("string"),
+        F.lit('.html">r</a><a href="../up'), (k % 3).cast("string"),
+        F.lit('.html">u</a>'),
+        F.when(
+            k % 2 == 0,
+            F.concat(F.lit('<a href="?p='), (k % 11).cast("string"),
+                     F.lit('&amp;s=1">q</a>')),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit('<a href="https://ext'), (k % 8).cast("string"),
+                     F.lit('.example.com/x">e</a>')),
+        ).otherwise(F.lit("")),
+        F.when(k % 4 == 0, F.lit('<a href="#top">t</a>')).otherwise(F.lit("")),
+        F.when(
+            k % 6 == 0,
+            F.concat(F.lit('<a href="mailto:u'), k.cast("string"),
+                     F.lit('@x.com">m</a>')),
+        ).otherwise(F.lit("")),
+        F.lit('<img src="/img/i'), (k % 5).cast("string"),
+        F.lit('.png"></body></html>'),
+    )
+    # repartition: the sf parquet reads as one split, which would run the
+    # (codegen-fallback, HOF-bearing) resolver single-task; real fetch
+    # tables arrive many-partitioned
+    pages = o.select(page.alias("url"), html.alias("html")).repartition(32)
+    return extract_outlinks(pages).orderBy("url", "kind", "ref")
+
+
+_HTML_OUTLINKS_SQL = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+    'w' || CAST(o_custkey % 40 AS VARCHAR) || '.example.com' AS host
+  FROM orders
+), p AS (
+  SELECT k, host,
+    'https://' || host || '/a' || CAST(k % 6 AS VARCHAR)
+      || '/b' || CAST(k % 4 AS VARCHAR)
+      || '/page' || CAST(k AS VARCHAR) || '.html' AS url,
+    CASE WHEN k % 5 = 0
+      THEN '/base' || CAST(k % 7 AS VARCHAR) || '/'
+      ELSE '/a' || CAST(k % 6 AS VARCHAR) || '/b' || CAST(k % 4 AS VARCHAR)
+           || '/' END AS dir,
+    CASE WHEN k % 5 = 0 THEN '/base' || CAST(k % 7 AS VARCHAR) || '/'
+      ELSE '/a' || CAST(k % 6 AS VARCHAR) || '/b' || CAST(k % 4 AS VARCHAR)
+           || '/page' || CAST(k AS VARCHAR) || '.html' END AS qpath
+  FROM o
+), rows AS (
+  SELECT url, 'href' AS kind,
+    'rel' || CAST(k % 9 AS VARCHAR) || '.html' AS ref,
+    'https://' || host || dir || 'rel' || CAST(k % 9 AS VARCHAR)
+      || '.html' AS resolved
+  FROM p
+  UNION ALL
+  SELECT url, 'href', '../up' || CAST(k % 3 AS VARCHAR) || '.html',
+    'https://' || host
+      || CASE WHEN k % 5 = 0 THEN '/'
+         ELSE '/a' || CAST(k % 6 AS VARCHAR) || '/' END
+      || 'up' || CAST(k % 3 AS VARCHAR) || '.html'
+  FROM p
+  UNION ALL
+  SELECT url, 'href', '?p=' || CAST(k % 11 AS VARCHAR) || '&s=1',
+    'https://' || host || qpath || '?p=' || CAST(k % 11 AS VARCHAR) || '&s=1'
+  FROM p WHERE k % 2 = 0
+  UNION ALL
+  SELECT url, 'href',
+    'https://ext' || CAST(k % 8 AS VARCHAR) || '.example.com/x',
+    'https://ext' || CAST(k % 8 AS VARCHAR) || '.example.com/x'
+  FROM p WHERE k % 3 = 0
+  UNION ALL
+  SELECT url, 'src', '/img/i' || CAST(k % 5 AS VARCHAR) || '.png',
+    'https://' || host || '/img/i' || CAST(k % 5 AS VARCHAR) || '.png'
+  FROM p
+)
+SELECT url, kind, ref, resolved FROM rows ORDER BY url, kind, ref
+"""
+
+
 def revalidation_plan_q(spark, sf_dir):
     """Conditional-GET planning (RFC 9110 §13) over a synthetic fetch
     history from events: per-URL freshest ETag and Last-Modified tracked
@@ -5435,6 +5540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": sitemap_parse_q,
         "fetch_retry_schedule": fetch_retry_schedule_q,
         "revalidation_plan": revalidation_plan_q,
+        "html_outlinks": html_outlinks_q,
         "training_order_shards": training_order_shards_q,
         "vocab_oov_rate": vocab_oov_rate_q,
         "trap_url_shapes": trap_url_shapes_q,
@@ -5560,6 +5666,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_parse": _SITEMAP_PARSE_SQL,
         "fetch_retry_schedule": _RETRY_SQL,
         "revalidation_plan": _REVALIDATE_SQL,
+        "html_outlinks": _HTML_OUTLINKS_SQL,
         "training_order_shards": _SHUFFLE_SHARDS_SQL,
         "vocab_oov_rate": _VOCAB_OOV_SQL,
         "trap_url_shapes": _TRAP_SHAPES_SQL,
