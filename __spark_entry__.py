@@ -3841,6 +3841,84 @@ FROM fin ORDER BY url
 """
 
 
+def domain_link_graph_q(spark, sf_dir):
+    """Registrable-domain-level link graph: synthetic URL pairs from
+    orders run through host extraction + PSL rollup + intra-domain
+    exclusion + (n_links, n_src_pages) aggregation; the oracle derives
+    the expected domains straight from the key arithmetic (co.uk PSL
+    rule at depth 3, default last-two-labels for .com), so PSL
+    resolution and the rollup are checked independently. dst family
+    k%5==0 collides with the odd-c src domain to exercise the
+    intra-domain drop; src paths repeat mod 50 so n_src_pages < n_links."""
+    from cord19_crawler_spark.frontier.psl import load_psl
+    from cord19_crawler_spark.operators.graph import domain_link_graph
+
+    o = _t(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    src_host = F.when(
+        c % 2 == 0,
+        F.concat(F.lit("sub"), (c % 5).cast("string"), F.lit(".brand"),
+                 (c % 11).cast("string"), F.lit(".co.uk")),
+    ).otherwise(
+        F.concat(F.lit("www.brand"), (c % 11).cast("string"), F.lit(".com"))
+    )
+    dst_host = (
+        F.when(
+            k % 5 == 0,
+            F.concat(F.lit("www.brand"), (c % 11).cast("string"),
+                     F.lit(".com")),
+        )
+        .when(
+            k % 3 == 0,
+            F.concat(F.lit("cdn"), (k % 4).cast("string"), F.lit(".site"),
+                     (k % 13).cast("string"), F.lit(".com.au")),
+        )
+        .otherwise(
+            F.concat(F.lit("www.site"), (k % 13).cast("string"),
+                     F.lit(".com"))
+        )
+    )
+    edges = o.select(
+        F.concat(F.lit("https://"), src_host, F.lit("/p/"),
+                 (k % 50).cast("string")).alias("src_url"),
+        F.concat(F.lit("https://"), dst_host, F.lit("/x")).alias("dst_url"),
+    )
+    return (
+        domain_link_graph(edges, load_psl(spark))
+        .orderBy("src_domain", "dst_domain")
+    )
+
+
+_DOMAIN_GRAPH_SQL = """
+WITH e AS (
+  SELECT
+    CASE WHEN o_custkey % 2 = 0
+      THEN 'brand' || CAST(o_custkey % 11 AS VARCHAR) || '.co.uk'
+      ELSE 'brand' || CAST(o_custkey % 11 AS VARCHAR) || '.com' END
+      AS src_domain,
+    CASE WHEN o_orderkey % 5 = 0
+      THEN 'brand' || CAST(o_custkey % 11 AS VARCHAR) || '.com'
+      WHEN o_orderkey % 3 = 0
+      THEN 'site' || CAST(o_orderkey % 13 AS VARCHAR) || '.com.au'
+      ELSE 'site' || CAST(o_orderkey % 13 AS VARCHAR) || '.com' END
+      AS dst_domain,
+    'https://' ||
+      CASE WHEN o_custkey % 2 = 0
+        THEN 'sub' || CAST(o_custkey % 5 AS VARCHAR) || '.brand'
+             || CAST(o_custkey % 11 AS VARCHAR) || '.co.uk'
+        ELSE 'www.brand' || CAST(o_custkey % 11 AS VARCHAR) || '.com' END
+      || '/p/' || CAST(o_orderkey % 50 AS VARCHAR) AS src_url
+  FROM orders
+)
+SELECT src_domain, dst_domain,
+  CAST(count(*) AS BIGINT) AS n_links,
+  CAST(count(DISTINCT src_url) AS BIGINT) AS n_src_pages
+FROM e WHERE src_domain <> dst_domain
+GROUP BY src_domain, dst_domain
+ORDER BY src_domain, dst_domain
+"""
+
+
 def html_outlinks_q(spark, sf_dir):
     """HTML outlink discovery: synthetic pages BUILT from orders-key
     arithmetic (relative/parent/query-only/absolute/fragment/mailto
@@ -5541,6 +5619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_retry_schedule": fetch_retry_schedule_q,
         "revalidation_plan": revalidation_plan_q,
         "html_outlinks": html_outlinks_q,
+        "domain_link_graph": domain_link_graph_q,
         "training_order_shards": training_order_shards_q,
         "vocab_oov_rate": vocab_oov_rate_q,
         "trap_url_shapes": trap_url_shapes_q,
@@ -5667,6 +5746,7 @@ def oracle_sql() -> dict[str, str]:
         "fetch_retry_schedule": _RETRY_SQL,
         "revalidation_plan": _REVALIDATE_SQL,
         "html_outlinks": _HTML_OUTLINKS_SQL,
+        "domain_link_graph": _DOMAIN_GRAPH_SQL,
         "training_order_shards": _SHUFFLE_SHARDS_SQL,
         "vocab_oov_rate": _VOCAB_OOV_SQL,
         "trap_url_shapes": _TRAP_SHAPES_SQL,

@@ -50,6 +50,7 @@ __all__ = [
     "pagerank",
     "hits",
     "anchor_text_index",
+    "domain_link_graph",
 ]
 
 
@@ -537,3 +538,63 @@ def hits(
         auth = joined.select("node", "authority")
         hub = joined.select("node", "hub")
     return auth.join(hub, "node").select("node", "authority", "hub")
+
+
+def domain_link_graph(
+    edges: DataFrame,
+    psl: DataFrame,
+    src: str = "src_url",
+    dst: str = "dst_url",
+) -> DataFrame:
+    """URL-level link pairs → REGISTRABLE-DOMAIN-level link graph.
+
+    The web graph a crawler reasons about for authority/spam/budget
+    decisions is not page-to-page but site-to-site: rolling links up to
+    the PSL registrable domain (``frontier/psl.py``) merges mirrors and
+    subdomain farms into one node and drops intra-site navigation.
+    Output: (src_domain, dst_domain, n_links, n_src_pages) with
+    intra-domain edges and unparseable hosts excluded; ``n_src_pages``
+    counts the distinct linking pages (breadth of evidence — 10^6 links
+    from one index page are weaker than 10^3 pages each linking once).
+
+    Scale shape (10^10 edges): host extraction is scan-side regexp; PSL
+    resolution runs on the DISTINCT-host frame only (hosts ≪ URLs — the
+    same reduction BPE uses for words) and joins back BROADCAST, so the
+    edge set is never shuffled for domain lookup; the only wide
+    exchanges are the final (src_domain, dst_domain) aggregate and the
+    distinct-page pre-reduce.  Ports and userinfo are stripped before
+    PSL lookup; IPv6 literal hosts are out of scope (documented).
+    """
+    from ..frontier.psl import with_registrable_domain
+
+    def _host(col):
+        auth = F.regexp_extract(
+            F.col(col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1
+        )
+        auth = F.regexp_replace(auth, "^[^@]*@", "")
+        return F.lower(F.regexp_replace(auth, ":[0-9]+$", ""))
+
+    e = edges.select(
+        F.col(src).alias("_surl"),
+        _host(src).alias("_sh"),
+        _host(dst).alias("_dh"),
+    ).filter((F.col("_sh") != "") & (F.col("_dh") != ""))
+    hosts = (
+        e.select(F.col("_sh").alias("host"))
+        .union(e.select(F.col("_dh").alias("host")))
+        .distinct()
+    )
+    dom = F.broadcast(
+        with_registrable_domain(hosts, psl).select("host", "domain")
+    )
+    rolled = (
+        e.join(dom.withColumnRenamed("host", "_sh")
+               .withColumnRenamed("domain", "src_domain"), "_sh")
+        .join(dom.withColumnRenamed("host", "_dh")
+              .withColumnRenamed("domain", "dst_domain"), "_dh")
+        .filter(F.col("src_domain") != F.col("dst_domain"))
+    )
+    return rolled.groupBy("src_domain", "dst_domain").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("_surl").alias("n_src_pages"),
+    )
