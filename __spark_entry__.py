@@ -3841,6 +3841,122 @@ FROM fin ORDER BY url
 """
 
 
+def discovery_pipeline_q(spark, sf_dir):
+    """The composed discovery round (plans/discovery_pipeline.py) end to
+    end: synthetic HTML pages from orders-key arithmetic run through
+    extraction → RFC 3986 resolution → canonicalization (unsorted params
+    + fragment + uppercase host planted) → within-batch dedup with
+    breadth evidence → seen anti-join (every 4th (k+1)-doc pre-seen) →
+    robots filter (the frontier_robots_filter rule table) → per-host
+    top-3. The oracle composes the SAME stages from the arithmetic:
+    expected link rows built directly, set-subtract for seen, the rule
+    table as CASE, and the (n_src_pages DESC, n_refs DESC, url) window."""
+    from pyspark.sql import Row
+
+    from cord19_crawler_spark.plans.discovery_pipeline import (
+        discovery_pipeline,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    page = F.concat(
+        F.lit("https://host"), (c % 7).cast("string"),
+        F.lit(".example.com/page/"), k.cast("string"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="/doc/'), (k % 23).cast("string"),
+        F.lit('?b=2&amp;a=1#x">a</a><a href="../doc/'),
+        ((k + 1) % 23).cast("string"), F.lit('">b</a>'),
+        F.when(
+            k % 2 == 0,
+            F.concat(F.lit('<a href="HTTPS://HOST'),
+                     ((c + 1) % 7).cast("string"),
+                     F.lit(".EXAMPLE.COM/doc/"), (k % 19).cast("string"),
+                     F.lit('">c</a>')),
+        ).otherwise(F.lit("")),
+        F.lit('<a href="#top">n</a><a href="mailto:u@x.com">m</a>'
+              "</body></html>"),
+    )
+    pages = o.select(page.alias("url"), html.alias("html")).repartition(32)
+    seen = (
+        o.filter(k % 4 == 0)
+        .select(
+            F.concat(F.lit("https://host"), (c % 7).cast("string"),
+                     F.lit(".example.com/doc/"),
+                     ((k + 1) % 23).cast("string")).alias("url")
+        )
+        .distinct()
+    )
+    robots = spark.createDataFrame(
+        [
+            Row(host="host0.example.com",
+                rules=[Row(allow=False, path_prefix="/doc/1")]),
+            Row(host="host1.example.com",
+                rules=[Row(allow=False, path_prefix="/doc/1")]),
+            Row(host="host2.example.com",
+                rules=[Row(allow=False, path_prefix="/"),
+                       Row(allow=True, path_prefix="/doc/2")]),
+        ]
+    )
+    return discovery_pipeline(
+        pages, seen=seen, robots=robots, per_host_k=3
+    ).orderBy("host", "rank")
+
+
+_DISCOVERY_SQL = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_custkey AS c FROM orders
+), links AS (
+  SELECT 'https://host' || CAST(c % 7 AS VARCHAR)
+           || '.example.com/page/' || CAST(k AS VARCHAR) AS src,
+    'https://host' || CAST(c % 7 AS VARCHAR) || '.example.com/doc/'
+      || CAST(k % 23 AS VARCHAR) || '?a=1&b=2' AS url,
+    'host' || CAST(c % 7 AS VARCHAR) || '.example.com' AS host,
+    '/doc/' || CAST(k % 23 AS VARCHAR) AS path
+  FROM o
+  UNION ALL
+  SELECT 'https://host' || CAST(c % 7 AS VARCHAR)
+           || '.example.com/page/' || CAST(k AS VARCHAR),
+    'https://host' || CAST(c % 7 AS VARCHAR) || '.example.com/doc/'
+      || CAST((k + 1) % 23 AS VARCHAR),
+    'host' || CAST(c % 7 AS VARCHAR) || '.example.com',
+    '/doc/' || CAST((k + 1) % 23 AS VARCHAR)
+  FROM o
+  UNION ALL
+  SELECT 'https://host' || CAST(c % 7 AS VARCHAR)
+           || '.example.com/page/' || CAST(k AS VARCHAR),
+    'https://host' || CAST((c + 1) % 7 AS VARCHAR) || '.example.com/doc/'
+      || CAST(k % 19 AS VARCHAR),
+    'host' || CAST((c + 1) % 7 AS VARCHAR) || '.example.com',
+    '/doc/' || CAST(k % 19 AS VARCHAR)
+  FROM o WHERE k % 2 = 0
+), cand AS (
+  SELECT url, any_value(host) AS host, any_value(path) AS path,
+    CAST(count(*) AS BIGINT) AS n_refs,
+    CAST(count(DISTINCT src) AS BIGINT) AS n_src_pages
+  FROM links GROUP BY url
+), unseen AS (
+  SELECT * FROM cand WHERE url NOT IN (
+    SELECT DISTINCT 'https://host' || CAST(c % 7 AS VARCHAR)
+      || '.example.com/doc/' || CAST((k + 1) % 23 AS VARCHAR)
+    FROM o WHERE k % 4 = 0)
+), allowed AS (
+  SELECT * FROM unseen WHERE CASE
+    WHEN host IN ('host0.example.com', 'host1.example.com')
+      THEN NOT path LIKE '/doc/1%'
+    WHEN host = 'host2.example.com' THEN path LIKE '/doc/2%'
+    ELSE TRUE END
+), ranked AS (
+  SELECT host, url, n_refs, n_src_pages,
+    CAST(row_number() OVER (PARTITION BY host
+      ORDER BY n_src_pages DESC, n_refs DESC, url ASC) AS INTEGER) AS rank
+  FROM allowed
+)
+SELECT host, url, n_refs, n_src_pages, rank
+FROM ranked WHERE rank <= 3 ORDER BY host, rank
+"""
+
+
 def domain_link_graph_q(spark, sf_dir):
     """Registrable-domain-level link graph: synthetic URL pairs from
     orders run through host extraction + PSL rollup + intra-domain
@@ -5620,6 +5736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revalidation_plan": revalidation_plan_q,
         "html_outlinks": html_outlinks_q,
         "domain_link_graph": domain_link_graph_q,
+        "discovery_pipeline": discovery_pipeline_q,
         "training_order_shards": training_order_shards_q,
         "vocab_oov_rate": vocab_oov_rate_q,
         "trap_url_shapes": trap_url_shapes_q,
@@ -5747,6 +5864,7 @@ def oracle_sql() -> dict[str, str]:
         "revalidation_plan": _REVALIDATE_SQL,
         "html_outlinks": _HTML_OUTLINKS_SQL,
         "domain_link_graph": _DOMAIN_GRAPH_SQL,
+        "discovery_pipeline": _DISCOVERY_SQL,
         "training_order_shards": _SHUFFLE_SHARDS_SQL,
         "vocab_oov_rate": _VOCAB_OOV_SQL,
         "trap_url_shapes": _TRAP_SHAPES_SQL,

@@ -80,6 +80,7 @@ HEADLINE = [
     "curation_pipeline",
     "dust_alias_rules",
     "redirect_resolution",
+    "discovery_pipeline",
 ]
 
 
