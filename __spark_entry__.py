@@ -3841,6 +3841,52 @@ FROM fin ORDER BY url
 """
 
 
+def percent_normalize_q(spark, sf_dir):
+    """RFC 3986 §6.2.2 percent-encoding normalization: synthetic URLs
+    from orders carry decodable-unreserved escapes (%7e → ~, %4a → J),
+    a reserved escape that must stay encoded but uppercase (%2f → %2F),
+    and a malformed escape (%g) that must pass through; the oracle
+    derives the expected normalized string straight from the key
+    arithmetic — independent of the tokenizer regex and the hex math."""
+    from cord19_crawler_spark.functions.urls import percent_normalize_expr
+
+    o = _t(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    url = F.concat(
+        F.lit("https://pn"), (c % 9).cast("string"),
+        F.lit(".example.com/a%7e"), (k % 5).cast("string"),
+        F.lit("/b%2f"), (k % 3).cast("string"),
+        F.lit("?q=%4a"), (k % 7).cast("string"),
+        F.when(k % 4 == 0, F.lit("&bad=%g1")).otherwise(F.lit("")),
+    )
+    return (
+        o.select(url.alias("url"))
+        .distinct()
+        .select("url", percent_normalize_expr(F.col("url")).alias("normalized"))
+        .orderBy("url")
+    )
+
+
+_PERCENT_NORM_SQL = """
+WITH o AS (
+  SELECT DISTINCT o_orderkey % 5 AS a, o_orderkey % 3 AS b,
+    o_orderkey % 7 AS q, o_orderkey % 4 = 0 AS bad,
+    o_custkey % 9 AS h
+  FROM orders
+)
+SELECT
+  'https://pn' || CAST(h AS VARCHAR) || '.example.com/a%7e'
+    || CAST(a AS VARCHAR) || '/b%2f' || CAST(b AS VARCHAR)
+    || '?q=%4a' || CAST(q AS VARCHAR)
+    || CASE WHEN bad THEN '&bad=%g1' ELSE '' END AS url,
+  'https://pn' || CAST(h AS VARCHAR) || '.example.com/a~'
+    || CAST(a AS VARCHAR) || '/b%2F' || CAST(b AS VARCHAR)
+    || '?q=J' || CAST(q AS VARCHAR)
+    || CASE WHEN bad THEN '&bad=%g1' ELSE '' END AS normalized
+FROM o ORDER BY url
+"""
+
+
 def discovery_pipeline_q(spark, sf_dir):
     """The composed discovery round (plans/discovery_pipeline.py) end to
     end: synthetic HTML pages from orders-key arithmetic run through
@@ -5737,6 +5783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_outlinks": html_outlinks_q,
         "domain_link_graph": domain_link_graph_q,
         "discovery_pipeline": discovery_pipeline_q,
+        "percent_normalize": percent_normalize_q,
         "training_order_shards": training_order_shards_q,
         "vocab_oov_rate": vocab_oov_rate_q,
         "trap_url_shapes": trap_url_shapes_q,
@@ -5865,6 +5912,7 @@ def oracle_sql() -> dict[str, str]:
         "html_outlinks": _HTML_OUTLINKS_SQL,
         "domain_link_graph": _DOMAIN_GRAPH_SQL,
         "discovery_pipeline": _DISCOVERY_SQL,
+        "percent_normalize": _PERCENT_NORM_SQL,
         "training_order_shards": _SHUFFLE_SHARDS_SQL,
         "vocab_oov_rate": _VOCAB_OOV_SQL,
         "trap_url_shapes": _TRAP_SHAPES_SQL,

@@ -332,3 +332,40 @@ def surt_key(col: Column) -> Column:
             F.when(rest == "", F.lit("/")).otherwise(rest),
         )
     )
+
+
+def percent_normalize_expr(col: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization, pure Catalyst:
+    decode ``%XX`` sequences whose octet is an UNRESERVED character
+    (ALPHA / DIGIT / ``-._~`` — §2.3: these never need encoding, so
+    ``%7E`` ≡ ``~``) and uppercase the hex digits of every other
+    escape (§6.2.2.1: ``%2f`` ≡ ``%2F``); reserved characters stay
+    ENCODED (decoding ``%2F`` to ``/`` would change the path grammar).
+    Malformed escapes (``%G1``, trailing ``%``) pass through untouched
+    — normalization must never corrupt an already-working URL.
+
+    The two DUST-style alias sources this closes: the same path spelled
+    with different hex case, and gratuitous escaping of unreserved
+    characters.  Idempotent (property-tested); applies to the whole URL
+    string, so run it BEFORE grammar-level canonicalization.  Scan-side
+    tokenize-transform-join: one ``regexp_extract_all`` into
+    (escape | literal-run) tokens, a per-token CASE, ``array_join`` —
+    no UDF, no shuffle.
+    """
+    toks = F.regexp_extract_all(
+        col, F.lit("(%[0-9A-Fa-f]{2}|[^%]+|%)"), F.lit(1)
+    )
+
+    def _fix(t: Column) -> Column:
+        hx = F.upper(F.substring(t, 2, 2))
+        ch = F.chr(F.conv(hx, 16, 10).cast("int"))
+        return F.when(
+            t.rlike("^%[0-9A-Fa-f]{2}$"),
+            F.when(ch.rlike("^[A-Za-z0-9._~-]$"), ch).otherwise(
+                F.concat(F.lit("%"), hx)
+            ),
+        ).otherwise(t)
+
+    return F.when(
+        col.isNull(), F.lit(None).cast("string")
+    ).otherwise(F.array_join(F.transform(toks, _fix), ""))
