@@ -3534,6 +3534,75 @@ FROM a{iterations} a JOIN h{iterations} h USING (node)"""
     return "".join(parts)
 
 
+def link_opic_q(spark, sf_dir):
+    """OPIC online importance (Abiteboul et al. WWW 2003, 4 synchronous
+    rounds with the virtual-root dangling fix) over a deterministic
+    synthetic link graph (src = o_custkey % 180, dst = o_orderkey % 211
+    — source-only and dangling nodes exist, so the root path is
+    value-checked). The oracle UNROLLS every round as chained
+    MATERIALIZED CTEs — per-round cash AND history vectors must match,
+    not just the final ordering."""
+    from cord19_crawler_spark.operators.graph import opic
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 180).alias("src"),
+        (F.col("o_orderkey") % 211).alias("dst"),
+    )
+    out = opic(edges, iterations=4)
+    return out.select(
+        "node",
+        F.round("importance", 6).alias("importance"),
+        F.round("history", 6).alias("history"),
+        F.round("cash", 6).alias("cash"),
+    )
+
+
+def _opic_sql(iterations: int = 4) -> str:
+    parts = [
+        """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % 180 AS src, o_orderkey % 211 AS dst
+  FROM orders WHERE o_custkey % 180 <> o_orderkey % 211
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS MATERIALIZED (
+  SELECT n.node, coalesce(o.c, 0) AS outdeg
+  FROM nodes n LEFT JOIN (
+    SELECT src AS node, count(*) AS c FROM e GROUP BY src) o USING (node)
+), s0 AS MATERIALIZED (
+  SELECT node, 1.0 / nn.n AS cash, 0.0 AS hist FROM nodes, nn
+)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""", root{i} AS MATERIALIZED (
+  SELECT coalesce(sum(cash), 0) AS rc
+  FROM s{i - 1} JOIN deg USING (node) WHERE outdeg = 0
+), recv{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(s.cash / deg.outdeg) AS r
+  FROM e JOIN s{i - 1} s ON s.node = e.src JOIN deg ON deg.node = e.src
+  GROUP BY e.dst
+), s{i} AS MATERIALIZED (
+  SELECT n.node,
+    coalesce(rv.r, 0) + rt.rc / nn.n AS cash,
+    s.hist + s.cash AS hist
+  FROM nodes n
+  LEFT JOIN recv{i} rv USING (node)
+  JOIN s{i - 1} s USING (node), root{i} rt, nn
+)"""
+        )
+    parts.append(
+        f""", th AS (SELECT sum(hist) AS t FROM s{iterations})
+SELECT node,
+  round((hist + cash) / (t + 1.0), 6) AS importance,
+  round(hist, 6) AS history, round(cash, 6) AS cash
+FROM s{iterations}, th"""
+    )
+    return "".join(parts)
+
+
 def anchor_text_topk_q(spark, sf_dir):
     """Anchor-text aggregation per link target (Brin & Page 1998 §2.2):
     top-3 anchor phrases per target by vote count with per-target inlink /
@@ -5772,6 +5841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline_q,
         "link_pagerank": link_pagerank_q,
         "link_hits": link_hits_q,
+        "link_opic": link_opic_q,
         "anchor_text_topk": anchor_text_topk_q,
         "recrawl_staleness": recrawl_staleness_q,
         "bpe_pair_counts": bpe_pair_counts_q,
@@ -5901,6 +5971,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _curation_pipeline_sql(),
         "link_pagerank": _pagerank_sql(),
         "link_hits": _hits_sql(),
+        "link_opic": _opic_sql(),
         "anchor_text_topk": _ANCHOR_TEXT_SQL,
         "recrawl_staleness": _RECRAWL_SQL,
         "bpe_pair_counts": _BPE_PAIRS_SQL,

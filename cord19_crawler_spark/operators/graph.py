@@ -49,6 +49,7 @@ __all__ = [
     "components_with_size",
     "pagerank",
     "hits",
+    "opic",
     "anchor_text_index",
     "domain_link_graph",
 ]
@@ -597,4 +598,115 @@ def domain_link_graph(
     return rolled.groupBy("src_domain", "dst_domain").agg(
         F.count(F.lit(1)).alias("n_links"),
         F.countDistinct("_surl").alias("n_src_pages"),
+    )
+
+
+def opic(
+    edges: DataFrame,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-round synchronous OPIC — On-line Page Importance
+    Computation (Abiteboul, Preda & Cobena, WWW 2003) — the importance
+    metric production crawlers order fetches by: unlike PageRank it
+    needs no damping parameter and its history accumulates montonically
+    while the crawl runs, so a partially-crawled graph already yields a
+    usable ordering.
+
+    Pinned semantics for oracle replay (the paper's synchronous variant
+    with a virtual root): parallel edges collapse, self-loops drop;
+    every node starts with cash 1/N and history 0; each round EVERY
+    node distributes its cash equally over its out-links (dangling
+    nodes distribute to the virtual root, which re-injects uniformly
+    next round — the paper's bounded-total fix), history += the cash it
+    just distributed, and the new cash is the sum received.  After
+    ``iterations`` rounds, ``importance = (history + cash) /
+    (total history + 1)`` — the paper's unbiased estimate.  Total cash
+    is invariant (= 1) up to float noise; round-6 values are stable
+    across engines.
+
+    Scale shape (10^10 edges): per round ONE wide shuffle — the
+    received-cash aggregate keyed on dst (map-side partials) — plus the
+    edge⋈cash join on src and a 1-row dangling/virtual-root aggregate
+    broadcast back; cash and history stay partitioned by node.  Lineage
+    per round is truncated like the other iterative operators
+    (``checkpoint_dir`` for executor-loss-safe reliable checkpoints).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    _ckpt = lineage_truncator(checkpoint_dir)
+    e = _ckpt(
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = _ckpt(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("importance"),
+            F.lit(0.0).alias("history"), F.lit(0.0).alias("cash"),
+        )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    base = _ckpt(
+        nodes.join(outdeg, "node", "left").select(
+            "node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
+        )
+    )
+    state = base.select(
+        "node", "outdeg",
+        F.lit(1.0 / n_nodes).alias("cash"),
+        F.lit(0.0).alias("history"),
+    )
+    for _ in range(iterations):
+        # virtual root: one row with the round's dangling cash
+        root = state.filter(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("cash"), F.lit(0.0)).alias("root_cash")
+        )
+        received = (
+            e.join(
+                state.filter(F.col("outdeg") > 0).select(
+                    F.col("node").alias("src"),
+                    (F.col("cash") / F.col("outdeg")).alias("share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("recv"))
+        )
+        state = _ckpt(
+            base.join(received, "node", "left")
+            .join(state.select("node", "cash", "history"), "node")
+            .crossJoin(F.broadcast(root))
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.coalesce("recv", F.lit(0.0))
+                    + F.col("root_cash") / F.lit(float(n_nodes))
+                ).alias("cash"),
+                (F.col("history") + F.col("cash")).alias("history"),
+            )
+        )
+    total_hist = state.agg(F.sum("history").alias("th"))
+    return (
+        state.crossJoin(F.broadcast(total_hist))
+        .select(
+            "node",
+            ((F.col("history") + F.col("cash")) / (F.col("th") + 1.0))
+            .alias("importance"),
+            "history",
+            "cash",
+        )
     )
