@@ -3910,6 +3910,93 @@ FROM fin ORDER BY url
 """
 
 
+def text_blocks_q(spark, sf_dir):
+    """Boilerplate removal (link-density family, Kohlschütter et al.
+    WSDM 2010): documents text wrapped in a full page skeleton —
+    nav bar (link-dominated), real prose, a linky stub, a short footer,
+    a script whose body contains fake block tags — run through the
+    Catalyst block segmenter + signal projection; the oracle replays
+    drop-subtrees → split → strip/decode/collapse → word/link-density
+    rules with the identical regex set in DuckDB (global-flag
+    replaces)."""
+    from cord19_crawler_spark.functions.html import text_blocks
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>T</title><style>p{color:red}</style>"
+              "</head><body>"
+              '<nav><a href="/h">Home</a> <a href="/a">About</a> '
+              '<a href="/c">Contact</a></nav><p>'),
+        F.col("text"),
+        F.lit('</p><div><a href="/x">x'), (F.col("doc_id") % 7).cast("string"),
+        F.lit("</a> short</div><footer>Copyright 2026</footer>"
+              "<script>var q=\"<p>no</p>\";</script></body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        html.alias("html"),
+    ).repartition(32)
+    return text_blocks(pages).orderBy("url", "block_pos")
+
+
+_TEXT_BLOCKS_SQL = r"""
+WITH pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+    '<html><head><title>T</title><style>p{color:red}</style></head><body>'
+    || '<nav><a href="/h">Home</a> <a href="/a">About</a> '
+    || '<a href="/c">Contact</a></nav><p>' || text
+    || '</p><div><a href="/x">x' || CAST(doc_id % 7 AS VARCHAR)
+    || '</a> short</div><footer>Copyright 2026</footer>'
+    || '<script>var q="<p>no</p>";</script></body></html>' AS html
+  FROM documents
+), cleaned AS (
+  SELECT url, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    html,
+    '(?is)<script\b.*?</script>', ' ', 'g'),
+    '(?is)<style\b.*?</style>', ' ', 'g'),
+    '(?is)<!--.*?-->', ' ', 'g'),
+    '(?is)<head\b.*?</head>', ' ', 'g') AS c
+  FROM pages
+), arr AS (
+  SELECT url, regexp_split_to_array(c,
+    '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|section|article|header|footer|nav|blockquote|pre)\b[^>]*>'
+  ) AS b FROM cleaned
+), raw AS (
+  SELECT url, CAST(i - 1 AS INT) AS block_pos, b[CAST(i AS INT)] AS blk
+  FROM (SELECT url, b, unnest(generate_series(1, len(b))) AS i FROM arr)
+), txt AS (
+  SELECT url, block_pos,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(
+        regexp_replace(blk, '<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+        '&amp;', '&'),
+      '\s+', ' ', 'g')) AS text,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(
+        regexp_replace(
+          coalesce(array_to_string(
+            regexp_extract_all(blk, '(?is)<a\b[^>]*>(.*?)</a>', 1), ' '),
+            ''),
+          '<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+        '&amp;', '&'),
+      '\s+', ' ', 'g')) AS atext
+  FROM raw
+)
+SELECT url, block_pos, text,
+  CAST(CASE WHEN text = '' THEN 0
+    ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_words,
+  CAST(length(atext) AS DOUBLE) / greatest(length(text), 1)
+    AS link_density,
+  (CAST(CASE WHEN text = '' THEN 0
+     ELSE len(string_split(text, ' ')) END AS BIGINT) >= 5
+   AND CAST(length(atext) AS DOUBLE) / greatest(length(text), 1) <= 0.33)
+    AS kept
+FROM txt WHERE text <> '' ORDER BY url, block_pos
+"""
+
+
 def percent_normalize_q(spark, sf_dir):
     """RFC 3986 §6.2.2 percent-encoding normalization: synthetic URLs
     from orders carry decodable-unreserved escapes (%7e → ~, %4a → J),
@@ -5854,6 +5941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_link_graph": domain_link_graph_q,
         "discovery_pipeline": discovery_pipeline_q,
         "percent_normalize": percent_normalize_q,
+        "text_blocks": text_blocks_q,
         "training_order_shards": training_order_shards_q,
         "vocab_oov_rate": vocab_oov_rate_q,
         "trap_url_shapes": trap_url_shapes_q,
@@ -5984,6 +6072,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_link_graph": _DOMAIN_GRAPH_SQL,
         "discovery_pipeline": _DISCOVERY_SQL,
         "percent_normalize": _PERCENT_NORM_SQL,
+        "text_blocks": _TEXT_BLOCKS_SQL,
         "training_order_shards": _SHUFFLE_SHARDS_SQL,
         "vocab_oov_rate": _VOCAB_OOV_SQL,
         "trap_url_shapes": _TRAP_SHAPES_SQL,
