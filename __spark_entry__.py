@@ -3910,6 +3910,66 @@ FROM fin ORDER BY url
 """
 
 
+def robots_fetch_policy_q(spark, sf_dir):
+    """Per-host effective robots policy (RFC 9309 §2.3.1) over a
+    synthetic robots fetch log from events: hosts cycle through
+    2xx/3xx/4xx/5xx/network-0 last fetches with unreachable spans on
+    both sides of the 30-day grace. One linear host aggregate; the
+    oracle recomputes the last-reachable timestamp and replays the state
+    machine (incl. the never-reachable-from-first-attempt clause) and
+    the 24h staleness rule."""
+    from cord19_crawler_spark.frontier.robots import robots_fetch_policy
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    status = F.element_at(
+        F.array(*[F.lit(s) for s in
+                  (200, 301, 404, 500, 503, 0, 200, 429)]),
+        (e % 8 + 1).cast("int"),
+    )
+    # ts spread over ~60 days so the grace boundary is exercised
+    log = ev.select(
+        F.concat(F.lit("rp"), (e % 120).cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        ((e * 37) % 5184000).cast("double").alias("ts"),
+        status.alias("status"),
+    )
+    return robots_fetch_policy(log, now=5270400.0).orderBy("host")
+
+
+_ROBOTS_POLICY_SQL = """
+WITH log AS (
+  SELECT 'rp' || CAST(event_id % 120 AS VARCHAR) || '.example.com' AS host,
+    CAST((event_id * 37) % 5184000 AS DOUBLE) AS ts,
+    CASE event_id % 8 WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 404
+      WHEN 3 THEN 500 WHEN 4 THEN 503 WHEN 5 THEN 0 WHEN 6 THEN 200
+      ELSE 429 END AS status
+  FROM events
+), agg AS (
+  SELECT host, max(ts) AS last_ts,
+    arg_max(status, ts) AS last_status,
+    max(ts) FILTER (WHERE status BETWEEN 100 AND 499) AS last_reach,
+    min(ts) AS first_ts
+  FROM log GROUP BY host
+), d AS (
+  SELECT host, last_ts, last_status,
+    CASE WHEN last_status NOT BETWEEN 100 AND 499
+      THEN (5270400.0 - coalesce(last_reach, first_ts)) / 86400.0 END
+      AS days_unreachable
+  FROM agg
+)
+SELECT host, last_ts, last_status,
+  CASE WHEN last_status BETWEEN 200 AND 299 THEN 'rules'
+       WHEN last_status BETWEEN 300 AND 399 THEN 'redirect'
+       WHEN last_status BETWEEN 400 AND 499 THEN 'allow_all'
+       WHEN days_unreachable > 30.0 THEN 'allow_all'
+       ELSE 'deny_all' END AS state,
+  days_unreachable,
+  (5270400.0 - last_ts > 86400.0) AS stale
+FROM d ORDER BY host
+"""
+
+
 def text_blocks_q(spark, sf_dir):
     """Boilerplate removal (link-density family, Kohlschütter et al.
     WSDM 2010): documents text wrapped in a full page skeleton —
@@ -5942,6 +6002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discovery_pipeline": discovery_pipeline_q,
         "percent_normalize": percent_normalize_q,
         "text_blocks": text_blocks_q,
+        "robots_fetch_policy": robots_fetch_policy_q,
         "training_order_shards": training_order_shards_q,
         "vocab_oov_rate": vocab_oov_rate_q,
         "trap_url_shapes": trap_url_shapes_q,
@@ -6073,6 +6134,7 @@ def oracle_sql() -> dict[str, str]:
         "discovery_pipeline": _DISCOVERY_SQL,
         "percent_normalize": _PERCENT_NORM_SQL,
         "text_blocks": _TEXT_BLOCKS_SQL,
+        "robots_fetch_policy": _ROBOTS_POLICY_SQL,
         "training_order_shards": _SHUFFLE_SHARDS_SQL,
         "vocab_oov_rate": _VOCAB_OOV_SQL,
         "trap_url_shapes": _TRAP_SHAPES_SQL,

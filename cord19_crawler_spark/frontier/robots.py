@@ -210,3 +210,69 @@ def sitemap_urls_expr(txt_col) -> "Column":
         F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)[ \t]*(?:#[^\r\n]*)?\r?$"),
         1,
     )
+
+
+def robots_fetch_policy(
+    history: DataFrame,
+    now: float,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    status_col: str = "status",
+    max_age_seconds: float = 86400.0,
+    unreachable_grace_days: float = 30.0,
+) -> DataFrame:
+    """Per-host EFFECTIVE robots policy from the robots.txt fetch log —
+    RFC 9309 §2.3.1's availability rules, reduced to scheduler state:
+
+    * last fetch 2xx  → ``'rules'``: the parsed rule groups apply
+      (``parse_robots_txt``/``filter_robots`` own that path);
+    * last fetch 3xx  → ``'redirect'``: resolve the chain first
+      (``frontier/redirects.py``) and fetch the target;
+    * last fetch 4xx  → ``'allow_all'``: "unavailable" per the RFC —
+      a missing robots.txt imposes no restrictions;
+    * last fetch 5xx / network-error 0 → "unreachable": ``'deny_all'``
+      while recent, relaxing to ``'allow_all'`` once the host has been
+      unreachable longer than ``unreachable_grace_days`` (the RFC's
+      MAY-assume-unavailable clause, pinned here as policy) — measured
+      from the last REACHABLE fetch (any 1xx-4xx), or from the first
+      observed attempt when no fetch ever succeeded;
+    * ``stale`` — the newest fetch is older than ``max_age_seconds``
+      (RFC: cache at most 24h absent cache-control): refetch before the
+      next scheduling round regardless of state.
+
+    ONE linear host-key hash aggregate (max/max_by/min with
+    NULL-when-not-applicable ordering keys) — no window, no self-join;
+    the standard frontier-reduce shuffle shape at 10^8 hosts.
+    """
+    ts, status = F.col(ts_col), F.col(status_col)
+    reachable = status.between(100, 499)
+    agg = history.groupBy(F.col(host_col).alias("host")).agg(
+        F.max(ts).alias("last_ts"),
+        F.max_by(status, F.struct(ts, status)).alias("last_status"),
+        F.max(F.when(reachable, ts)).alias("_last_reach_ts"),
+        F.min(ts).alias("_first_ts"),
+    )
+    unreachable_since = F.coalesce("_last_reach_ts", "_first_ts")
+    days_unreachable = F.when(
+        ~F.col("last_status").between(100, 499),
+        (F.lit(float(now)) - unreachable_since) / 86400.0,
+    )
+    state = (
+        F.when(F.col("last_status").between(200, 299), F.lit("rules"))
+        .when(F.col("last_status").between(300, 399), F.lit("redirect"))
+        .when(F.col("last_status").between(400, 499), F.lit("allow_all"))
+        .when(
+            days_unreachable > float(unreachable_grace_days),
+            F.lit("allow_all"),
+        )
+        .otherwise(F.lit("deny_all"))
+    )
+    return agg.select(
+        "host",
+        "last_ts",
+        "last_status",
+        state.alias("state"),
+        days_unreachable.alias("days_unreachable"),
+        (F.lit(float(now)) - F.col("last_ts") > float(max_age_seconds))
+        .alias("stale"),
+    )
