@@ -4461,6 +4461,131 @@ FROM hist GROUP BY url ORDER BY url
 """
 
 
+def http_cache_plan_q(spark, sf_dir):
+    """HTTP cache-freshness planning (RFC 9111) over a synthetic fetch
+    history from events: Cache-Control directive parsing (delimiter-
+    anchored regex — the planted `maxage=5` decoy must NOT satisfy
+    max-age), the §4.2.1 lifetime precedence (s-maxage > max-age >
+    Expires−Date > Last-Modified heuristic), shared-cache storage vetoes
+    (no-store/private), the no-cache always-revalidate marker, §4.2.3
+    corrected age, and the staleness instant. One url-key aggregate +
+    a 1-row broadcast `now`; the oracle replays the arithmetic with a
+    row_number latest-pick."""
+    from cord19_crawler_spark.frontier.cache import http_cache_plan
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    ts = e.cast("double") * 10.0
+    date_ts = ts - (e % 30).cast("double")
+    cc = F.element_at(
+        F.array(
+            F.lit("max-age=3600"),
+            F.lit("no-store"),
+            F.lit("public, max-age=600, s-maxage=1200"),
+            F.lit("no-cache, max-age=300"),
+            F.lit(None).cast("string"),
+            F.lit("private, max-age=60"),
+            F.lit("max-age=0, must-revalidate"),
+            F.lit("weird=xyz, maxage=5"),
+        ),
+        (e % 8 + 1).cast("int"),
+    )
+    hist = ev.select(
+        F.concat(
+            F.lit("https://c"), (e % 120).cast("string"),
+            F.lit(".example.com/p"), (e % 4).cast("string"),
+        ).alias("url"),
+        ts.alias("ts"),
+        cc.alias("cache_control"),
+        date_ts.alias("date_ts"),
+        F.when(e % 3 == 0, date_ts + 7200.0)
+        .when(e % 3 == 1, date_ts - 100.0)
+        .alias("expires_ts"),
+        F.when(e % 4 == 0, (e % 50).cast("double")).alias("age"),
+        F.when(e % 2 == 0, ts - 86400.0 * (e % 10 + 1).cast("double"))
+        .alias("last_modified_ts"),
+    )
+    return http_cache_plan(hist).orderBy("url")
+
+
+_HTTP_CACHE_SQL = r"""
+WITH base AS (
+  SELECT event_id AS e, CAST(event_id AS DOUBLE) * 10.0 AS ts FROM events
+), hist AS (
+  SELECT
+    'https://c' || CAST(e % 120 AS VARCHAR) || '.example.com/p'
+      || CAST(e % 4 AS VARCHAR) AS url,
+    ts,
+    CASE e % 8
+      WHEN 0 THEN 'max-age=3600'
+      WHEN 1 THEN 'no-store'
+      WHEN 2 THEN 'public, max-age=600, s-maxage=1200'
+      WHEN 3 THEN 'no-cache, max-age=300'
+      WHEN 4 THEN NULL
+      WHEN 5 THEN 'private, max-age=60'
+      WHEN 6 THEN 'max-age=0, must-revalidate'
+      ELSE 'weird=xyz, maxage=5' END AS cache_control,
+    ts - CAST(e % 30 AS DOUBLE) AS date_ts,
+    CASE WHEN e % 3 = 0 THEN ts - CAST(e % 30 AS DOUBLE) + 7200.0
+         WHEN e % 3 = 1 THEN ts - CAST(e % 30 AS DOUBLE) - 100.0 END
+      AS expires_ts,
+    CASE WHEN e % 4 = 0 THEN CAST(e % 50 AS DOUBLE) END AS age,
+    CASE WHEN e % 2 = 0
+         THEN ts - 86400.0 * CAST(e % 10 + 1 AS DOUBLE) END
+      AS last_modified_ts
+  FROM base
+), latest AS (
+  SELECT url, ts AS last_ts, lower(coalesce(cache_control, '')) AS lcc,
+         date_ts, expires_ts, age, last_modified_ts AS lm
+  FROM (SELECT *, row_number() OVER (PARTITION BY url ORDER BY ts DESC) AS rn
+        FROM hist)
+  WHERE rn = 1
+), dir AS (
+  SELECT url, last_ts, date_ts, expires_ts, age, lm,
+    regexp_matches(lcc, '(?:^|[,\s])no-store(?:$|[,\s])') AS no_store,
+    regexp_matches(lcc, '(?:^|[,\s])private(?:$|[,\s])') AS private,
+    regexp_matches(lcc, '(?:^|[,\s])no-cache(?:$|[,\s])') AS no_cache,
+    TRY_CAST(NULLIF(regexp_extract(lcc,
+      '(?:^|[,\s])max-age=([0-9]+)(?:$|[,\s])', 1), '') AS DOUBLE) AS max_age,
+    TRY_CAST(NULLIF(regexp_extract(lcc,
+      '(?:^|[,\s])s-maxage=([0-9]+)(?:$|[,\s])', 1), '') AS DOUBLE) AS s_maxage
+  FROM latest
+), calc AS (
+  SELECT url, last_ts, no_store, private, no_cache, max_age, s_maxage,
+    CASE WHEN expires_ts IS NOT NULL AND date_ts IS NOT NULL
+         THEN CASE WHEN expires_ts - date_ts < 0 THEN 0.0
+              ELSE expires_ts - date_ts END END AS expires_life,
+    CASE WHEN lm IS NOT NULL AND date_ts IS NOT NULL
+         THEN 0.1 * (CASE WHEN date_ts - lm < 0 THEN 0.0
+                     ELSE date_ts - lm END) END AS heuristic_life,
+    (CASE WHEN date_ts IS NOT NULL
+          THEN CASE WHEN last_ts - date_ts < 0 THEN 0.0
+               ELSE last_ts - date_ts END
+          ELSE 0.0 END) + COALESCE(age, 0.0) AS age_at_response
+  FROM dir
+), plan AS (
+  SELECT url, last_ts,
+    NOT (no_store OR private) AS cacheable,
+    no_cache,
+    COALESCE(s_maxage, max_age, expires_life, heuristic_life) AS lifetime_s,
+    (s_maxage IS NULL AND max_age IS NULL AND expires_life IS NULL
+     AND heuristic_life IS NOT NULL) AS heuristic,
+    age_at_response
+  FROM calc
+), planned AS (
+  SELECT *,
+    CASE WHEN cacheable AND lifetime_s IS NOT NULL
+         THEN last_ts + lifetime_s - age_at_response END AS due_ts
+  FROM plan
+)
+SELECT url, last_ts, cacheable, no_cache, lifetime_s, heuristic,
+  age_at_response, due_ts,
+  (cacheable AND NOT no_cache
+   AND COALESCE((SELECT max(ts) FROM hist) < due_ts, FALSE)) AS fresh_now
+FROM planned ORDER BY url
+"""
+
+
 def sitemap_parse_q(spark, sf_dir):
     """Sitemap XML parsing (sitemaps.org protocol): synthetic urlset +
     sitemapindex bodies are BUILT from orders-key arithmetic, run through
@@ -5997,6 +6122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": sitemap_parse_q,
         "fetch_retry_schedule": fetch_retry_schedule_q,
         "revalidation_plan": revalidation_plan_q,
+        "http_cache_plan": http_cache_plan_q,
         "html_outlinks": html_outlinks_q,
         "domain_link_graph": domain_link_graph_q,
         "discovery_pipeline": discovery_pipeline_q,
@@ -6129,6 +6255,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_parse": _SITEMAP_PARSE_SQL,
         "fetch_retry_schedule": _RETRY_SQL,
         "revalidation_plan": _REVALIDATE_SQL,
+        "http_cache_plan": _HTTP_CACHE_SQL,
         "html_outlinks": _HTML_OUTLINKS_SQL,
         "domain_link_graph": _DOMAIN_GRAPH_SQL,
         "discovery_pipeline": _DISCOVERY_SQL,
