@@ -4586,6 +4586,122 @@ FROM planned ORDER BY url
 """
 
 
+def html_canonical_meta_q(spark, sf_dir):
+    """rel=canonical (RFC 6596) + robots-meta extraction: synthetic page
+    HEADs BUILT from orders-key arithmetic (relative/absolute/self/absent
+    canonicals in both attribute orders, entity-escaped query, optional
+    <base href>, a stylesheet-link decoy, robots meta in both orders with
+    noindex/nofollow/all/none/absent) run through the real extractor +
+    RFC 3986 resolver (functions/html.py:canonical_meta), while the
+    oracle derives the EXPECTED per-page row directly from the same key
+    arithmetic — independent of the regexes and the resolver."""
+    from cord19_crawler_spark.functions.html import canonical_meta
+
+    o = _t(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    host = F.concat(F.lit("w"), (c % 40).cast("string"), F.lit(".example.com"))
+    page = F.concat(
+        F.lit("https://"), host, F.lit("/a"), (k % 6).cast("string"),
+        F.lit("/b"), (k % 4).cast("string"), F.lit("/page"),
+        k.cast("string"), F.lit(".html"),
+    )
+    canon_ref = (
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.lit("c"), (k % 10).cast("string"), F.lit(".html"),
+                F.when(k % 6 == 3, F.lit("?x=1&amp;y=2")).otherwise(F.lit("")),
+            ),
+        )
+        .when((k % 3 == 1) & (k % 9 == 1), page)
+        .when(
+            k % 3 == 1,
+            F.concat(F.lit("https://canon"), (k % 5).cast("string"),
+                     F.lit(".example.com/c")),
+        )
+    )
+    canon_tag = F.when(
+        canon_ref.isNotNull(),
+        F.when(
+            k % 2 == 0,
+            F.concat(F.lit('<link rel="canonical" href="'), canon_ref,
+                     F.lit('">')),
+        ).otherwise(
+            F.concat(F.lit("<link href='"), canon_ref,
+                     F.lit("' rel=canonical>")),
+        ),
+    ).otherwise(F.lit(""))
+    meta_tag = (
+        F.when(k % 4 == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(k % 4 == 1, F.lit('<meta content="NOINDEX" name=robots>'))
+        .when(
+            k % 4 == 2,
+            F.when(k % 8 == 2,
+                   F.lit('<meta name="robots" content="all">'))
+            .otherwise(F.lit('<meta name="robots" content="none">')),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            k % 5 == 0,
+            F.concat(F.lit('<base href="/base'), (k % 7).cast("string"),
+                     F.lit('/">')),
+        ).otherwise(F.lit("")),
+        F.lit('<link rel="stylesheet" href="/css/s.css">'),
+        canon_tag,
+        meta_tag,
+        F.lit('</head><body><a href="other.html">o</a></body></html>'),
+    )
+    pages = o.select(page.alias("url"), html.alias("html")).repartition(32)
+    return canonical_meta(pages).orderBy("url")
+
+
+_HTML_CANONICAL_SQL = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+    'w' || CAST(o_custkey % 40 AS VARCHAR) || '.example.com' AS host
+  FROM orders
+), p AS (
+  SELECT k, host,
+    'https://' || host || '/a' || CAST(k % 6 AS VARCHAR)
+      || '/b' || CAST(k % 4 AS VARCHAR)
+      || '/page' || CAST(k AS VARCHAR) || '.html' AS url,
+    CASE WHEN k % 5 = 0 THEN '/base' || CAST(k % 7 AS VARCHAR) || '/'
+      ELSE '/a' || CAST(k % 6 AS VARCHAR) || '/b' || CAST(k % 4 AS VARCHAR)
+           || '/' END AS dir
+  FROM o
+), rows AS (
+  SELECT url,
+    CASE
+      WHEN k % 3 = 0 THEN 'c' || CAST(k % 10 AS VARCHAR) || '.html'
+        || CASE WHEN k % 6 = 3 THEN '?x=1&y=2' ELSE '' END
+      WHEN k % 3 = 1 AND k % 9 = 1 THEN url
+      WHEN k % 3 = 1 THEN 'https://canon' || CAST(k % 5 AS VARCHAR)
+        || '.example.com/c'
+    END AS canonical_ref,
+    CASE
+      WHEN k % 3 = 0 THEN 'https://' || host || dir
+        || 'c' || CAST(k % 10 AS VARCHAR) || '.html'
+        || CASE WHEN k % 6 = 3 THEN '?x=1&y=2' ELSE '' END
+      WHEN k % 3 = 1 AND k % 9 = 1 THEN url
+      WHEN k % 3 = 1 THEN 'https://canon' || CAST(k % 5 AS VARCHAR)
+        || '.example.com/c'
+    END AS canonical_url,
+    CASE WHEN k % 3 = 2 THEN NULL
+         ELSE (k % 3 = 1 AND k % 9 = 1) END AS is_self_canonical,
+    (k % 4 = 0 OR k % 4 = 1 OR (k % 4 = 2 AND k % 8 = 6)) AS noindex,
+    (k % 4 = 0 OR (k % 4 = 2 AND k % 8 = 6)) AS nofollow
+  FROM p
+)
+SELECT url, canonical_ref, canonical_url, is_self_canonical,
+  noindex, nofollow
+FROM rows ORDER BY url
+"""
+
+
 def sitemap_parse_q(spark, sf_dir):
     """Sitemap XML parsing (sitemaps.org protocol): synthetic urlset +
     sitemapindex bodies are BUILT from orders-key arithmetic, run through
@@ -6123,6 +6239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_retry_schedule": fetch_retry_schedule_q,
         "revalidation_plan": revalidation_plan_q,
         "http_cache_plan": http_cache_plan_q,
+        "html_canonical_meta": html_canonical_meta_q,
         "html_outlinks": html_outlinks_q,
         "domain_link_graph": domain_link_graph_q,
         "discovery_pipeline": discovery_pipeline_q,
@@ -6256,6 +6373,7 @@ def oracle_sql() -> dict[str, str]:
         "fetch_retry_schedule": _RETRY_SQL,
         "revalidation_plan": _REVALIDATE_SQL,
         "http_cache_plan": _HTTP_CACHE_SQL,
+        "html_canonical_meta": _HTML_CANONICAL_SQL,
         "html_outlinks": _HTML_OUTLINKS_SQL,
         "domain_link_graph": _DOMAIN_GRAPH_SQL,
         "discovery_pipeline": _DISCOVERY_SQL,

@@ -163,3 +163,99 @@ def test_scan_side_plan(spark):
         extract_outlinks(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------- canonical
+
+
+def _canon_rows(spark, pages):
+    from cord19_crawler_spark.functions.html import canonical_meta
+
+    df = spark.createDataFrame(pages, "url string, html string")
+    return {r["url"]: r.asDict() for r in canonical_meta(df).collect()}
+
+
+def test_canonical_both_attribute_orders_and_base(spark):
+    got = _canon_rows(
+        spark,
+        [
+            (  # rel-first, relative ref, no <base>
+                "https://h.example.com/a/p1.html",
+                '<link rel="canonical" href="c1.html"><p>x</p>',
+            ),
+            (  # href-first + unquoted rel, <base href> redirects the dir
+                "https://h.example.com/a/p2.html",
+                "<base href='/b/'><link href='c2.html' rel=canonical>",
+            ),
+            (  # absolute canonical + entity-escaped query
+                "https://h.example.com/a/p3.html",
+                '<link rel="canonical" '
+                'href="https://c.example.com/x?a=1&amp;b=2">',
+            ),
+            (  # stylesheet link must NOT be taken as canonical
+                "https://h.example.com/a/p4.html",
+                '<link rel="stylesheet" href="/css/s.css">',
+            ),
+        ],
+    )
+    p1 = got["https://h.example.com/a/p1.html"]
+    assert p1["canonical_ref"] == "c1.html"
+    assert p1["canonical_url"] == "https://h.example.com/a/c1.html"
+    assert p1["is_self_canonical"] is False
+    p2 = got["https://h.example.com/a/p2.html"]
+    assert p2["canonical_url"] == "https://h.example.com/b/c2.html"
+    p3 = got["https://h.example.com/a/p3.html"]
+    assert p3["canonical_url"] == "https://c.example.com/x?a=1&b=2"
+    p4 = got["https://h.example.com/a/p4.html"]
+    assert p4["canonical_ref"] is None
+    assert p4["canonical_url"] is None
+    assert p4["is_self_canonical"] is None
+
+
+def test_canonical_self_and_fragment_ref(spark):
+    url = "https://h.example.com/self.html"
+    got = _canon_rows(
+        spark,
+        [
+            (url, f'<link rel="canonical" href="{url}">'),
+            (  # pure-fragment canonical is same-document noise → NULL url
+                "https://h.example.com/frag.html",
+                '<link rel="canonical" href="#top">',
+            ),
+        ],
+    )
+    assert got[url]["is_self_canonical"] is True
+    frag = got["https://h.example.com/frag.html"]
+    assert frag["canonical_ref"] == "#top"
+    assert frag["canonical_url"] is None
+    assert frag["is_self_canonical"] is None
+
+
+def test_robots_meta_tokens(spark):
+    cases = [
+        ("u1", '<meta name="robots" content="noindex, nofollow">', True, True),
+        ("u2", "<meta content='NOINDEX' name=robots>", True, False),
+        ("u3", '<meta name="robots" content="none">', True, True),
+        ("u4", '<meta name="robots" content="all">', False, False),
+        ("u5", "<p>no meta at all</p>", False, False),
+        (  # 'noindexx' must not token-match noindex
+            "u6",
+            '<meta name="robots" content="noindexx,nofollow">',
+            False,
+            True,
+        ),
+    ]
+    got = _canon_rows(spark, [(u, h) for u, h, _, _ in cases])
+    for u, _, want_ni, want_nf in cases:
+        assert got[u]["noindex"] is want_ni, u
+        assert got[u]["nofollow"] is want_nf, u
+
+
+def test_canonical_meta_scan_side_plan(spark):
+    from cord19_crawler_spark.functions.html import canonical_meta
+
+    df = spark.createDataFrame(
+        [("u", "<link rel=canonical href='x'>")], "url string, html string"
+    )
+    plan = canonical_meta(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
