@@ -4807,6 +4807,127 @@ FROM rows ORDER BY sitemap_url, entry_pos
 """
 
 
+def feed_parse_q(spark, sf_dir):
+    """RSS 2.0 / Atom feed parsing (frontier/feeds.py): synthetic feed
+    bodies BUILT from orders-key arithmetic run through the real
+    Catalyst parser, while the oracle derives the EXPECTED rows from the
+    same arithmetic — independent of the regexes. Bodies exercise: both
+    formats + an unknown root (no rows), channel/feed-level link+title
+    decoys outside entry blocks, RSS whitespace-padded entity-escaped
+    links + attribute-bearing <guid>, Atom rel=self decoy links before
+    the alternate (both alternate attribute orders), the no-rel href
+    fallback, <updated>-over-<published> preference, and link-less
+    entries (position-counted, then dropped)."""
+    from cord19_crawler_spark.frontier.feeds import parse_feeds
+
+    o = _t(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    ks = k.cast("string")
+    host = F.concat(F.lit("f"), (c % 40).cast("string"), F.lit(".example.com"))
+    rss_body = F.concat(
+        F.lit('<rss version="2.0"><channel>\n<title>Chan '),
+        (c % 9).cast("string"),
+        F.lit("</title>\n<link>https://"), host, F.lit("/</link>\n"),
+        F.lit("<item><title>Post "), (k % 7).cast("string"),
+        F.lit("</title><link> https://"), host, F.lit("/post"),
+        (k % 13).cast("string"), F.lit("?a=1&amp;b="), (c % 5).cast("string"),
+        F.lit(' </link><guid isPermaLink="false">tag:'), host, F.lit(","),
+        ks, F.lit("</guid><pubDate>Mon, 0"), (k % 7 + 1).cast("string"),
+        F.lit(" Jun 2026 10:00:00 GMT</pubDate></item>\n"),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit("<item><link>https://"), host, F.lit("/second"),
+                     (k % 11).cast("string"), F.lit("</link></item>\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 5 == 0,
+            F.lit("<item><title>No link here</title></item>\n"),
+        ).otherwise(F.lit("")),
+        F.lit("</channel></rss>"),
+    )
+    alt_link = F.when(
+        k % 4 == 1,
+        F.concat(F.lit('<link href="https://'), host, F.lit("/e"),
+                 (k % 13).cast("string"), F.lit('" rel="alternate"/>')),
+    ).otherwise(
+        F.concat(F.lit('<link rel="alternate" href="https://'), host,
+                 F.lit("/e"), (k % 13).cast("string"), F.lit('"/>')),
+    )
+    atom_body = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom">\n<title>Feed '),
+        (c % 9).cast("string"),
+        F.lit('</title>\n<link href="https://'), host,
+        F.lit('/" rel="self"/>\n'),
+        F.lit("<entry><title>Entry "), (k % 7).cast("string"),
+        F.lit('</title><link rel="self" href="https://'), host,
+        F.lit('/meta"/>'), alt_link,
+        F.lit("<id>urn:e:"), ks, F.lit("</id><updated>2026-06-0"),
+        (k % 9 + 1).cast("string"), F.lit("T10:00:00Z</updated></entry>\n"),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit('<entry><link href="https://'), host,
+                     F.lit("/plain"), (k % 11).cast("string"),
+                     F.lit('"/><published>2026-01-15T00:00:00Z</published>'
+                           "</entry>\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 5 == 0,
+            F.lit("<entry><title>nolink</title></entry>\n"),
+        ).otherwise(F.lit("")),
+        F.lit("</feed>"),
+    )
+    files = o.select(
+        F.concat(F.lit("https://"), host, F.lit("/feed"), ks,
+                 F.lit(".xml")).alias("url"),
+        F.when(k % 7 == 0, F.lit("<html>not a feed</html>"))
+        .when(k % 2 == 0, rss_body)
+        .otherwise(atom_body)
+        .alias("body"),
+    )
+    return parse_feeds(files).orderBy("feed_url", "entry_pos")
+
+
+_FEED_PARSE_SQL = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_custkey AS c,
+    'f' || CAST(o_custkey % 40 AS VARCHAR) || '.example.com' AS host
+  FROM orders
+), f AS (
+  SELECT k, c, host,
+    'https://' || host || '/feed' || CAST(k AS VARCHAR) || '.xml' AS feed_url
+  FROM o WHERE k % 7 <> 0
+), rows AS (
+  SELECT feed_url, 'rss' AS kind, 0 AS entry_pos,
+    'https://' || host || '/post' || CAST(k % 13 AS VARCHAR)
+      || '?a=1&b=' || CAST(c % 5 AS VARCHAR) AS link,
+    'Post ' || CAST(k % 7 AS VARCHAR) AS title,
+    'tag:' || host || ',' || CAST(k AS VARCHAR) AS entry_id,
+    'Mon, 0' || CAST(k % 7 + 1 AS VARCHAR)
+      || ' Jun 2026 10:00:00 GMT' AS published
+  FROM f WHERE k % 2 = 0
+  UNION ALL
+  SELECT feed_url, 'rss', 1,
+    'https://' || host || '/second' || CAST(k % 11 AS VARCHAR),
+    NULL, NULL, NULL
+  FROM f WHERE k % 2 = 0 AND k % 3 = 0
+  UNION ALL
+  SELECT feed_url, 'atom', 0,
+    'https://' || host || '/e' || CAST(k % 13 AS VARCHAR),
+    'Entry ' || CAST(k % 7 AS VARCHAR),
+    'urn:e:' || CAST(k AS VARCHAR),
+    '2026-06-0' || CAST(k % 9 + 1 AS VARCHAR) || 'T10:00:00Z'
+  FROM f WHERE k % 2 = 1
+  UNION ALL
+  SELECT feed_url, 'atom', 1,
+    'https://' || host || '/plain' || CAST(k % 11 AS VARCHAR),
+    NULL, NULL, '2026-01-15T00:00:00Z'
+  FROM f WHERE k % 2 = 1 AND k % 3 = 0
+)
+SELECT feed_url, kind, entry_pos, link, title, entry_id, published
+FROM rows ORDER BY feed_url, entry_pos
+"""
+
+
 def bpe_encode_corpus_q(spark, sf_dir):
     """BPE CORPUS encoding (encode_words lifted to per-document subword
     sequences): pre-tokenize each document into positioned words, encode
@@ -6236,6 +6357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_words": bpe_encode_words_q,
         "bpe_encode_corpus": bpe_encode_corpus_q,
         "sitemap_parse": sitemap_parse_q,
+        "feed_parse": feed_parse_q,
         "fetch_retry_schedule": fetch_retry_schedule_q,
         "revalidation_plan": revalidation_plan_q,
         "http_cache_plan": http_cache_plan_q,
@@ -6370,6 +6492,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_words": _bpe_encode_sql(),
         "bpe_encode_corpus": _bpe_encode_corpus_sql(),
         "sitemap_parse": _SITEMAP_PARSE_SQL,
+        "feed_parse": _FEED_PARSE_SQL,
         "fetch_retry_schedule": _RETRY_SQL,
         "revalidation_plan": _REVALIDATE_SQL,
         "http_cache_plan": _HTTP_CACHE_SQL,
