@@ -4928,6 +4928,88 @@ FROM rows ORDER BY feed_url, entry_pos
 """
 
 
+def mirror_hosts_q(spark, sf_dir):
+    """Host-level mirror detection (frontier/mirrors.py, Bharat & Broder
+    1999): documents are assigned to 40 primary hosts by doc_id
+    arithmetic; even doc_ids are ALSO served from 5 planted mirror hosts
+    (doc_id%5 ≡ host%5, so each mirror overlaps exactly the even half of
+    its 8 primaries); every host additionally serves one shared
+    TEMPLATE-FOOTER fingerprint spanning all 45 hosts, which the
+    max_hosts_per_fp=20 template cap must drop before pairing.
+    Fingerprints are md5(text) — computed independently by both engines.
+    The oracle replays the pipeline relationally (distinct → per-fp host
+    counts → capped self-join pairs → per-host totals → containment /
+    jaccard)."""
+    from cord19_crawler_spark.frontier.mirrors import mirror_hosts
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    primary = F.concat(F.lit("m"), (did % 40).cast("string"),
+                       F.lit(".example.com"))
+    mirror = F.concat(F.lit("mirror"), (did % 5).cast("string"),
+                      F.lit(".example.com"))
+    fp = F.md5(F.col("text"))
+    template = F.md5(F.lit("TEMPLATE-FOOTER"))
+    obs = (
+        d.select(primary.alias("host"), fp.alias("fingerprint"))
+        .unionAll(
+            d.filter(did % 2 == 0)
+            .select(mirror.alias("host"), fp.alias("fingerprint"))
+        )
+        .unionAll(d.select(primary.alias("host"), template.alias("fingerprint")))
+        .unionAll(
+            d.filter(did % 2 == 0)
+            .select(mirror.alias("host"), template.alias("fingerprint"))
+        )
+    )
+    return mirror_hosts(
+        obs, max_hosts_per_fp=20, min_shared=2, min_containment=0.3
+    ).orderBy("host_a", "host_b")
+
+
+_MIRROR_HOSTS_SQL = """
+WITH base AS (
+  SELECT 'm' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS host,
+         md5(text) AS fp
+  FROM documents
+  UNION ALL
+  SELECT 'mirror' || CAST(doc_id % 5 AS VARCHAR) || '.example.com', md5(text)
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'm' || CAST(doc_id % 40 AS VARCHAR) || '.example.com',
+         md5('TEMPLATE-FOOTER')
+  FROM documents
+  UNION ALL
+  SELECT 'mirror' || CAST(doc_id % 5 AS VARCHAR) || '.example.com',
+         md5('TEMPLATE-FOOTER')
+  FROM documents WHERE doc_id % 2 = 0
+), hf AS (
+  SELECT DISTINCT host, fp FROM base
+), nh AS (
+  SELECT fp, COUNT(*) AS n_hosts FROM hf GROUP BY fp
+), hf2 AS (
+  SELECT h.host, h.fp, n.n_hosts
+  FROM hf h JOIN nh n USING (fp) WHERE n.n_hosts <= 20
+), totals AS (
+  SELECT host, COUNT(*) AS n_fp FROM hf2 GROUP BY host
+), pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS shared_fps
+  FROM hf2 a JOIN hf2 b ON a.fp = b.fp AND a.host < b.host
+  WHERE a.n_hosts >= 2
+  GROUP BY a.host, b.host
+)
+SELECT p.host_a, p.host_b, p.shared_fps, ta.n_fp AS n_a, tb.n_fp AS n_b,
+  CAST(p.shared_fps AS DOUBLE) / LEAST(ta.n_fp, tb.n_fp) AS containment,
+  CAST(p.shared_fps AS DOUBLE) / (ta.n_fp + tb.n_fp - p.shared_fps) AS jaccard
+FROM pairs p
+JOIN totals ta ON p.host_a = ta.host
+JOIN totals tb ON p.host_b = tb.host
+WHERE p.shared_fps >= 2
+  AND CAST(p.shared_fps AS DOUBLE) / LEAST(ta.n_fp, tb.n_fp) >= 0.3
+ORDER BY host_a, host_b
+"""
+
+
 def bpe_encode_corpus_q(spark, sf_dir):
     """BPE CORPUS encoding (encode_words lifted to per-document subword
     sequences): pre-tokenize each document into positioned words, encode
@@ -6358,6 +6440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_corpus": bpe_encode_corpus_q,
         "sitemap_parse": sitemap_parse_q,
         "feed_parse": feed_parse_q,
+        "mirror_hosts": mirror_hosts_q,
         "fetch_retry_schedule": fetch_retry_schedule_q,
         "revalidation_plan": revalidation_plan_q,
         "http_cache_plan": http_cache_plan_q,
@@ -6493,6 +6576,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_corpus": _bpe_encode_corpus_sql(),
         "sitemap_parse": _SITEMAP_PARSE_SQL,
         "feed_parse": _FEED_PARSE_SQL,
+        "mirror_hosts": _MIRROR_HOSTS_SQL,
         "fetch_retry_schedule": _RETRY_SQL,
         "revalidation_plan": _REVALIDATE_SQL,
         "http_cache_plan": _HTTP_CACHE_SQL,
