@@ -5010,6 +5010,45 @@ ORDER BY host_a, host_b
 """
 
 
+def rendezvous_shards_q(spark, sf_dir):
+    """Rendezvous/HRW crawler-shard assignment (frontier/shards.py,
+    Thaler & Ravishankar 1998): distinct hosts derived from orders keys
+    are assigned to 16 fetcher shards by argmax over md5(host ':' shard)
+    — the weight function is md5 precisely so the oracle can replay it:
+    DuckDB computes the same hex digests and ranks them with a window,
+    independently of the Spark array-sort implementation. Emits winner
+    and runner-up (the failover target)."""
+    from cord19_crawler_spark.frontier.shards import rendezvous_shards
+
+    o = _t(spark, sf_dir, "orders")
+    hosts = o.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 500).cast("string"),
+                 F.lit(".example.com")).alias("host")
+    ).distinct()
+    return rendezvous_shards(hosts, "host", 16).orderBy("host")
+
+
+_RENDEZVOUS_SQL = """
+WITH hosts AS (
+  SELECT DISTINCT
+    'h' || CAST(o_custkey % 500 AS VARCHAR) || '.example.com' AS host
+  FROM orders
+), w AS (
+  SELECT h.host, t.s,
+    md5(h.host || ':' || CAST(t.s AS VARCHAR)) AS wt
+  FROM hosts h CROSS JOIN range(16) t(s)
+), r AS (
+  SELECT host, s,
+    ROW_NUMBER() OVER (PARTITION BY host ORDER BY wt DESC, s DESC) AS rn
+  FROM w
+)
+SELECT host,
+  CAST(MAX(CASE WHEN rn = 1 THEN s END) AS INTEGER) AS shard,
+  CAST(MAX(CASE WHEN rn = 2 THEN s END) AS INTEGER) AS backup
+FROM r GROUP BY host ORDER BY host
+"""
+
+
 def bpe_encode_corpus_q(spark, sf_dir):
     """BPE CORPUS encoding (encode_words lifted to per-document subword
     sequences): pre-tokenize each document into positioned words, encode
@@ -6441,6 +6480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": sitemap_parse_q,
         "feed_parse": feed_parse_q,
         "mirror_hosts": mirror_hosts_q,
+        "rendezvous_shards": rendezvous_shards_q,
         "fetch_retry_schedule": fetch_retry_schedule_q,
         "revalidation_plan": revalidation_plan_q,
         "http_cache_plan": http_cache_plan_q,
@@ -6577,6 +6617,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_parse": _SITEMAP_PARSE_SQL,
         "feed_parse": _FEED_PARSE_SQL,
         "mirror_hosts": _MIRROR_HOSTS_SQL,
+        "rendezvous_shards": _RENDEZVOUS_SQL,
         "fetch_retry_schedule": _RETRY_SQL,
         "revalidation_plan": _REVALIDATE_SQL,
         "http_cache_plan": _HTTP_CACHE_SQL,
