@@ -3603,6 +3603,171 @@ FROM s{iterations}, th"""
     return "".join(parts)
 
 
+def link_trustrank_q(spark, sf_dir):
+    """Fixed-iteration TrustRank (Gyongyi et al. VLDB 2004, 5 rounds,
+    d=0.85) over the same deterministic link-graph family as
+    link_pagerank (src = o_custkey % 200, dst = o_orderkey % 237 —
+    dangling nodes exist, so the seed-weighted redistribution path is
+    value-checked), with the 25 nation keys as the trusted seed set
+    (some may be absent from the graph, pinning the seeds-intersect-
+    nodes normalization). The oracle UNROLLS all five biased power
+    iterations as chained CTEs — every intermediate trust vector must
+    match, not just the final ordering."""
+    from cord19_crawler_spark.operators.graph import trustrank
+
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    edges = o.select(
+        (F.col("o_custkey") % 200).alias("src"),
+        (F.col("o_orderkey") % 237).alias("dst"),
+    )
+    seeds = n.select(F.col("n_nationkey").alias("node"))
+    tr = trustrank(edges, seeds, iterations=5, damping=0.85)
+    return tr.select("node", F.round("trust", 6).alias("trust"))
+
+
+def _trustrank_core_sql(iterations: int, d: float) -> str:
+    """Shared CTE chain for the trustrank / spam-mass oracles: biased
+    power iterations rt0..rt{n} with the seed-vector dangling fix."""
+    parts = [
+        """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % 200 AS src, o_orderkey % 237 AS dst
+  FROM orders WHERE o_custkey % 200 <> o_orderkey % 237
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+), sin AS MATERIALIZED (
+  SELECT DISTINCT s.node
+  FROM (SELECT n_nationkey AS node FROM nation) s JOIN nodes USING (node)
+), ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM sin),
+deg AS (
+  SELECT n.node, coalesce(o.c, 0) AS outdeg
+  FROM nodes n LEFT JOIN (
+    SELECT src AS node, count(*) AS c FROM e GROUP BY src) o USING (node)
+), sw AS MATERIALIZED (
+  SELECT n.node,
+    CASE WHEN si.node IS NULL THEN 0.0 ELSE 1.0 / ns.k END AS w
+  FROM nodes n LEFT JOIN sin si USING (node), ns
+), rt0 AS (SELECT node, w AS trust FROM sw)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""", tdm{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r.trust), 0) AS m
+  FROM rt{i - 1} r JOIN deg USING (node) WHERE outdeg = 0
+), tc{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(r.trust / deg.outdeg) AS contrib
+  FROM e JOIN rt{i - 1} r ON r.node = e.src JOIN deg ON deg.node = e.src
+  GROUP BY e.dst
+), rt{i} AS MATERIALIZED (
+  SELECT sw.node,
+    (1 - {d}) * sw.w + {d} * (coalesce(c.contrib, 0) + dm.m * sw.w) AS trust
+  FROM sw LEFT JOIN tc{i} c USING (node), tdm{i} dm
+)"""
+        )
+    return "".join(parts)
+
+
+def _trustrank_sql(iterations: int = 5, d: float = 0.85) -> str:
+    return (
+        _trustrank_core_sql(iterations, d)
+        + f"\nSELECT node, round(trust, 6) AS trust FROM rt{iterations}"
+    )
+
+
+def link_spam_mass_q(spark, sf_dir):
+    """Relative spam mass (Gyongyi et al. VLDB 2006) over the
+    link_trustrank graph and seed set: sm = (pagerank - trustrank) /
+    pagerank at the same damping, both 5-round. The oracle chains BOTH
+    unrolled power methods (10 intermediate vectors) and joins them —
+    the combined identity is value-checked node by node."""
+    from cord19_crawler_spark.operators.graph import spam_mass
+
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    edges = o.select(
+        (F.col("o_custkey") % 200).alias("src"),
+        (F.col("o_orderkey") % 237).alias("dst"),
+    )
+    seeds = n.select(F.col("n_nationkey").alias("node"))
+    sm = spam_mass(edges, seeds, iterations=5, damping=0.85)
+    return sm.select(
+        "node",
+        F.round("rank", 6).alias("rank"),
+        F.round("trust", 6).alias("trust"),
+        F.round("spam_mass", 6).alias("spam_mass"),
+    )
+
+
+def _spam_mass_sql(iterations: int = 5, d: float = 0.85) -> str:
+    parts = [_trustrank_core_sql(iterations, d)]
+    parts.append(
+        """, nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+rp0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    )
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""", pdm{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r.rank), 0) AS m
+  FROM rp{i - 1} r JOIN deg USING (node) WHERE outdeg = 0
+), pc{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(r.rank / deg.outdeg) AS contrib
+  FROM e JOIN rp{i - 1} r ON r.node = e.src JOIN deg ON deg.node = e.src
+  GROUP BY e.dst
+), rp{i} AS MATERIALIZED (
+  SELECT n.node,
+    (1 - {d}) / nn.n + {d} * (coalesce(c.contrib, 0) + dm.m / nn.n) AS rank
+  FROM nodes n LEFT JOIN pc{i} c USING (node), nn, pdm{i} dm
+)"""
+        )
+    parts.append(
+        f"""
+SELECT p.node, round(p.rank, 6) AS rank, round(t.trust, 6) AS trust,
+  round((p.rank - t.trust) / p.rank, 6) AS spam_mass
+FROM rp{iterations} p JOIN rt{iterations} t USING (node)"""
+    )
+    return "".join(parts)
+
+
+def crawl_depth_bfs_q(spark, sf_dir):
+    """Minimum-hop crawl depth from a seed set (the breadth-first
+    frontier ordering of Najork & Wiener WWW 2001 / Cho et al. WWW
+    1998) over a deterministic link graph (src = o_custkey % 211,
+    dst = o_orderkey % 211 — one shared id space so multi-hop chains
+    exist), seeded at the five region keys, horizon 6. Unreachable
+    nodes are absent; every seed is depth 0. The oracle is an
+    INDEPENDENT formulation: a DuckDB recursive CTE enumerating all
+    (node, depth<=6) walks with min(depth) per node — BFS and
+    walk-enumeration must agree exactly."""
+    from cord19_crawler_spark.operators.graph import bfs_depth
+
+    o = _t(spark, sf_dir, "orders")
+    r = _t(spark, sf_dir, "region")
+    edges = o.select(
+        (F.col("o_custkey") % 211).alias("src"),
+        (F.col("o_orderkey") % 211).alias("dst"),
+    )
+    seeds = r.select(F.col("r_regionkey").alias("node"))
+    return bfs_depth(edges, seeds, max_depth=6)
+
+
+_BFS_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % 211 AS src, o_orderkey % 211 AS dst
+  FROM orders WHERE o_custkey % 211 <> o_orderkey % 211
+), seeds AS (
+  SELECT DISTINCT CAST(r_regionkey AS BIGINT) AS node FROM region
+), walk (node, depth) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.depth + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.depth < 6
+)
+SELECT node, min(depth) AS depth FROM walk GROUP BY node
+"""
+
+
 def anchor_text_topk_q(spark, sf_dir):
     """Anchor-text aggregation per link target (Brin & Page 1998 §2.2):
     top-3 anchor phrases per target by vote count with per-target inlink /
@@ -6472,6 +6637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": link_pagerank_q,
         "link_hits": link_hits_q,
         "link_opic": link_opic_q,
+        "link_trustrank": link_trustrank_q,
+        "link_spam_mass": link_spam_mass_q,
+        "crawl_depth_bfs": crawl_depth_bfs_q,
         "anchor_text_topk": anchor_text_topk_q,
         "recrawl_staleness": recrawl_staleness_q,
         "bpe_pair_counts": bpe_pair_counts_q,
@@ -6609,6 +6777,9 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": _pagerank_sql(),
         "link_hits": _hits_sql(),
         "link_opic": _opic_sql(),
+        "link_trustrank": _trustrank_sql(),
+        "link_spam_mass": _spam_mass_sql(),
+        "crawl_depth_bfs": _BFS_SQL,
         "anchor_text_topk": _ANCHOR_TEXT_SQL,
         "recrawl_staleness": _RECRAWL_SQL,
         "bpe_pair_counts": _BPE_PAIRS_SQL,

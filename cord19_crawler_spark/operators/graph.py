@@ -710,3 +710,231 @@ def opic(
             "cash",
         )
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration TrustRank (Gyongyi, Garcia-Molina & Pedersen,
+    "Combating Web Spam with TrustRank", VLDB 2004): PageRank with the
+    teleport vector restricted to a hand-vetted trusted seed set, so
+    trust attenuates with link distance from the seeds and link farms
+    unreachable from them score ~0.  This is the crawl-policy lever the
+    plain `pagerank` operator cannot express: prioritizing (or
+    admitting) hosts by *trusted* link evidence.
+
+    Pinned semantics for oracle replay: edges clean like `pagerank`
+    (parallel edges collapse, self-loops drop); the node set is the
+    edge endpoints; the static seed distribution is s(v) = 1/|S| for
+    v in S = seeds INTERSECT nodes (seeds naming nodes outside the
+    graph carry no mass — a dead trusted seed cannot launder trust), 0
+    elsewhere; trust starts AT s; each iteration computes
+    t'(v) = (1-d)*s(v) + d*(sum_{u->v} t(u)/outdeg(u) + dm*s(v)) where
+    dm is the summed trust of dangling nodes — redistributed per the
+    SEED vector, the personalized-PageRank stochastic fix, so total
+    trust stays 1.  Returns (node, trust) raw doubles after exactly
+    `iterations` rounds; callers round for comparison.
+
+    Scale shape (10^10 edges): identical to `pagerank` — ONE wide
+    shuffle per iteration (the contribution aggregate on dst with
+    map-side partials) plus the edge-against-trust join on src; the
+    seed weight is a static column on the node frame (one broadcast-
+    sized count action up front, |S| rows never collected); dangling
+    mass is a 1-row aggregate broadcast back.  Lineage truncated per
+    round via `iterutil.lineage_truncator`.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not (0.0 <= damping <= 1.0):
+        raise ValueError(f"damping must be in [0, 1], got {damping}")
+    _ckpt = lineage_truncator(checkpoint_dir)
+    e = _ckpt(
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = _ckpt(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed_nodes = (
+        seeds.select(F.col(seed_col).cast("long").alias("node"))
+        .distinct()
+        .join(nodes, "node", "semi")
+    )
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        raise ValueError("no trusted seed is a node of the edge graph")
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    base = _ckpt(
+        nodes.join(outdeg, "node", "left")
+        .join(seed_nodes.withColumn("_s", F.lit(1.0 / n_seeds)), "node", "left")
+        .select(
+            "node",
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.coalesce("_s", F.lit(0.0)).alias("sw"),
+        )
+    )
+    d = float(damping)
+    trust = base.select("node", "outdeg", "sw", F.col("sw").alias("trust"))
+    for _ in range(iterations):
+        dangling = trust.filter(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("trust"), F.lit(0.0)).alias("dm")
+        )
+        contribs = (
+            e.join(
+                trust.filter(F.col("outdeg") > 0).select(
+                    F.col("node").alias("src"),
+                    (F.col("trust") / F.col("outdeg")).alias("share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        trust = _ckpt(
+            base.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "outdeg",
+                "sw",
+                (
+                    F.lit(1.0 - d) * F.col("sw")
+                    + F.lit(d)
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("dm") * F.col("sw")
+                    )
+                ).alias("trust"),
+            )
+        )
+    return trust.select("node", "trust")
+
+
+def spam_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Relative spam mass (Gyongyi, Berkhin, Garcia-Molina & Pedersen,
+    "Link Spam Detection Based on Mass Estimation", VLDB 2006): the
+    fraction of a page's PageRank that does NOT flow from the trusted
+    core, sm(v) = (pr(v) - tr(v)) / pr(v), where pr is `pagerank` and
+    tr is `trustrank` over the same edges at the same damping — both
+    sum to 1, so the ratio is scale-free.  Pages whose rank is mostly
+    spam-sourced have sm near 1; pages inside the trusted neighborhood
+    can go negative (trust exceeding their uniform-teleport rank),
+    which the paper keeps as-is (thresholding is the caller's policy).
+
+    pr(v) >= (1-d)/N > 0 for every node (uniform teleport), so the
+    division is total for damping < 1; at damping == 1 callers get the
+    paper's undefined regime and we fault loudly rather than emit NULL.
+
+    Scale shape: two independent fixed-iteration power methods (each
+    ONE wide shuffle per round, see `pagerank`/`trustrank`) joined once
+    on node at the end — no new shuffle class.
+    """
+    if damping >= 1.0:
+        raise ValueError("spam mass needs damping < 1 (pagerank > 0 everywhere)")
+    pr = pagerank(
+        edges, iterations=iterations, damping=damping, src=src, dst=dst,
+        checkpoint_dir=checkpoint_dir,
+    )
+    tr = trustrank(
+        edges, seeds, iterations=iterations, damping=damping, src=src,
+        dst=dst, seed_col=seed_col, checkpoint_dir=checkpoint_dir,
+    )
+    return pr.join(tr, "node").select(
+        "node",
+        "rank",
+        "trust",
+        ((F.col("rank") - F.col("trust")) / F.col("rank")).alias("spam_mass"),
+    )
+
+
+def bfs_depth(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Minimum-hop distance from a crawl seed set — the `depth` field
+    every breadth-first crawler carries (Najork & Wiener, "Breadth-First
+    Search Crawling Yields High-Quality Pages", WWW 2001, is the policy
+    argument for ordering by it; Cho, Garcia-Molina & Page WWW 1998 use
+    it as the baseline ordering).  Returns (node, depth) for every node
+    reachable from the seeds within `max_depth` hops; unreachable nodes
+    are ABSENT (a frontier never materializes the unreached web).  Every
+    distinct seed appears at depth 0 even if it has no edges — a seed
+    is in the frontier before any link evidence exists.
+
+    Algorithm: textbook frontier-expansion BFS as DataFrame rounds —
+    frontier(i+1) = distinct(frontier(i) JOIN edges on src).dst
+    ANTI-JOIN visited — which assigns each node the FIRST round that
+    reaches it, i.e. the minimum hop count.  Early-exits when a round
+    discovers nothing (one 1-row count action per round, the same
+    bounded-action budget as the other iterative operators; rounds are
+    otherwise fully distributed).  Self-loops drop and parallel edges
+    collapse up front — neither can change a minimum distance.
+
+    Scale shape (10^10 edges): per round, one shuffle to expand the
+    frontier (join keyed on src against the edge set — the frontier is
+    the small side and shrinks as the reachable set saturates) and one
+    anti-join against visited on node.  `visited` grows monotonically
+    but is only ever probed by key, never re-shuffled whole; lineage is
+    truncated per round via `iterutil.lineage_truncator` so a deep
+    crawl horizon never stacks a re-computable plan.
+    """
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    _ckpt = lineage_truncator(checkpoint_dir)
+    e = _ckpt(
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    visited = _ckpt(
+        seeds.select(F.col(seed_col).cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("depth"))
+    )
+    frontier = visited.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = _ckpt(
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "anti")
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = _ckpt(
+            visited.union(nxt.select("node", F.lit(depth).alias("depth")))
+        )
+        frontier = nxt
+    return visited
