@@ -4567,6 +4567,154 @@ SELECT url, kind, ref, resolved FROM rows ORDER BY url, kind, ref
 """
 
 
+def soft404_detection_q(spark, sf_dir):
+    """Soft-404 detection by random-probe signature matching
+    (Bar-Yossef et al. WWW 2004) over a synthetic fetch log from events:
+    20 hosts, every-37th row a random-path probe; hosts h0/h3/h6/...
+    answer probes 200 with an error fingerprint shared by every 4th
+    regular page (the planted soft-404 population), the rest refuse
+    probes with 404; every 13th fingerprint is NULL (must never become
+    a catch-all signature). The oracle rebuilds signature and behavior
+    tables in plain SQL."""
+    from cord19_crawler_spark.frontier.soft404 import soft404_detect
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    hid = e % 20
+    is_probe = (e % 37) == 0
+    soft = (hid % 3) == 0
+    status = (
+        F.when(is_probe & soft, F.lit(200))
+        .when(is_probe, F.lit(404))
+        .when(e % 10 == 0, F.lit(404))
+        .when(e % 10 == 1, F.lit(500))
+        .otherwise(F.lit(200))
+    )
+    fp = (
+        F.when(e % 13 == 0, F.lit(None).cast("string"))
+        .when(
+            soft & (is_probe | (e % 4 == 0)),
+            F.concat(F.lit("err-"), hid.cast("string")),
+        )
+        .otherwise(F.concat(F.lit("fp-"), e.cast("string")))
+    )
+    log = ev.select(
+        F.concat(
+            F.lit("https://h"), hid.cast("string"),
+            F.lit(".example.com/p/"), e.cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), hid.cast("string")).alias("host"),
+        status.cast("int").alias("status"),
+        fp.alias("fingerprint"),
+        is_probe.alias("is_probe"),
+    )
+    return soft404_detect(log)
+
+
+_SOFT404_SQL = """
+WITH log AS (
+  SELECT
+    'https://h' || CAST(event_id % 20 AS VARCHAR) || '.example.com/p/'
+      || CAST(event_id AS VARCHAR) AS url,
+    'h' || CAST(event_id % 20 AS VARCHAR) AS host,
+    CAST(CASE
+      WHEN event_id % 37 = 0 AND (event_id % 20) % 3 = 0 THEN 200
+      WHEN event_id % 37 = 0 THEN 404
+      WHEN event_id % 10 = 0 THEN 404
+      WHEN event_id % 10 = 1 THEN 500
+      ELSE 200 END AS INTEGER) AS status,
+    CASE
+      WHEN event_id % 13 = 0 THEN NULL
+      WHEN (event_id % 20) % 3 = 0
+           AND (event_id % 37 = 0 OR event_id % 4 = 0)
+        THEN 'err-' || CAST(event_id % 20 AS VARCHAR)
+      ELSE 'fp-' || CAST(event_id AS VARCHAR) END AS fingerprint,
+    event_id % 37 = 0 AS is_probe
+  FROM events
+), sigs AS (
+  SELECT DISTINCT host, fingerprint FROM log
+  WHERE is_probe AND status BETWEEN 200 AND 299 AND fingerprint IS NOT NULL
+), beh AS (
+  SELECT host,
+    CASE WHEN max(CASE WHEN status BETWEEN 200 AND 299 THEN 1 ELSE 0 END) = 1
+           THEN 'soft404'
+         WHEN max(CASE WHEN status BETWEEN 400 AND 499 THEN 1 ELSE 0 END) = 1
+           THEN 'hard404'
+         ELSE 'unknown' END AS host_behavior
+  FROM log WHERE is_probe GROUP BY host
+)
+SELECT l.url, l.host, l.status, l.fingerprint,
+  coalesce(b.host_behavior, 'unknown') AS host_behavior,
+  (l.status BETWEEN 200 AND 299 AND s.host IS NOT NULL) AS soft404
+FROM log l
+LEFT JOIN beh b USING (host)
+LEFT JOIN sigs s
+  ON s.host = l.host AND s.fingerprint = l.fingerprint
+WHERE NOT l.is_probe
+"""
+
+
+def host_throttle_q(spark, sf_dir):
+    """Adaptive per-host crawl delay from 429/503 + Retry-After
+    (RFC 6585 / RFC 9110) over a synthetic fetch log from events: 25
+    hosts with throttle rates varying BY host (h mod 5 of every 12
+    fetches 429, every 12th a 503), Retry-After stated on every 3rd
+    throttle. Exercises base-floor, backoff, Retry-After-dominates and
+    max-delay-cap regimes in one result; the oracle replays the pinned
+    integer-step formula."""
+    from cord19_crawler_spark.frontier.throttle import host_throttle
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    hid = e % 25
+    status = (
+        F.when(e % 12 < hid % 5, F.lit(429))
+        .when(e % 12 == 11, F.lit(503))
+        .when(e % 12 == 10, F.lit(404))
+        .otherwise(F.lit(200))
+    )
+    log = ev.select(
+        F.concat(F.lit("h"), hid.cast("string")).alias("host"),
+        status.cast("int").alias("status"),
+        F.when(
+            status.isin(429, 503) & (e % 3 == 0),
+            ((e % 7) * 15).cast("double"),
+        ).alias("retry_after"),
+    )
+    return host_throttle(
+        log, base_delay=1.0, max_delay=600.0, backoff=2.0, max_steps=10
+    )
+
+
+_HOST_THROTTLE_SQL = """
+WITH log AS (
+  SELECT 'h' || CAST(event_id % 25 AS VARCHAR) AS host,
+    CAST(CASE
+      WHEN event_id % 12 < (event_id % 25) % 5 THEN 429
+      WHEN event_id % 12 = 11 THEN 503
+      WHEN event_id % 12 = 10 THEN 404
+      ELSE 200 END AS INTEGER) AS status,
+    CASE WHEN (event_id % 12 < (event_id % 25) % 5 OR event_id % 12 = 11)
+              AND event_id % 3 = 0
+      THEN CAST((event_id % 7) * 15 AS DOUBLE) END AS retry_after
+  FROM events
+), agg AS (
+  SELECT host,
+    count(*) AS n_fetches,
+    count(*) FILTER (WHERE status IN (429, 503)) AS n_throttled,
+    max(retry_after) FILTER (WHERE status IN (429, 503)) AS max_retry_after
+  FROM log GROUP BY host
+)
+SELECT host, n_fetches, n_throttled,
+  CAST(n_throttled AS DOUBLE) / n_fetches AS throttle_rate,
+  max_retry_after,
+  least(600.0, greatest(
+    1.0 * pow(2.0, CAST(least((20 * n_throttled) // n_fetches, 10) AS DOUBLE)),
+    coalesce(max_retry_after, 0.0), 1.0)) AS recommended_delay
+FROM agg
+"""
+
+
 def revalidation_plan_q(spark, sf_dir):
     """Conditional-GET planning (RFC 9110 §13) over a synthetic fetch
     history from events: per-URL freshest ETag and Last-Modified tracked
@@ -6650,6 +6798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": mirror_hosts_q,
         "rendezvous_shards": rendezvous_shards_q,
         "fetch_retry_schedule": fetch_retry_schedule_q,
+        "soft404_detection": soft404_detection_q,
+        "host_throttle": host_throttle_q,
         "revalidation_plan": revalidation_plan_q,
         "http_cache_plan": http_cache_plan_q,
         "html_canonical_meta": html_canonical_meta_q,
@@ -6790,6 +6940,8 @@ def oracle_sql() -> dict[str, str]:
         "mirror_hosts": _MIRROR_HOSTS_SQL,
         "rendezvous_shards": _RENDEZVOUS_SQL,
         "fetch_retry_schedule": _RETRY_SQL,
+        "soft404_detection": _SOFT404_SQL,
+        "host_throttle": _HOST_THROTTLE_SQL,
         "revalidation_plan": _REVALIDATE_SQL,
         "http_cache_plan": _HTTP_CACHE_SQL,
         "html_canonical_meta": _HTML_CANONICAL_SQL,
