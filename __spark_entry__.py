@@ -893,6 +893,74 @@ def tfidf_all_matches(spark, sf_dir):
 _TFIDF_ALL_SQL = _TFIDF_SQL.rsplit("LIMIT", 1)[0]
 
 
+def bm25_search_topk(spark, sf_dir):
+    """Okapi BM25 top-20 (Robertson et al. TREC-3; Lucene idf variant)
+    over the same postings and query terms as tfidf_multiword_search —
+    the length-normalized, tf-saturating upgrade of the reference's
+    formula. N and avgdl are computed INSIDE the plan (1-row broadcast
+    aggregates); the oracle replays doclen/df/idf and the full scoring
+    sum, with the rounded-score + doc_id tiebreak pinning the limit."""
+    from cord19_crawler_spark.operators.search import bm25_search
+
+    d = _t(spark, sf_dir, "documents")
+    p = postings_tf(spark, sf_dir)
+    return bm25_search(p, _QUERY_TERMS, d, k1=1.2, b=0.75, k=20)
+
+
+_BM25_SQL = f"""
+WITH {_TOKENS_CTE},
+postings AS (
+  SELECT word, doc_id, count(*) AS tf FROM tokens GROUP BY word, doc_id
+), doclens AS (
+  SELECT doc_id, sum(tf) AS doclen FROM postings GROUP BY doc_id
+), consts AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT sum(tf) FROM postings) AS DOUBLE)
+           / (SELECT count(*) FROM documents) AS avgdl
+), hits AS (
+  SELECT * FROM postings
+  WHERE word IN ({", ".join(f"'{t}'" for t in _QUERY_TERMS)})
+), dfs AS (
+  SELECT word, count(DISTINCT doc_id) AS term_df FROM hits GROUP BY word
+)
+SELECT h.doc_id,
+  round(sum(
+    ln(1 + (c.n - d.term_df + 0.5) / (d.term_df + 0.5))
+    * (h.tf * 2.2)
+    / (h.tf + 1.2 * (1 - 0.75 + 0.75 * l.doclen / c.avgdl))
+  ), 6) AS score,
+  CAST(count(*) AS INTEGER) AS matched_terms
+FROM hits h JOIN dfs d USING (word) JOIN doclens l USING (doc_id), consts c
+GROUP BY h.doc_id
+ORDER BY score DESC, h.doc_id
+LIMIT 20
+"""
+
+
+_PHRASE = ["order", "sort"]
+
+
+def phrase_search_bigram(spark, sf_dir):
+    """Exact-phrase search by positional-posting intersection (IIR ch.
+    2.4) for the corpus bigram 'order sort': every phrase word becomes a
+    pushed-down filter on the positional token table, re-anchored as
+    (doc_id, pos - i) and intersected on (doc_id, anchor); overlapping
+    occurrences count separately. The oracle is an INDEPENDENT
+    formulation — a positional self-join on pos adjacency."""
+    from cord19_crawler_spark.operators.search import phrase_search
+
+    return phrase_search(_tokens(spark, sf_dir), _PHRASE, k=None)
+
+
+_PHRASE_SQL = f"""
+WITH {_TOKENS_CTE}
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
+FROM tokens a JOIN tokens b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.word = '{_PHRASE[0]}' AND b.word = '{_PHRASE[1]}'
+GROUP BY a.doc_id
+"""
+
+
 _DELTA_TERMS = ["merge", "batch"]
 
 
@@ -6728,6 +6796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_stats": word_stats_query,
         "tfidf_multiword_search": tfidf_multiword_search,
         "tfidf_all_matches": tfidf_all_matches,
+        "bm25_search_topk": bm25_search_topk,
+        "phrase_search_bigram": phrase_search_bigram,
         "delta_merged_search": delta_merged_search,
         "autocomplete_top3": autocomplete_top3,
         "round_robin_barrel_head": round_robin_barrel_head,
@@ -6873,6 +6943,8 @@ def oracle_sql() -> dict[str, str]:
         "word_stats": _WORD_STATS_SQL,
         "tfidf_multiword_search": _TFIDF_SQL,
         "tfidf_all_matches": _TFIDF_ALL_SQL,
+        "bm25_search_topk": _BM25_SQL,
+        "phrase_search_bigram": _PHRASE_SQL,
         "delta_merged_search": _delta_search_sql(),
         "autocomplete_top3": _AUTOCOMPLETE_SQL,
         "round_robin_barrel_head": _RR_BARREL_SQL,

@@ -135,3 +135,143 @@ def prefix_match(lexicon: DataFrame, prefix: str, k: int = 5) -> DataFrame:
         .limit(k)
         .select("word", "total_count")
     )
+
+
+def bm25_search(
+    postings: DataFrame,
+    query_terms: list[str],
+    total_docs: int | DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int | None = 20,
+) -> DataFrame:
+    """Okapi BM25 ranking (Robertson & Sparck Jones probabilistic
+    weighting; the k1/b formulation of Robertson et al., TREC-3 1994)
+    over (word, doc_id, tf) postings — the industry-standard upgrade of
+    the reference's raw TF-IDF formula (src/multiwordSearch.py:115-131),
+    which saturates neither on term frequency nor on document length.
+
+    Pinned semantics (oracle-replayable): doclen(D) = sum of tf over ALL
+    of D's postings (tokens surviving the index token filter); N = the
+    corpus document count (scalar, or a DataFrame counted INSIDE the
+    plan as a broadcast 1-row aggregate — same contract as
+    ``tfidf_search``); avgdl = sum of all doclens / N (docs with zero
+    surviving tokens drag the average down, pinned); idf(t) =
+    ln(1 + (N - df + 0.5) / (df + 0.5)) — the non-negative Lucene
+    variant; score(D) = sum over matched terms of idf * tf * (k1+1) /
+    (tf + k1 * (1 - b + b * doclen/avgdl)), rounded to 6 for cross-
+    engine stability.  Ties break on ascending doc_id.
+
+    Scale shape (10^10 postings): term df and the query-term list are
+    broadcast (term-count-sized); candidate postings (only query-term
+    rows, filter pushed to the posting scan) join doclens keyed on
+    doc_id — the one wide exchange class; doclens is ONE map-side-
+    partial aggregate over the postings scan; N/avgdl ride a 1-row
+    broadcast cross-join, so the whole query is a single Spark job with
+    no driver action.  ``k`` lowers to TakeOrderedAndProject.
+    """
+    spark = postings.sparkSession
+    if not query_terms:
+        return (
+            postings.select("doc_id")
+            .limit(0)
+            .withColumn("score", F.lit(0.0))
+            .withColumn("matched_terms", F.lit(0).cast("int"))
+        )
+    terms = spark.createDataFrame(
+        [(t,) for t in dict.fromkeys(query_terms)], "word string"
+    )
+    doclens = postings.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
+    if isinstance(total_docs, DataFrame):
+        n_col = F.count(F.lit(1)).cast("double")
+        totals = total_docs.agg(n_col.alias("_n"))
+    else:
+        totals = postings.sparkSession.range(1).select(
+            F.lit(float(total_docs)).alias("_n")
+        )
+    # avgdl numerator = total token mass; one 1-row aggregate each,
+    # fused into a single broadcast row
+    mass = postings.agg(F.sum("tf").cast("double").alias("_mass"))
+    consts = totals.crossJoin(mass).select(
+        "_n", (F.col("_mass") / F.col("_n")).alias("_avgdl")
+    )
+    hits = postings.join(F.broadcast(terms), "word", "inner")
+    df_per_term = hits.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("term_df")
+    )
+    scored = (
+        hits.join(F.broadcast(df_per_term), "word")
+        .join(doclens, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "_idf",
+            F.log(
+                1.0
+                + (F.col("_n") - F.col("term_df") + 0.5)
+                / (F.col("term_df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_w",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1
+                * (1.0 - b + b * F.col("doclen") / F.col("_avgdl"))
+            ),
+        )
+    )
+    final = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("_w"), 6).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("matched_terms"),
+        )
+        .select("doc_id", "score", "matched_terms")
+    )
+    ordered = final.orderBy(F.desc("score"), F.asc("doc_id"))
+    return ordered if k is None else ordered.limit(k)
+
+
+def phrase_search(
+    tokens: DataFrame,
+    phrase: list[str],
+    k: int | None = None,
+) -> DataFrame:
+    """Exact-phrase search by positional-posting intersection — the
+    standard inverted-index phrase plan (Manning, Raghavan & Schutze,
+    IIR ch. 2.4): a doc matches where the phrase's words occur at
+    CONSECUTIVE positions.  The reference's index has no positions
+    (src/index.py keeps only frequencies), so this extends its query
+    surface rather than re-expressing it.
+
+    ``tokens`` is the exploded positional index (doc_id, pos, word);
+    positions are the pre-filter token offsets, so a stopword between
+    two words breaks adjacency — a phrase can only match where the
+    surface text was adjacent.  Pinned: occurrences = distinct anchor
+    positions p with word_i at p+i for all i (a phrase of repeated
+    words counts overlapping occurrences separately); docs with zero
+    occurrences are absent; ties break on ascending doc_id.
+
+    Scale shape (10^10 tokens): each phrase word becomes a scan-side
+    filter on the token table (predicate pushdown to the posting scan —
+    only the phrase words' postings are ever read), re-anchored as
+    (doc_id, pos - i) and intersected by an n-way equi-join on
+    (doc_id, anchor); the join keys carry the doc hash so all n legs
+    co-partition, and the per-doc count is a map-side-partial
+    aggregate.  No window, no explode, no driver action.
+    """
+    if not phrase:
+        raise ValueError("phrase must have at least one word")
+    legs = None
+    for i, w in enumerate(phrase):
+        leg = tokens.filter(F.col("word") == w).select(
+            "doc_id", (F.col("pos") - F.lit(i)).alias("anchor")
+        )
+        legs = leg if legs is None else legs.join(leg, ["doc_id", "anchor"])
+    final = legs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("phrase_tf")
+    )
+    ordered = final.orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+    return ordered if k is None else ordered.limit(k)
