@@ -961,6 +961,92 @@ GROUP BY a.doc_id
 """
 
 
+def bm25_pruned_topk(spark, sf_dir):
+    """MaxScore-style two-phase threshold-pruned BM25 (Turtle & Flood
+    1995, recast as a Spark bulk plan): the rarest query term seeds a
+    broadcast k-th-score threshold, doclen-free per-doc upper bounds
+    prune candidates BEFORE the doclen join, survivors are scored
+    exactly. The oracle is the FULL unpruned BM25 SQL — result equality
+    with the exhaustive plan is the operator's whole contract."""
+    from cord19_crawler_spark.operators.search import bm25_search_pruned
+
+    d = _t(spark, sf_dir, "documents")
+    p = postings_tf(spark, sf_dir)
+    return bm25_search_pruned(p, _QUERY_TERMS, d, k1=1.2, b=0.75, k=20)
+
+
+_SPELL_QUERY = "sow"
+
+
+def spelling_correction_q(spark, sf_dir):
+    """Did-you-mean spelling correction (SymSpell delete-neighborhood
+    candidates + exact Levenshtein verify) for the misspelling 'sow' over
+    the corpus lexicon — both 'row' (substitution) and 'slow' (deletion)
+    sit at distance 1, so the frequency tiebreak is value-checked. The
+    oracle is an INDEPENDENT formulation: DuckDB's native levenshtein()
+    over the whole lexicon (no delete index), same ranking."""
+    from cord19_crawler_spark.operators.search import spelling_correction
+
+    lex = word_stats_query(spark, sf_dir).select(
+        "word", F.col("total_freq").alias("total_count")
+    )
+    return spelling_correction(lex, _SPELL_QUERY, max_edit=1, k=5)
+
+
+_SPELL_SQL = f"""
+WITH {_TOKENS_CTE},
+lexicon AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS total_count
+  FROM tokens GROUP BY word
+)
+SELECT word, CAST(levenshtein(word, '{_SPELL_QUERY}') AS INTEGER) AS dist,
+       total_count
+FROM lexicon
+WHERE levenshtein(word, '{_SPELL_QUERY}') <= 1
+ORDER BY dist, total_count DESC, word
+LIMIT 5
+"""
+
+
+_SNIPPET_WINDOW = 10
+
+
+def search_snippets(spark, sf_dir):
+    """Best snippet window per matching doc (passage scoring, Turpin et
+    al. SIGIR 2007): the width-10 token span with the most query-term
+    hits, anchored at a hit, earliest-start tiebreak. Spark computes the
+    argmax via a max_by comparable struct; the oracle independently via a
+    row_number window — both over the same hit-anchored band join."""
+    from cord19_crawler_spark.operators.search import best_snippet_windows
+
+    return best_snippet_windows(
+        _tokens(spark, sf_dir), _QUERY_TERMS, window=_SNIPPET_WINDOW
+    )
+
+
+_SNIPPET_SQL = f"""
+WITH {_TOKENS_CTE},
+hits AS (
+  SELECT doc_id, pos, word FROM tokens
+  WHERE word IN ({", ".join(f"'{t}'" for t in _QUERY_TERMS)})
+), wins AS (
+  SELECT a.doc_id, a.pos AS start,
+         CAST(count(*) AS INTEGER) AS n_hits,
+         CAST(count(DISTINCT b.word) AS INTEGER) AS n_terms
+  FROM hits a JOIN hits b
+    ON a.doc_id = b.doc_id
+   AND b.pos >= a.pos AND b.pos < a.pos + {_SNIPPET_WINDOW}
+  GROUP BY a.doc_id, a.pos
+), best AS (
+  SELECT doc_id, start, n_hits, n_terms,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_hits DESC, start) AS rn
+  FROM wins
+)
+SELECT doc_id, start, n_hits AS hits, n_terms FROM best WHERE rn = 1
+"""
+
+
 _DELTA_TERMS = ["merge", "batch"]
 
 
@@ -6797,7 +6883,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_multiword_search": tfidf_multiword_search,
         "tfidf_all_matches": tfidf_all_matches,
         "bm25_search_topk": bm25_search_topk,
+        "bm25_pruned_topk": bm25_pruned_topk,
         "phrase_search_bigram": phrase_search_bigram,
+        "spelling_correction": spelling_correction_q,
+        "search_snippets": search_snippets,
         "delta_merged_search": delta_merged_search,
         "autocomplete_top3": autocomplete_top3,
         "round_robin_barrel_head": round_robin_barrel_head,
@@ -6944,7 +7033,10 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_multiword_search": _TFIDF_SQL,
         "tfidf_all_matches": _TFIDF_ALL_SQL,
         "bm25_search_topk": _BM25_SQL,
+        "bm25_pruned_topk": _BM25_SQL,
         "phrase_search_bigram": _PHRASE_SQL,
+        "spelling_correction": _SPELL_SQL,
+        "search_snippets": _SNIPPET_SQL,
         "delta_merged_search": _delta_search_sql(),
         "autocomplete_top3": _AUTOCOMPLETE_SQL,
         "round_robin_barrel_head": _RR_BARREL_SQL,

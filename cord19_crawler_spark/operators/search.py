@@ -275,3 +275,288 @@ def phrase_search(
     )
     ordered = final.orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
     return ordered if k is None else ordered.limit(k)
+
+
+def _bm25_scored(
+    hits: DataFrame,
+    doclens: DataFrame,
+    consts: DataFrame,
+    df_per_term: DataFrame,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared exact-BM25 scoring kernel: candidate postings × broadcast
+    (df, consts) × doclens → per-posting weight `_w`."""
+    return (
+        hits.join(F.broadcast(df_per_term), "word")
+        .join(doclens, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "_idf",
+            F.log(
+                1.0
+                + (F.col("_n") - F.col("term_df") + 0.5)
+                / (F.col("term_df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_w",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1
+                * (1.0 - b + b * F.col("doclen") / F.col("_avgdl"))
+            ),
+        )
+    )
+
+
+def bm25_search_pruned(
+    postings: DataFrame,
+    query_terms: list[str],
+    total_docs: int | DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 top-k with MaxScore-style upper-bound pruning (Turtle & Flood
+    1995 'Query evaluation: strategies and optimizations', recast for
+    Spark's bulk model as a two-phase threshold plan) — returns EXACTLY
+    ``bm25_search(...)``'s top-k rows, skipping the doclen join + final
+    aggregate for documents that provably cannot make the top k.
+
+    Phase 1 (seed threshold): the RAREST query term's postings (fewest
+    docs — found from the per-term df aggregate itself) are scored
+    exactly; the k-th best partial score is a valid lower bound θ₀ on the
+    final k-th score (each of those ≥k docs has true score ≥ its partial
+    score).  θ₀ rides a 1-row broadcast — no driver action.
+
+    Phase 2 (prune + exact): each posting's doclen-free upper bound is
+    idf·tf·(k1+1)/(tf + k1·(1−b)) (the doclen→0 limit, maximal because
+    the weight is decreasing in doclen); docs whose UB-sum over matched
+    terms falls below θ₀ − 1e-6 are pruned before the doclen join (the
+    1e-6 slack covers round-to-6 boundary ties, so the rounded output
+    ordering matches the unpruned plan exactly).  Survivors are scored
+    exactly by the same kernel as ``bm25_search``.
+
+    Scale shape (10^10 postings): the threshold phase touches only the
+    rarest term's postings; the pruning aggregate touches only query-term
+    postings (never the corpus); the doclen join — the one wide exchange
+    over corpus-scale state — now receives only the pruned candidate set.
+    θ₀, per-term df and the term list are all broadcast 1-row/term-count
+    frames, so the whole query is still a single Spark job.
+    """
+    spark = postings.sparkSession
+    if not query_terms:
+        return (
+            postings.select("doc_id")
+            .limit(0)
+            .withColumn("score", F.lit(0.0))
+            .withColumn("matched_terms", F.lit(0).cast("int"))
+        )
+    terms = spark.createDataFrame(
+        [(t,) for t in dict.fromkeys(query_terms)], "word string"
+    )
+    doclens = postings.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
+    if isinstance(total_docs, DataFrame):
+        totals = total_docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    else:
+        totals = spark.range(1).select(F.lit(float(total_docs)).alias("_n"))
+    mass = postings.agg(F.sum("tf").cast("double").alias("_mass"))
+    consts = totals.crossJoin(mass).select(
+        "_n", (F.col("_mass") / F.col("_n")).alias("_avgdl")
+    )
+    hits = postings.join(F.broadcast(terms), "word", "inner")
+    df_per_term = hits.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("term_df")
+    )
+    # ---- phase 1: exact partial scores for the rarest term only --------
+    rarest = df_per_term.orderBy(F.asc("term_df"), F.asc("word")).limit(1)
+    seed_hits = hits.join(F.broadcast(rarest.select("word")), "word")
+    seed_scored = _bm25_scored(seed_hits, doclens, consts, df_per_term, k1, b)
+    # k-th best partial score (0 when fewer than k seed docs → no pruning)
+    theta = (
+        seed_scored.groupBy("doc_id")
+        .agg(F.sum("_w").alias("_s"))
+        .orderBy(F.desc("_s"))
+        .limit(k)
+        .agg(
+            F.when(F.count(F.lit(1)) >= k, F.min("_s"))
+            .otherwise(F.lit(0.0))
+            .alias("_theta")
+        )
+    )
+    # ---- phase 2: doclen-free UB-sum prune, then exact scoring --------
+    ub = (
+        hits.join(F.broadcast(df_per_term), "word")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "_ub",
+            F.log(
+                1.0
+                + (F.col("_n") - F.col("term_df") + 0.5)
+                / (F.col("term_df") + 0.5)
+            )
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b)),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("_ub").alias("_ub_sum"))
+    )
+    candidates = (
+        ub.crossJoin(F.broadcast(theta))
+        .filter(F.col("_ub_sum") >= F.col("_theta") - 1e-6)
+        .select("doc_id")
+    )
+    survivors = hits.join(candidates, "doc_id", "left_semi")
+    scored = _bm25_scored(survivors, doclens, consts, df_per_term, k1, b)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("_w"), 6).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("matched_terms"),
+        )
+        .select("doc_id", "score", "matched_terms")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def delete_neighborhood(words: DataFrame, col: str = "word") -> DataFrame:
+    """SymSpell delete-neighborhood keys (Garbe 2012, the pre-computed
+    'deletes' index of symspell): for each word, the word itself plus
+    every single-character deletion — the standard result that
+    levenshtein(w, q) ≤ 1 implies keys(w) ∩ keys(q) ≠ ∅ (equal → the word
+    itself; insert/delete → one side's delete equals the other; substitute
+    → deleting the differing position from both gives the same string).
+    Pure Catalyst: a transform over character positions, exploded to
+    (key, word) rows.  The intersection OVERAPPROXIMATES distance ≤ 1
+    (e.g. 'ab'/'ba' share deletes at distance 2), so candidates must be
+    verified — the classic generate-candidates / verify-on-candidates
+    split that keeps the expensive exact distance off the full lexicon.
+    """
+    keys = F.array_union(
+        F.array(F.col(col)),
+        F.expr(
+            f"transform(sequence(1, length({col})), i ->"
+            f" concat(substring({col}, 1, i - 1),"
+            f" substring({col}, i + 1, length({col}))))"
+        ),
+    )
+    return words.select(
+        F.explode(keys).alias("del_key"), *words.columns
+    )
+
+
+def spelling_correction(
+    lexicon: DataFrame,
+    query: str,
+    max_edit: int = 1,
+    k: int = 5,
+) -> DataFrame:
+    """Did-you-mean spelling correction over the (word, total_count)
+    lexicon: SymSpell delete-neighborhood candidate generation + exact
+    Levenshtein verification, ranked by (distance asc, corpus frequency
+    desc, word asc) — returns (word, dist, total_count) top-k.  Extends
+    the reference app's query surface (it has autocomplete,
+    src/autocomplete.py, but no misspelling recovery) with the index-side
+    data it already maintains.
+
+    Only ``max_edit=1`` uses the delete index (the SymSpell guarantee
+    proved in ``delete_neighborhood``); larger budgets fall back to a
+    full-scan Levenshtein filter (still JVM-side, no Python).
+
+    Scale shape (10^9-word lexicon): the query's own key set (|q|+1
+    strings) is a broadcast frame; the lexicon explodes to O(len)·rows
+    delete keys but the broadcast-hash semi-join prunes at the scan and
+    never shuffles the lexicon; exact levenshtein() runs on candidates
+    only; top-k lowers to TakeOrderedAndProject.
+    """
+    spark = lexicon.sparkSession
+    if max_edit == 1:
+        qkeys = {query} | {
+            query[:i] + query[i + 1 :] for i in range(len(query))
+        }
+        qframe = spark.createDataFrame(
+            [(x,) for x in sorted(qkeys)], "del_key string"
+        )
+        cand = (
+            delete_neighborhood(lexicon)
+            .join(F.broadcast(qframe), "del_key", "left_semi")
+            .drop("del_key")
+            .distinct()
+        )
+    else:
+        cand = lexicon
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("word"), F.lit(query)).cast("int")
+        )
+        .filter(F.col("dist") <= max_edit)
+        .select("word", "dist", "total_count")
+        .orderBy(F.asc("dist"), F.desc("total_count"), F.asc("word"))
+        .limit(k)
+    )
+
+
+def best_snippet_windows(
+    tokens: DataFrame,
+    query_terms: list[str],
+    window: int = 10,
+) -> DataFrame:
+    """Best snippet window per matching document: over the positional
+    token index (doc_id, pos, word), find for every doc the width-
+    ``window`` token span [start, start+window) holding the most query-
+    term hits — the classic passage-scoring step behind result snippets
+    (e.g. Turpin et al. SIGIR 2007 'Fast generation of result snippets').
+    Returns (doc_id, start, hits, n_terms); ties prefer the earliest
+    start, and only windows anchored at a hit are considered (an optimal
+    window always begins at a hit, so this loses nothing).
+
+    Scale shape (10^10 tokens): both legs are the QUERY TERMS' postings
+    only (scan-side pushed filter — the corpus token table is never read
+    beyond those words); the range self-join is an equi-join on doc_id
+    with the position band as a residual, co-partitioned so no second
+    exchange; per-(doc,anchor) counting and the per-doc argmax are
+    map-side-partial aggregates.  No window function over corpus-scale
+    rows, no explode, no driver action.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    hits = tokens.filter(
+        F.col("word").isin(list(dict.fromkeys(query_terms)))
+    ).select("doc_id", "pos", "word")
+    a = hits.select("doc_id", F.col("pos").alias("start"))
+    b = hits.select(
+        "doc_id", F.col("pos").alias("bpos"), F.col("word").alias("bword")
+    )
+    windows = (
+        a.join(b, "doc_id")
+        .filter(
+            (F.col("bpos") >= F.col("start"))
+            & (F.col("bpos") < F.col("start") + window)
+        )
+        .groupBy("doc_id", "start")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("hits"),
+            F.countDistinct("bword").cast("int").alias("n_terms"),
+        )
+    )
+    # argmax per doc: max hits, then earliest start (encode start
+    # descending-safe via negation inside the comparable struct)
+    return (
+        windows.groupBy("doc_id")
+        .agg(
+            F.max_by(
+                F.struct("start", "hits", "n_terms"),
+                F.struct(F.col("hits"), (-F.col("start")).alias("_ns")),
+            ).alias("_best")
+        )
+        .select(
+            "doc_id",
+            F.col("_best.start").alias("start"),
+            F.col("_best.hits").alias("hits"),
+            F.col("_best.n_terms").alias("n_terms"),
+        )
+    )

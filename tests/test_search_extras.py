@@ -1,0 +1,209 @@
+"""Pruned BM25 (MaxScore-style), SymSpell spelling correction, and best
+snippet windows (operators/search.py): equality with the exhaustive
+plans, planted edge cases, and randomized Python replays."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cord19_crawler_spark.operators.indexing import tokens_from_text
+from cord19_crawler_spark.operators.search import (
+    best_snippet_windows,
+    bm25_search,
+    bm25_search_pruned,
+    delete_neighborhood,
+    spelling_correction,
+)
+
+
+def _postings(spark, rows):
+    return spark.createDataFrame(rows, "word string, doc_id long, tf long")
+
+
+def _rand_postings(seed, n_words=15, n_docs=40, n=350):
+    rng = random.Random(seed)
+    seen, rows = set(), []
+    for _ in range(n):
+        w, d = f"w{rng.randrange(n_words)}", rng.randrange(n_docs)
+        if (w, d) not in seen:
+            seen.add((w, d))
+            rows.append((w, d, rng.randrange(1, 12)))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_pruned_bm25_equals_full_bm25_randomized(spark, seed):
+    rows = _rand_postings(seed)
+    terms = ["w0", "w3", "w7", "w11"]
+    full = bm25_search(_postings(spark, rows), terms, 50, k=20).collect()
+    pruned = bm25_search_pruned(
+        _postings(spark, rows), terms, 50, k=20
+    ).collect()
+    assert [tuple(r) for r in pruned] == [tuple(r) for r in full]
+
+
+def test_pruned_bm25_skewed_corpus_and_small_k(spark):
+    # one rare high-idf term, one term matching every doc: the seed
+    # threshold from the rare term must not drop any true top-k doc
+    rows = [("rare", d, 3) for d in range(4)]
+    rows += [("common", d, 1 + d % 5) for d in range(60)]
+    for k in (1, 3, 10):
+        full = bm25_search(
+            _postings(spark, rows), ["rare", "common"], 60, k=k
+        ).collect()
+        pruned = bm25_search_pruned(
+            _postings(spark, rows), ["rare", "common"], 60, k=k
+        ).collect()
+        assert [tuple(r) for r in pruned] == [tuple(r) for r in full]
+
+
+def test_pruned_bm25_fewer_matches_than_k_and_empty_terms(spark):
+    rows = [("a", 1, 2), ("a", 2, 1), ("b", 9, 4)]
+    full = bm25_search(_postings(spark, rows), ["a"], 10, k=20).collect()
+    pruned = bm25_search_pruned(
+        _postings(spark, rows), ["a"], 10, k=20
+    ).collect()
+    assert [tuple(r) for r in pruned] == [tuple(r) for r in full]
+    assert len(pruned) == 2
+    empty = bm25_search_pruned(_postings(spark, rows), [], 10)
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "score", "matched_terms"]
+
+
+def _lexicon(spark, words):
+    return spark.createDataFrame(
+        [(w, c) for w, c in words], "word string, total_count long"
+    )
+
+
+def test_delete_neighborhood_keys(spark):
+    got = {
+        (r["del_key"], r["word"])
+        for r in delete_neighborhood(_lexicon(spark, [("abc", 1)])).collect()
+    }
+    assert got == {(k, "abc") for k in ["abc", "bc", "ac", "ab"]}
+
+
+def test_spelling_correction_planted_ranking(spark):
+    lex = _lexicon(
+        spark, [("row", 943), ("slow", 918), ("sort", 872), ("sow", 7)]
+    )
+    got = [tuple(r) for r in spelling_correction(lex, "sow", k=5).collect()]
+    # exact match first, then distance-1 by frequency desc; sort is dist 2
+    assert got == [("sow", 0, 7), ("row", 1, 943), ("slow", 1, 918)]
+
+
+def test_spelling_correction_symspell_false_positive_killed(spark):
+    # 'ab' and 'ba' share delete keys but are at distance 2: the verify
+    # step must drop the candidate
+    lex = _lexicon(spark, [("ba", 10), ("ab", 5)])
+    got = [tuple(r) for r in spelling_correction(lex, "ab", k=5).collect()]
+    assert got == [("ab", 0, 5)]
+
+
+def test_spelling_correction_matches_bruteforce_randomized(spark):
+    rng = random.Random(11)
+    alphabet = "abcd"
+    words = sorted(
+        {"".join(rng.choice(alphabet) for _ in range(rng.randrange(2, 6)))
+         for _ in range(60)}
+    )
+    lex = _lexicon(spark, [(w, i + 1) for i, w in enumerate(words)])
+    query = "abca"
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = sorted(
+        (
+            (w, lev(w, query), i + 1)
+            for i, w in enumerate(words)
+            if lev(w, query) <= 1
+        ),
+        key=lambda t: (t[1], -t[2], t[0]),
+    )[:5]
+    got = [tuple(r) for r in spelling_correction(lex, query, k=5).collect()]
+    assert got == want
+
+
+def test_spelling_correction_max_edit_2_fallback(spark):
+    lex = _lexicon(spark, [("batch", 9), ("match", 8), ("bath", 3)])
+    got = [
+        tuple(r)
+        for r in spelling_correction(lex, "botch", max_edit=2, k=5).collect()
+    ]
+    assert got == [("batch", 1, 9), ("match", 2, 8), ("bath", 2, 3)]
+
+
+def _tokens_df(spark, docs):
+    return tokens_from_text(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+
+
+def test_snippets_planted(spark):
+    docs = [
+        # hits at pos 0,1,9 -> window [0,10) holds 3; [1,11) holds 2
+        (1, "aa bb x0 x1 x2 x3 x4 x5 x6 aa x7"),
+        # single hit
+        (2, "x0 bb x1"),
+        # no hits
+        (3, "x0 x1 x2"),
+    ]
+    got = {
+        r["doc_id"]: (r["start"], r["hits"], r["n_terms"])
+        for r in best_snippet_windows(
+            _tokens_df(spark, docs), ["aa", "bb"], window=10
+        ).collect()
+    }
+    assert got == {1: (0, 3, 2), 2: (1, 1, 1)}
+
+
+def test_snippets_tie_prefers_earliest_start(spark):
+    docs = [(1, "aa x0 x1 x2 aa x3 x4 x5 aa")]  # hits at 0, 4, 8
+    got = best_snippet_windows(
+        _tokens_df(spark, docs), ["aa"], window=5
+    ).collect()
+    # [0,5) and [4,9) both hold 2 hits -> earliest start wins
+    assert (got[0]["start"], got[0]["hits"]) == (0, 2)
+
+
+def test_snippets_matches_python_replay_randomized(spark):
+    rng = random.Random(23)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(40))) for i in range(15)
+    ]
+    terms, window = ["aa", "bb"], 7
+    want = {}
+    for d, text in docs:
+        toks = text.split()
+        hit_pos = [i for i, t in enumerate(toks) if t in terms]
+        best = None
+        for s in hit_pos:
+            in_w = [p for p in hit_pos if s <= p < s + window]
+            key = (len(in_w), -s)
+            if best is None or key > best[0]:
+                best = (key, (s, len(in_w), len({toks[p] for p in in_w})))
+        if best:
+            want[d] = best[1]
+    got = {
+        r["doc_id"]: (r["start"], r["hits"], r["n_terms"])
+        for r in best_snippet_windows(
+            _tokens_df(spark, docs), terms, window=window
+        ).collect()
+    }
+    assert got == want
+
+
+def test_snippets_empty_terms_raises(spark):
+    with pytest.raises(ValueError):
+        best_snippet_windows(_tokens_df(spark, [(1, "aa")]), [])
