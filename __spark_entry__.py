@@ -3757,6 +3757,120 @@ FROM s{iterations}, th"""
     return "".join(parts)
 
 
+def link_triangles_q(spark, sf_dir):
+    """Per-node triangle counts (degree-oriented compact-forward, Latapy
+    TCS 2008 / Suri & Vassilvitskii WWW 2011 — the web-spam local-
+    clustering feature of Becchetti KDD 2008) over a deterministic
+    synthetic undirected graph (src = o_custkey % 120,
+    dst = o_orderkey % 137). The oracle is an INDEPENDENT formulation:
+    id-ordered canonical edges closed by a three-way join (no degree
+    orientation), so the two plans must agree on every corner count."""
+    from cord19_crawler_spark.operators.graph import triangle_count
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 120).alias("src"),
+        (F.col("o_orderkey") % 137).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
+_TRIANGLES_SQL = """
+WITH raw AS (
+  SELECT o_custkey % 120 AS s, o_orderkey % 137 AS d FROM orders
+), ce AS MATERIALIZED (
+  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+  FROM raw WHERE s <> d
+), tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ce e1 JOIN ce e2 ON e2.a = e1.b
+       JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
+), corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS triangles
+FROM corners GROUP BY node
+"""
+
+
+def link_cocitation_q(spark, sf_dir):
+    """Co-citation pair strengths (Small JASIS 1973): pages cited
+    together by the same source, over a deterministic synthetic link
+    graph (src = o_custkey % 90, dst = o_orderkey % 161), top-50 by
+    (strength desc, node_a, node_b). Uncapped exact mode here
+    (max_degree=None — oracle contract); the production default caps
+    grouping-key fanout like dedup's hot-bucket cap."""
+    from cord19_crawler_spark.operators.graph import copair_counts
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 90).alias("src"),
+        (F.col("o_orderkey") % 161).alias("dst"),
+    )
+    return (
+        copair_counts(edges, mode="cocitation", max_degree=None)
+        .orderBy(F.desc("strength"), F.asc("node_a"), F.asc("node_b"))
+        .limit(50)
+    )
+
+
+_COCITATION_SQL = """
+WITH raw AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % 90 AS k, o_orderkey % 161 AS i
+  FROM orders WHERE o_custkey % 90 <> o_orderkey % 161
+)
+SELECT a.i AS node_a, b.i AS node_b, CAST(count(*) AS BIGINT) AS strength
+FROM raw a JOIN raw b ON a.k = b.k AND a.i < b.i
+GROUP BY a.i, b.i
+ORDER BY strength DESC, node_a, node_b
+LIMIT 50
+"""
+
+
+def link_coupling_capped_q(spark, sf_dir):
+    """Bibliographic coupling (Kessler 1963 — pairs of SOURCES sharing a
+    destination) WITH the production hot-key cap biting PARTIALLY: the
+    synthetic graph gives each destination key k a fanout ceiling of
+    (k % 60) + 3 distinct sources, so max_degree=30 drops roughly half
+    the keys (the 'hub' half) and keeps the rest — the oracle mirrors
+    the cap as a HAVING on grouping-key fanout, value-checking the
+    capped semantics rather than a vacuous all-kept/all-dropped case."""
+    from cord19_crawler_spark.operators.graph import copair_counts
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 161
+    edges = o.select(
+        (F.col("o_custkey") % (k % 60 + 3)).alias("src"),
+        k.alias("dst"),
+    )
+    return (
+        copair_counts(edges, mode="coupling", max_degree=30)
+        .orderBy(F.desc("strength"), F.asc("node_a"), F.asc("node_b"))
+        .limit(50)
+    )
+
+
+_COUPLING_CAPPED_SQL = """
+WITH base AS (
+  SELECT o_orderkey % 161 AS k,
+         o_custkey % ((o_orderkey % 161) % 60 + 3) AS i
+  FROM orders
+), raw AS MATERIALIZED (
+  SELECT DISTINCT k, i FROM base WHERE k <> i
+), kept AS MATERIALIZED (
+  SELECT k, i FROM raw
+  WHERE k IN (SELECT k FROM raw GROUP BY k HAVING count(*) <= 30)
+)
+SELECT a.i AS node_a, b.i AS node_b, CAST(count(*) AS BIGINT) AS strength
+FROM kept a JOIN kept b ON a.k = b.k AND a.i < b.i
+GROUP BY a.i, b.i
+ORDER BY strength DESC, node_a, node_b
+LIMIT 50
+"""
+
+
 def link_trustrank_q(spark, sf_dir):
     """Fixed-iteration TrustRank (Gyongyi et al. VLDB 2004, 5 rounds,
     d=0.85) over the same deterministic link-graph family as
@@ -6944,6 +7058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": link_pagerank_q,
         "link_hits": link_hits_q,
         "link_opic": link_opic_q,
+        "link_triangles": link_triangles_q,
+        "link_cocitation": link_cocitation_q,
+        "link_coupling_capped": link_coupling_capped_q,
         "link_trustrank": link_trustrank_q,
         "link_spam_mass": link_spam_mass_q,
         "crawl_depth_bfs": crawl_depth_bfs_q,
@@ -7091,6 +7208,9 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": _pagerank_sql(),
         "link_hits": _hits_sql(),
         "link_opic": _opic_sql(),
+        "link_triangles": _TRIANGLES_SQL,
+        "link_cocitation": _COCITATION_SQL,
+        "link_coupling_capped": _COUPLING_CAPPED_SQL,
         "link_trustrank": _trustrank_sql(),
         "link_spam_mass": _spam_mass_sql(),
         "crawl_depth_bfs": _BFS_SQL,

@@ -52,6 +52,8 @@ __all__ = [
     "opic",
     "anchor_text_index",
     "domain_link_graph",
+    "triangle_count",
+    "copair_counts",
 ]
 
 
@@ -938,3 +940,132 @@ def bfs_depth(
         )
         frontier = nxt
     return visited
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts on the UNDIRECTED link graph — the
+    local-clustering signal behind web-spam features (densely
+    interlinked link farms close many triangles; Becchetti et al., KDD
+    2008 use exactly this per-host count) and community structure.
+
+    Algorithm: degree-oriented compact-forward (Latapy TCS 2008; the
+    MapReduce formulation is Suri & Vassilvitskii WWW 2011).  Direction
+    and parallel/self edges collapse to canonical undirected pairs; each
+    edge is then ORIENTED from the (degree, node)-smaller endpoint to
+    the larger, making the graph a DAG in which every triangle
+    {a,b,c} materializes exactly once: as the wedge (a→b, a→c) with
+    (deg,node)(b) < (deg,node)(c), closed by the oriented edge b→c.
+    Output: (node, triangles) for every node in ≥1 triangle.
+
+    Scale shape (10^10 edges): orientation bounds every node's oriented
+    out-degree by O(√m) — the heavy hub that would generate C(deg,2)
+    wedges under naive id-orientation generates almost none, because
+    its edges all point INTO it.  The plan is two self-equi-joins (wedge
+    build keyed on the shared low endpoint, closure keyed on (b,c)) plus
+    degree attachment — all map-side-partial aggregates and hash joins,
+    no window, no driver action, skew capped by the √m bound.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("u"),
+                          F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"),
+                         F.col("deg").alias("dv")), "v")
+    )
+    u_first = F.struct("du", "u") < F.struct("dv", "v")
+    o = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.struct(F.col("dv").alias("d"),
+                                 F.col("v").alias("n")))
+        .otherwise(F.struct(F.col("du").alias("d"),
+                            F.col("u").alias("n")))
+        .alias("bk"),
+    )
+    w1 = o.select("a", F.col("bk").alias("b1"))
+    w2 = o.select(F.col("a").alias("a2"), F.col("bk").alias("b2"))
+    wedges = w1.join(
+        w2, (F.col("a") == F.col("a2")) & (F.col("b1") < F.col("b2"))
+    ).select("a", F.col("b1.n").alias("b"), F.col("b2.n").alias("c"))
+    closer = o.select(F.col("a").alias("b"), F.col("bk.n").alias("c"))
+    tri = wedges.join(closer, ["b", "c"], "left_semi")
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("triangles")
+    )
+
+
+def copair_counts(
+    edges: DataFrame,
+    mode: str = "cocitation",
+    max_degree: int | None = 10_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Co-citation / bibliographic-coupling pair strengths over the
+    directed link graph (Small JASIS 1973; Kessler 1963) — the classic
+    'related pages' similarity that needs no content, only links.
+
+    ``mode="cocitation"``: strength(p, q) = number of distinct pages
+    linking to BOTH p and q (pairs of dst sharing a src).
+    ``mode="coupling"``: strength(p, q) = number of distinct pages both
+    p and q link to (pairs of src sharing a dst).  Output
+    (node_a, node_b, strength) with node_a < node_b.
+
+    Scale shape (10^10 edges): the pair join is per-grouping-key
+    (C(fanout, 2) pairs per src for co-citation), so one index page
+    linking 10^6 dsts would alone emit 5·10^11 pairs — the same
+    degenerate-bucket hazard as LSH.  ``max_degree`` (default 10^4,
+    same production-default rationale as dedup's hot-bucket cap) DROPS
+    grouping keys above the cap before the self-join: a page citing
+    10^4+ others carries ~no per-pair signal (1/log evidence weight in
+    the literature) and only it can make the plan quadratic.  Pass
+    ``None`` for the exact/oracle mode.  Distinct-collapse runs first
+    (parallel edges are one citation), the self-join is an equi-join on
+    the grouping key, and the final (a, b) aggregate is map-side
+    partial.
+    """
+    if mode == "cocitation":
+        key, item = src, dst
+    elif mode == "coupling":
+        key, item = dst, src
+    else:
+        raise ValueError(f"mode must be cocitation|coupling, got {mode!r}")
+    e = (
+        edges.select(F.col(key).alias("k"), F.col(item).alias("i"))
+        .filter(F.col("k") != F.col("i"))
+        .distinct()
+    )
+    if max_degree is not None:
+        fanout = e.groupBy("k").agg(F.count(F.lit(1)).alias("_d"))
+        e = (
+            e.join(fanout, "k")
+            .filter(F.col("_d") <= max_degree)
+            .drop("_d")
+        )
+    a = e.select("k", F.col("i").alias("node_a"))
+    b = e.select(F.col("k").alias("k2"), F.col("i").alias("node_b"))
+    return (
+        a.join(b, (F.col("k") == F.col("k2"))
+               & (F.col("node_a") < F.col("node_b")))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("strength"))
+    )
