@@ -2121,6 +2121,69 @@ FROM pr GROUP BY vec_id
 """
 
 
+def kmeans_assign(spark, sf_dir):
+    """Fixed-iteration Lloyd k-means (k=4, 3 update rounds + final
+    assignment, lowest-id seeding, lowest-cluster tie-break) over the
+    embeddings table. The oracle UNROLLS every Lloyd round as chained
+    MATERIALIZED CTEs — each intermediate assignment and each per-
+    dimension centroid mean must match, not just the final clustering —
+    so the iterative operator is value-checked the same way the
+    pagerank/HITS/OPIC family is."""
+    from cord19_crawler_spark.operators.similarity import lloyd_kmeans
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lloyd_kmeans(e, k=4, iterations=3)
+
+
+def _kmeans_sql(k: int = 4, iterations: int = 3) -> str:
+    parts = [
+        f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+         v AS centroid
+  FROM (SELECT * FROM base ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""", s{i} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT b.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY list_distance(b.v, c.centroid), c.cluster) AS rn
+    FROM base b CROSS JOIN c{i - 1} c
+  ) WHERE rn = 1
+), m{i} AS MATERIALIZED (
+  SELECT cluster, i, avg(x) AS mx FROM (
+    SELECT s.cluster, unnest(b.v) AS x, generate_subscripts(b.v, 1) AS i
+    FROM s{i} s JOIN base b USING (vec_id)
+  ) t(cluster, x, i) GROUP BY cluster, i
+), c{i} AS MATERIALIZED (
+  SELECT c.cluster, coalesce(n.centroid, c.centroid) AS centroid
+  FROM c{i - 1} c LEFT JOIN (
+    SELECT cluster, list(mx ORDER BY i) AS centroid FROM m{i} GROUP BY cluster
+  ) n USING (cluster)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT f.vid AS vec_id, f.cl AS cluster,
+       round(list_distance(b.v, c.centroid), 6) AS dist
+FROM (
+  SELECT b2.vec_id AS vid, c2.cluster AS cl,
+         row_number() OVER (PARTITION BY b2.vec_id
+           ORDER BY list_distance(b2.v, c2.centroid), c2.cluster) AS rn
+  FROM base b2 CROSS JOIN c{iterations} c2
+) f JOIN base b ON b.vec_id = f.vid
+     JOIN c{iterations} c ON c.cluster = f.cl
+WHERE f.rn = 1
+"""
+    )
+    return "".join(parts)
+
+
 def dedup_embedding_cosine_q(spark, sf_dir):
     """Embedding-cosine near-dup (sign-bucket → per-bucket pair join →
     exact cosine ≥ threshold) via the package operator. Vectors cast to
@@ -7074,6 +7137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_cosine_topk": similarity_cosine_topk,
         "similarity_sign_buckets": similarity_sign_buckets,
         "embedding_random_projection": embedding_random_projection,
+        "kmeans_assign": kmeans_assign,
         "text_token_stats": text_token_stats,
         "text_quality_scores": text_quality_scores,
         "text_fingerprints": text_fingerprints,
@@ -7226,6 +7290,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_cosine_topk": _COSINE_SQL,
         "similarity_sign_buckets": _SIGN_BUCKET_SQL,
         "embedding_random_projection": _RP_SQL,
+        "kmeans_assign": _kmeans_sql(),
         "text_token_stats": _TOKEN_STATS_SQL,
         "text_quality_scores": _text_quality_sql(),
         "text_repetition_metrics": _REPETITION_SQL,

@@ -294,3 +294,110 @@ def random_project(
         ),
     )
     return emb.withColumn(out_col, proj)
+
+
+def lloyd_kmeans(
+    emb: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration Lloyd k-means (Lloyd 1982) as pure DataFrame
+    rounds — the oracle-checkable companion to the pyspark.ml KMeans the
+    IVF index uses: deterministic initialization (the k lowest-id
+    vectors), a fixed iteration count, and lowest-cluster-id tie-breaks
+    make every intermediate centroid and assignment reproducible by an
+    external engine, bit-stably across parallelism.  Returns
+    (id, cluster, dist) — the final assignment and the Euclidean
+    distance to its centroid (rounded to 6).
+
+    Per round: assignment is a BROADCAST cross-join against the k-row
+    centroid frame (argmin via min_by over a (distance, cluster)
+    comparable struct — ties to the lowest cluster id), and the update
+    is one posexplode + (cluster, dim)-keyed mean + array rebuild.
+    A cluster that loses all members keeps its previous centroid
+    (left-join + coalesce), matching the common implementation choice.
+
+    Scale shape (10^10 vectors): the only corpus-scale exchanges are the
+    per-round (cluster, dim) mean — map-side partial — and the final
+    assignment projection; centroids (k·dims doubles) always ride
+    broadcast.  Per-round lineage is truncated via
+    ``iterutil.lineage_truncator`` (reliable ``checkpoint_dir`` for
+    executor-loss safety on preemptible clusters, localCheckpoint
+    default).  The k-row init rank uses the two-phase global rank, not
+    an unpartitioned window.
+    """
+    from .iterutil import lineage_truncator
+    from .ranking import global_row_number
+
+    if k <= 0 or iterations < 0:
+        raise ValueError(f"need k > 0, iterations >= 0; got {k}, {iterations}")
+    _ckpt = lineage_truncator(checkpoint_dir)
+    base = _ckpt(
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+    )
+    seedrows = base.orderBy("_id").limit(k)
+    cent = global_row_number(seedrows, [F.asc("_id")], name="_c").select(
+        (F.col("_c") - 1).cast("int").alias("cluster"),
+        F.col("_v").alias("centroid"),
+    )
+
+    def _sqdist(v, c):
+        return F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    def _assign(centroids):
+        return (
+            base.crossJoin(F.broadcast(centroids))
+            .withColumn("_d", _sqdist(F.col("_v"), F.col("centroid")))
+            .groupBy("_id")
+            .agg(
+                F.min_by(
+                    F.struct("cluster", "_d"),
+                    F.struct(F.col("_d"), F.col("cluster")),
+                ).alias("_best")
+            )
+            .select(
+                "_id",
+                F.col("_best.cluster").alias("cluster"),
+                F.col("_best._d").alias("_d"),
+            )
+        )
+
+    for _ in range(iterations):
+        assigned = _assign(cent)
+        means = (
+            assigned.join(base, "_id")
+            .select("cluster", F.posexplode("_v").alias("_i", "_x"))
+            .groupBy("cluster", "_i")
+            .agg(F.avg("_x").alias("_mx"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_i", "_mx"))
+                    ),
+                    lambda s: s["_mx"],
+                ).alias("_new")
+            )
+        )
+        cent = _ckpt(
+            cent.join(means, "cluster", "left").select(
+                "cluster",
+                F.coalesce(F.col("_new"), F.col("centroid")).alias("centroid"),
+            )
+        )
+    final = _assign(cent)
+    return final.select(
+        F.col("_id").alias(id_col),
+        "cluster",
+        F.round(F.sqrt("_d"), 6).alias("dist"),
+    )
