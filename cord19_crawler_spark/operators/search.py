@@ -144,6 +144,8 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
     k: int | None = 20,
+    doclens: DataFrame | None = None,
+    total_tokens: float | None = None,
 ) -> DataFrame:
     """Okapi BM25 ranking (Robertson & Sparck Jones probabilistic
     weighting; the k1/b formulation of Robertson et al., TREC-3 1994)
@@ -169,6 +171,13 @@ def bm25_search(
     partial aggregate over the postings scan; N/avgdl ride a 1-row
     broadcast cross-join, so the whole query is a single Spark job with
     no driver action.  ``k`` lowers to TakeOrderedAndProject.
+
+    Serving/index path: ``doclens`` (doc_id, doclen) and ``total_tokens``
+    — both written at INDEX BUILD time by ``plans.search_pipeline`` —
+    skip the corpus-scale aggregates entirely, so a served query over a
+    barrel-PRUNED postings scan (which could not compute global doclens
+    itself) stays correct and touches only query-term postings plus the
+    doclen side table.
     """
     spark = postings.sparkSession
     if not query_terms:
@@ -181,17 +190,24 @@ def bm25_search(
     terms = spark.createDataFrame(
         [(t,) for t in dict.fromkeys(query_terms)], "word string"
     )
-    doclens = postings.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
+    if doclens is None:
+        doclens = postings.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
+    else:
+        doclens = doclens.select("doc_id", "doclen")
     if isinstance(total_docs, DataFrame):
         n_col = F.count(F.lit(1)).cast("double")
         totals = total_docs.agg(n_col.alias("_n"))
     else:
-        totals = postings.sparkSession.range(1).select(
-            F.lit(float(total_docs)).alias("_n")
-        )
+        totals = spark.range(1).select(F.lit(float(total_docs)).alias("_n"))
     # avgdl numerator = total token mass; one 1-row aggregate each,
-    # fused into a single broadcast row
-    mass = postings.agg(F.sum("tf").cast("double").alias("_mass"))
+    # fused into a single broadcast row (or a pure literal when the
+    # index metadata already carries the mass)
+    if total_tokens is None:
+        mass = postings.agg(F.sum("tf").cast("double").alias("_mass"))
+    else:
+        mass = spark.range(1).select(
+            F.lit(float(total_tokens)).alias("_mass")
+        )
     consts = totals.crossJoin(mass).select(
         "_n", (F.col("_mass") / F.col("_n")).alias("_avgdl")
     )

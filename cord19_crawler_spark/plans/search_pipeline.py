@@ -72,6 +72,14 @@ def build_index(
         os.path.join(out_dir, "routing")
     )
     lexicon.write.mode("overwrite").parquet(os.path.join(out_dir, "lexicon"))
+    # doclen side table + corpus token mass: the BM25 ranker's length
+    # normalization reads these at query time instead of re-aggregating
+    # the corpus (the pruned postings scan COULDN'T — it only sees the
+    # query words' barrels)
+    postings.groupBy("doc_id").agg(F.sum("tf").alias("doclen")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "doclens"))
+    total_tokens = postings.agg(F.sum("tf")).collect()[0][0] or 0
     if title_col:
         docs.select(
             F.col(id_col).alias("doc_id"), F.col(title_col).alias("title")
@@ -82,6 +90,7 @@ def build_index(
         "vocabulary": postings.select("word").distinct().count(),
         "num_barrels": num_barrels,
         "has_titles": bool(title_col),
+        "total_tokens": int(total_tokens),
     }
     postings.unpersist()
     with open(os.path.join(out_dir, "_INDEX.json"), "w") as f:
@@ -230,10 +239,23 @@ def search(
     query: str,
     k: int | None = 20,
     delta_docs: DataFrame | None = None,
+    ranker: str = "tfidf",
 ) -> DataFrame:
     """Ranked search over a built index; optional read-time delta merge.
     ``k=None`` returns ALL matched docs score-ordered (serving layer's
-    total_hits path, serving.py)."""
+    total_hits path, serving.py).
+
+    ``ranker``: ``"tfidf"`` (the reference's exact formula, with lemma-
+    variant expansion) or ``"bm25"`` (Okapi BM25 over the raw query
+    terms — length-normalized, tf-saturating; no variant expansion, the
+    standard formulation).  BM25's corpus statistics (doclens, token
+    mass) come from the index side tables written at build time, so the
+    served query still reads ONLY the query words' barrels; an index
+    built before the doclens table existed falls back to a full postings
+    aggregate (correct, one extra corpus scan).
+    """
+    if ranker not in ("tfidf", "bm25"):
+        raise ValueError(f"ranker must be tfidf|bm25, got {ranker!r}")
     with open(os.path.join(index_dir, "_INDEX.json")) as f:
         meta = json.load(f)
     terms = preprocess_query(query)
@@ -285,12 +307,48 @@ def search(
         "barrel_id"
     )
     total_docs = meta["total_docs"]
+    delta_p = None
     if delta_docs is not None:
         from ..operators.delta import merged_postings
+        from ..operators.indexing import postings as _mk_postings
+        from ..operators.indexing import tokens_from_text
 
+        delta_p = _mk_postings(tokens_from_text(delta_docs))
         pruned = merged_postings(pruned, delta_docs)
         total_docs += delta_docs.count()
-    results = tfidf_search(pruned, terms, total_docs, k, variants=variants)
+    if ranker == "bm25":
+        from ..operators.search import bm25_search
+
+        doclens_dir = os.path.join(index_dir, "doclens")
+        if os.path.isdir(doclens_dir) and "total_tokens" in meta:
+            doclens = spark.read.parquet(doclens_dir)
+            total_tokens = float(meta["total_tokens"])
+            if delta_p is not None:
+                # uploaded docs: exact doclens + mass from the (upload-
+                # scale) delta postings; id types align like
+                # merged_postings does
+                d_lens = delta_p.groupBy("doc_id").agg(
+                    F.sum("tf").alias("doclen")
+                )
+                if dict(doclens.dtypes)["doc_id"] != dict(d_lens.dtypes)["doc_id"]:
+                    doclens = doclens.withColumn(
+                        "doc_id", F.col("doc_id").cast("string")
+                    )
+                    d_lens = d_lens.withColumn(
+                        "doc_id", F.col("doc_id").cast("string")
+                    )
+                doclens = doclens.unionByName(d_lens)
+                total_tokens += float(
+                    delta_p.agg(F.sum("tf")).collect()[0][0] or 0
+                )
+        else:  # pre-doclens index layout: correct, one extra corpus scan
+            doclens, total_tokens = None, None
+        results = bm25_search(
+            pruned, terms, total_docs, k=k,
+            doclens=doclens, total_tokens=total_tokens,
+        )
+    else:
+        results = tfidf_search(pruned, terms, total_docs, k, variants=variants)
     if meta.get("has_titles"):
         # titles is DOC-scale (10^10 at the design point) — never broadcast
         # it; the results side is k rows, which AQE broadcasts at runtime

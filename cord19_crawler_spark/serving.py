@@ -174,14 +174,23 @@ class SearchService:
 
     # -- /api/search -------------------------------------------------------
     def search(
-        self, query: str, use_semantic: bool = False, max_results: int = 30
+        self,
+        query: str,
+        use_semantic: bool = False,
+        max_results: int = 30,
+        ranker: str = "tfidf",
     ) -> dict:
-        """app.py:93-146 — semantic expansion, multi-word TF-IDF, total
+        """app.py:93-146 — semantic expansion, multi-word ranking, total
         hits, per-request wall time. Raises ValueError on empty query
-        (the 400 branch)."""
+        (the 400 branch). ``ranker``: "tfidf" (reference formula,
+        default — existing clients see identical scores) or "bm25"
+        (Okapi BM25 over the index's doclen side table; see
+        plans.search_pipeline.search)."""
         query = (query or "").strip()
         if not query:
             raise ValueError("Empty query")
+        if ranker not in ("tfidf", "bm25"):
+            raise ValueError(f"Unknown ranker: {ranker}")
         t0 = time.time()
         query_words = query.split()
         synonyms: list[str] = []
@@ -205,6 +214,7 @@ class SearchService:
                 final_query,
                 k=None,
                 delta_docs=self._delta_docs(),
+                ranker=ranker,
             ).cache()
             try:
                 total = full.count()
@@ -254,6 +264,34 @@ class SearchService:
                 r["word"]
                 for r in prefix_match(
                     self._lexicon, prefix, self.autocomplete_k
+                ).collect()
+            ]
+
+    # -- /api/spell ----------------------------------------------------------
+    def spell(self, term: str, max_edit: int = 1, k: int = 5) -> list[dict]:
+        """Did-you-mean suggestions over the index lexicon (SymSpell
+        delete-neighborhood + exact Levenshtein verify,
+        operators/search.py:spelling_correction) — extends the reference
+        app's surface (it has autocomplete but no misspelling recovery)
+        using index data the service already caches. Returns
+        [{word, dist, count}] ranked (distance asc, frequency desc)."""
+        term = (term or "").strip().lower()
+        if len(term) < 2:
+            return []
+        from .operators.search import spelling_correction
+
+        lex = self._lexicon.select(
+            "word", F.col("total_count").cast("long").alias("total_count")
+        )
+        with self._query_gate():
+            return [
+                {
+                    "word": r["word"],
+                    "dist": r["dist"],
+                    "count": r["total_count"],
+                }
+                for r in spelling_correction(
+                    lex, term, max_edit=max_edit, k=k
                 ).collect()
             ]
 
@@ -478,9 +516,12 @@ class _Handler(BaseHTTPRequestHandler):
                 semantic = (
                     qs.get("semantic", ["false"])[0].lower() == "true"
                 )
-                self._json(svc.search(q, use_semantic=semantic))
+                ranker = qs.get("ranker", ["tfidf"])[0].lower()
+                self._json(svc.search(q, use_semantic=semantic, ranker=ranker))
             elif url.path == "/api/autocomplete":
                 self._json(svc.autocomplete(qs.get("q", [""])[0]))
+            elif url.path == "/api/spell":
+                self._json(svc.spell(qs.get("q", [""])[0]))
             elif url.path.startswith("/view/"):
                 doc = svc.view(unquote(url.path[len("/view/"):]))
                 if "text/html" in self.headers.get("Accept", ""):

@@ -349,3 +349,70 @@ def test_concurrency_gate_validation(spark, served_index):
     idx, corpus = served_index
     with pytest.raises(ValueError, match="max_concurrent_queries"):
         SearchService(spark, idx, corpus_path=corpus, max_concurrent_queries=0)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranker + spelling endpoints (round-5 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranker_matches_direct_bm25(spark, served_index, service):
+    """The served bm25 path (doclen side table + meta token mass) must
+    equal bm25_search computed directly over the full postings."""
+    from pyspark.sql import functions as F
+
+    from cord19_crawler_spark.operators.indexing import (
+        postings as mk_postings,
+        tokens_from_text,
+    )
+    from cord19_crawler_spark.operators.search import bm25_search
+
+    docs = spark.createDataFrame(
+        ROWS, "doc_id long, text string, title string"
+    )
+    p = mk_postings(tokens_from_text(docs.select("doc_id", "text")))
+    want = [
+        (r["doc_id"], r["score"])
+        for r in bm25_search(p, ["covid", "vaccine"], 5, k=None).collect()
+    ]
+    out = service.search("covid vaccine", ranker="bm25")
+    got = [(int(r["id"]), r["score"]) for r in out["results"]]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert float(gs) == pytest.approx(ws, abs=0.005)  # "%.2f" format
+    assert out["total_hits"] == 4
+
+
+def test_bm25_ranker_sees_uploaded_delta_doc(service):
+    up = service.upload("Fresh covid doc", "covid vaccine covid breakthrough")
+    out = service.search("breakthrough", ranker="bm25")
+    assert out["total_hits"] == 1
+    assert out["results"][0]["id"] == up["id"]
+    # static + delta lengths merged: a covid query ranks the upload too
+    both = service.search("covid", ranker="bm25")
+    assert both["total_hits"] == 4  # docs 1,4,5 + the upload
+
+
+def test_unknown_ranker_rejected(service):
+    with pytest.raises(ValueError):
+        service.search("covid", ranker="pagerank")
+
+
+def test_spell_endpoint_service(service):
+    # 'vacine' -> 'vaccine' at distance 1 via the delete-neighborhood
+    got = service.spell("vacine")
+    assert got and got[0]["word"] == "vaccine" and got[0]["dist"] == 1
+    assert service.spell("v") == []  # under 2 chars
+
+
+def test_http_bm25_and_spell(server):
+    status, _, body = _get(server + "/api/search?q=covid&ranker=bm25")
+    assert status == 200
+    assert json.loads(body)["total_hits"] == 3
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server + "/api/search?q=covid&ranker=nope")
+    assert e.value.code == 400
+    assert json.loads(e.value.read())["error"].startswith("Unknown ranker")
+    status, _, body = _get(server + "/api/spell?q=climat")
+    sp = json.loads(body)
+    assert sp[0]["word"] == "climate" and sp[0]["dist"] == 1
