@@ -1047,6 +1047,136 @@ SELECT doc_id, start, n_hits AS hits, n_terms FROM best WHERE rn = 1
 """
 
 
+_DIRICHLET_MU = 100.0
+
+
+def lm_dirichlet_topk(spark, sf_dir):
+    """Query-likelihood ranking with Dirichlet-prior smoothing (Zhai &
+    Lafferty SIGIR 2001) over the same postings and query terms as the
+    BM25/TF-IDF rows — the language-modeling branch of the ranking
+    family. The oracle replays the sparse decomposition exactly:
+    collection LM from the query words' full posting mass, matched-term
+    sum plus the |q|·ln(mu/(doclen+mu)) length penalty."""
+    from cord19_crawler_spark.operators.search import lm_dirichlet_search
+
+    p = postings_tf(spark, sf_dir)
+    return lm_dirichlet_search(p, _QUERY_TERMS, mu=_DIRICHLET_MU, k=20)
+
+
+_LM_DIRICHLET_SQL = f"""
+WITH {_TOKENS_CTE},
+postings AS (
+  SELECT word, doc_id, count(*) AS tf FROM tokens GROUP BY word, doc_id
+), doclens AS (
+  SELECT doc_id, sum(tf) AS doclen FROM postings GROUP BY doc_id
+), mass AS (
+  SELECT CAST(sum(tf) AS DOUBLE) AS m FROM postings
+), hits AS (
+  SELECT * FROM postings
+  WHERE word IN ({", ".join(f"'{t}'" for t in _QUERY_TERMS)})
+), ctf AS (
+  SELECT word, CAST(sum(tf) AS DOUBLE) AS ctf FROM hits GROUP BY word
+), nq AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nq FROM ctf
+)
+SELECT h.doc_id,
+       round(sum(ln(1 + h.tf / ({_DIRICHLET_MU} * c.ctf / m.m)))
+             + any_value(q.nq)
+               * ln({_DIRICHLET_MU} / (l.doclen + {_DIRICHLET_MU})),
+             6) AS score,
+       CAST(count(*) AS INTEGER) AS matched_terms
+FROM hits h JOIN ctf c USING (word) JOIN doclens l USING (doc_id),
+     mass m, nq q
+GROUP BY h.doc_id, l.doclen
+ORDER BY score DESC, h.doc_id
+LIMIT 20
+"""
+
+
+def conjunctive_and_search(spark, sf_dir):
+    """Boolean-AND retrieval (posting-list intersection, IIR ch. 1.3)
+    for the same three query terms: only docs containing ALL of them,
+    ranked by total query-term mass with the weakest term's tf as the
+    secondary signal. The oracle is the direct HAVING-count
+    formulation."""
+    from cord19_crawler_spark.operators.search import conjunctive_search
+
+    p = postings_tf(spark, sf_dir)
+    return conjunctive_search(p, _QUERY_TERMS)
+
+
+_CONJUNCTIVE_SQL = f"""
+WITH {_TOKENS_CTE},
+postings AS (
+  SELECT word, doc_id, count(*) AS tf FROM tokens GROUP BY word, doc_id
+), hits AS (
+  SELECT * FROM postings
+  WHERE word IN ({", ".join(f"'{t}'" for t in _QUERY_TERMS)})
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf,
+       CAST(min(tf) AS BIGINT) AS min_tf
+FROM hits GROUP BY doc_id HAVING count(*) = {len(_QUERY_TERMS)}
+ORDER BY total_tf DESC, doc_id
+"""
+
+
+_CHAMPION_M = 3
+
+
+def champion_list_topk(spark, sf_dir):
+    """Champion-list tiered retrieval (IIR ch. 7.1.3): the index keeps
+    only each word's top-3 highest-tf postings (ties to the lower doc_id)
+    and the reference TF-IDF formula runs over that tier alone — dfs and
+    scores therefore reflect the PRUNED posting file, which is the
+    operator's contract. The oracle replays the per-word rank cut and
+    the full scoring chain."""
+    from cord19_crawler_spark.operators.search import (
+        champion_lists,
+        tfidf_search,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    champs = champion_lists(postings_tf(spark, sf_dir), m=_CHAMPION_M)
+    return tfidf_search(champs, _QUERY_TERMS, d, k=10)
+
+
+_CHAMPION_SQL = f"""
+WITH {_TOKENS_CTE},
+postings AS (
+  SELECT word, doc_id, count(*) AS tf FROM tokens GROUP BY word, doc_id
+), champs AS (
+  SELECT word, doc_id, tf FROM (
+    SELECT *, row_number() OVER (PARTITION BY word
+                                 ORDER BY tf DESC, doc_id) AS r
+    FROM postings
+  ) WHERE r <= {_CHAMPION_M}
+), hits AS (
+  SELECT * FROM champs
+  WHERE word IN ({", ".join(f"'{t}'" for t in _QUERY_TERMS)})
+), total AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+), dfs AS (
+  SELECT word, count(DISTINCT doc_id) AS term_df FROM hits GROUP BY word
+), scored AS (
+  SELECT h.doc_id,
+         (CASE WHEN h.tf > 1 THEN 1.0 + ln(h.tf) ELSE 1.0 END) *
+         (ln((total.n + 1.0) / (d.term_df + 1.0)) + 1.0) AS tfidf
+  FROM hits h JOIN dfs d USING (word) CROSS JOIN total
+), combined AS (
+  SELECT doc_id, sum(tfidf) AS base, count(*) AS matched_terms
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       round(base * (CASE WHEN matched_terms > 1
+                          THEN 1.0 + 0.1 * (matched_terms - 1)
+                          ELSE 1.0 END), 6) AS score,
+       CAST(matched_terms AS INTEGER) AS matched_terms
+FROM combined
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
 _DELTA_TERMS = ["merge", "batch"]
 
 
@@ -7104,6 +7234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_all_matches": tfidf_all_matches,
         "bm25_search_topk": bm25_search_topk,
         "bm25_pruned_topk": bm25_pruned_topk,
+        "lm_dirichlet_topk": lm_dirichlet_topk,
+        "conjunctive_and_search": conjunctive_and_search,
+        "champion_list_topk": champion_list_topk,
         "phrase_search_bigram": phrase_search_bigram,
         "spelling_correction": spelling_correction_q,
         "search_snippets": search_snippets,
@@ -7259,6 +7392,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_all_matches": _TFIDF_ALL_SQL,
         "bm25_search_topk": _BM25_SQL,
         "bm25_pruned_topk": _BM25_SQL,
+        "lm_dirichlet_topk": _LM_DIRICHLET_SQL,
+        "conjunctive_and_search": _CONJUNCTIVE_SQL,
+        "champion_list_topk": _CHAMPION_SQL,
         "phrase_search_bigram": _PHRASE_SQL,
         "spelling_correction": _SPELL_SQL,
         "search_snippets": _SNIPPET_SQL,

@@ -576,3 +576,155 @@ def best_snippet_windows(
             F.col("_best.n_terms").alias("n_terms"),
         )
     )
+
+
+def lm_dirichlet_search(
+    postings: DataFrame,
+    query_terms: list[str],
+    mu: float = 2000.0,
+    k: int | None = 20,
+    doclens: DataFrame | None = None,
+    total_tokens: float | None = None,
+) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet-prior smoothing (Zhai &
+    Lafferty, SIGIR 2001) — the language-modeling alternative to BM25
+    the reference's TF-IDF family (src/multiwordSearch.py) lacks.
+
+    Pinned semantics (oracle-replayable), the standard sparse
+    decomposition of log p(q|d) restricted to docs matching >= 1 term:
+
+      p(t|C)   = ctf_t / total_tokens          (collection LM)
+      score(D) = sum over MATCHED terms of ln(1 + tf / (mu * p(t|C)))
+                 + |q| * ln(mu / (doclen_D + mu))
+
+    rounded to 6; ties break on ascending doc_id.  Terms with zero
+    collection frequency contribute nothing (their p(t|C) is undefined;
+    a term absent from the corpus matches no doc anyway).  |q| counts
+    DISTINCT query terms that exist in the corpus, so the length
+    penalty is identical for every candidate and rank-neutral — kept
+    because the absolute scores are the oracle contract.
+
+    Scale shape (10^10 postings): ctf per query term is a broadcast
+    aggregate over the term-pruned posting scan (filter pushed down, at
+    most |q| result rows); total token mass is either the index-build
+    metadata scalar (``total_tokens``, same seam as ``bm25_search``) or
+    ONE map-side-partial 1-row aggregate; the only wide exchange is the
+    candidate-postings-to-doclens equi-join on doc_id.  No window, no
+    driver action; ``k`` lowers to TakeOrderedAndProject.
+    """
+    spark = postings.sparkSession
+    terms_list = list(dict.fromkeys(query_terms))
+    if not terms_list:
+        raise ValueError("query_terms must be non-empty")
+    terms = spark.createDataFrame([(t,) for t in terms_list], "word string")
+    if doclens is None:
+        doclens = postings.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
+    else:
+        doclens = doclens.select("doc_id", "doclen")
+    if total_tokens is None:
+        mass = postings.agg(F.sum("tf").cast("double").alias("_mass"))
+    else:
+        mass = spark.range(1).select(
+            F.lit(float(total_tokens)).alias("_mass")
+        )
+    hits = postings.join(F.broadcast(terms), "word", "inner")
+    # collection term frequency per query term (broadcast-sized)
+    ctf = hits.groupBy("word").agg(F.sum("tf").alias("_ctf"))
+    # |q| = distinct query terms present in the corpus — rides the same
+    # broadcast row as the token mass (one fused 1-row frame)
+    nq = ctf.agg(F.count(F.lit(1)).cast("double").alias("_nq"))
+    consts = mass.crossJoin(nq)
+    scored = (
+        hits.join(F.broadcast(ctf), "word")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "_w",
+            F.log(
+                1.0
+                + F.col("tf")
+                / (F.lit(float(mu)) * F.col("_ctf") / F.col("_mass"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_w").alias("_match"),
+            F.max("_nq").alias("_nq"),
+            F.count(F.lit(1)).cast("int").alias("matched_terms"),
+        )
+        .join(doclens, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("_match")
+                + F.col("_nq")
+                * F.log(
+                    F.lit(float(mu)) / (F.col("doclen") + F.lit(float(mu)))
+                ),
+                6,
+            ).alias("score"),
+            "matched_terms",
+        )
+    )
+    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+    return ordered if k is None else ordered.limit(k)
+
+
+def conjunctive_search(
+    postings: DataFrame,
+    query_terms: list[str],
+    k: int | None = None,
+) -> DataFrame:
+    """Boolean-AND retrieval: documents containing EVERY query term —
+    the posting-list intersection of Manning, Raghavan & Schutze IIR
+    ch. 1.3, expressed as one join + group-HAVING instead of the
+    textbook merge walk.  Returns (doc_id, total_tf, min_tf) ordered by
+    total query-term mass (desc, doc_id asc): total_tf = sum of the
+    matched terms' tfs, min_tf = the weakest term's tf (the classic
+    AND-semantics ranking signal).
+
+    Scale shape: the term list is broadcast; only query-term postings
+    leave the scan (pushed filter); one map-side-partial aggregate on
+    doc_id with HAVING count = |q| — the intersection never
+    materializes per-pair, and no window or driver action runs.
+    """
+    terms_list = list(dict.fromkeys(query_terms))
+    if not terms_list:
+        raise ValueError("query_terms must be non-empty")
+    spark = postings.sparkSession
+    terms = spark.createDataFrame([(t,) for t in terms_list], "word string")
+    hits = postings.join(F.broadcast(terms), "word", "inner")
+    out = (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("_n"),
+            F.sum("tf").alias("total_tf"),
+            F.min("tf").alias("min_tf"),
+        )
+        .filter(F.col("_n") == len(terms_list))
+        .select("doc_id", "total_tf", "min_tf")
+        .orderBy(F.desc("total_tf"), F.asc("doc_id"))
+    )
+    return out if k is None else out.limit(k)
+
+
+def champion_lists(postings: DataFrame, m: int = 10) -> DataFrame:
+    """Champion lists / impact-ordered index tiering (Manning, Raghavan
+    & Schutze IIR ch. 7.1.3): keep only each term's ``m`` highest-tf
+    postings (ties to the lower doc_id) — the static index-time pruning
+    that lets a serving tier answer top-k from a small fraction of the
+    full posting file.  Compose with ``tfidf_search``/``bm25_search``
+    for champion-only retrieval.
+
+    Scale shape (10^10 postings): the rank-<=m filter over a
+    per-word window lowers to WindowGroupLimit, so every map task
+    forwards at most m rows per word BEFORE the exchange — hot words
+    (the skew hazard of per-term windows) are capped at the source.
+    """
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    w = Window.partitionBy("word").orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        postings.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= m)
+        .drop("_r")
+    )

@@ -207,3 +207,115 @@ def test_snippets_matches_python_replay_randomized(spark):
 def test_snippets_empty_terms_raises(spark):
     with pytest.raises(ValueError):
         best_snippet_windows(_tokens_df(spark, [(1, "aa")]), [])
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet query likelihood, conjunctive AND, champion lists
+# ---------------------------------------------------------------------------
+
+
+def _dirichlet_replay(rows, terms, mu, k):
+    """Driver-side replay of the pinned Dirichlet QL semantics."""
+    import math
+    from collections import defaultdict
+
+    mass = float(sum(tf for _, _, tf in rows))
+    ctf = defaultdict(float)
+    doclen = defaultdict(int)
+    hits = defaultdict(list)
+    for w, d, tf in rows:
+        doclen[d] += tf
+        if w in terms:
+            ctf[w] += tf
+            hits[d].append((w, tf))
+    nq = float(len(ctf))
+    out = []
+    for d, ws in hits.items():
+        s = sum(math.log(1 + tf / (mu * ctf[w] / mass)) for w, tf in ws)
+        s += nq * math.log(mu / (doclen[d] + mu))
+        out.append((d, round(s, 6), len(ws)))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("seed", [2, 9])
+def test_lm_dirichlet_matches_python_replay(spark, seed):
+    from cord19_crawler_spark.operators.search import lm_dirichlet_search
+
+    rows = _rand_postings(seed)
+    terms = ["w1", "w4", "w9"]
+    got = [
+        tuple(r)
+        for r in lm_dirichlet_search(
+            _postings(spark, rows), terms, mu=50.0, k=15
+        ).collect()
+    ]
+    want = _dirichlet_replay(rows, set(terms), 50.0, 15)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-6)
+        assert g[2] == w[2]
+
+
+def test_lm_dirichlet_corpus_absent_term_ignored(spark):
+    from cord19_crawler_spark.operators.search import lm_dirichlet_search
+
+    rows = [("a", 1, 2), ("a", 2, 1), ("b", 1, 3)]
+    base = lm_dirichlet_search(
+        _postings(spark, rows), ["a"], mu=10.0, k=None
+    ).collect()
+    # 'zzz' never occurs: ctf empty -> contributes nothing, |q| unchanged
+    plus = lm_dirichlet_search(
+        _postings(spark, rows), ["a", "zzz"], mu=10.0, k=None
+    ).collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in plus]
+    with pytest.raises(ValueError):
+        lm_dirichlet_search(_postings(spark, rows), [], mu=10.0)
+
+
+def test_conjunctive_search_planted(spark):
+    from cord19_crawler_spark.operators.search import conjunctive_search
+
+    rows = [
+        ("x", 1, 5), ("y", 1, 2),          # doc 1: both, total 7, min 2
+        ("x", 2, 1), ("y", 2, 9),          # doc 2: both, total 10, min 1
+        ("x", 3, 8),                        # doc 3: x only -> excluded
+        ("y", 4, 8),                        # doc 4: y only -> excluded
+    ]
+    got = [
+        tuple(r)
+        for r in conjunctive_search(_postings(spark, rows), ["x", "y"]).collect()
+    ]
+    assert got == [(2, 10, 1), (1, 7, 2)]
+    # duplicate query terms collapse; k caps the result
+    one = conjunctive_search(
+        _postings(spark, rows), ["x", "x", "y"], k=1
+    ).collect()
+    assert tuple(one[0]) == (2, 10, 1)
+    with pytest.raises(ValueError):
+        conjunctive_search(_postings(spark, rows), [])
+
+
+def test_champion_lists_cut_and_equivalence(spark):
+    from cord19_crawler_spark.operators.search import (
+        champion_lists,
+        tfidf_search,
+    )
+
+    rows = [("w", d, tf) for d, tf in [(1, 5), (2, 5), (3, 4), (4, 1)]]
+    rows += [("v", d, 2) for d in range(1, 8)]
+    champs = champion_lists(_postings(spark, rows), m=2).collect()
+    by_word = {}
+    for r in champs:
+        by_word.setdefault(r["word"], []).append((r["doc_id"], r["tf"]))
+    # tf desc, doc_id asc tiebreak: docs 1 and 2 (both tf=5)
+    assert sorted(by_word["w"]) == [(1, 5), (2, 5)]
+    assert len(by_word["v"]) == 2 and sorted(by_word["v"])[0] == (1, 2)
+    # m >= longest posting list: champion retrieval == full retrieval
+    full = tfidf_search(_postings(spark, rows), ["w", "v"], 10, k=None).collect()
+    tier = tfidf_search(
+        champion_lists(_postings(spark, rows), m=100), ["w", "v"], 10, k=None
+    ).collect()
+    assert [tuple(r) for r in tier] == [tuple(r) for r in full]
+    with pytest.raises(ValueError):
+        champion_lists(_postings(spark, rows), m=0)
