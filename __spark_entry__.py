@@ -1177,6 +1177,81 @@ LIMIT 10
 """
 
 
+_PMI_MIN_COUNT = 5
+
+
+def pmi_collocations_q(spark, sf_dir):
+    """PMI bigram collocation mining (Church & Hanks 1990) over the
+    positional token table: directly-adjacent kept-token pairs (same
+    adjacency as phrase_search), pairs under the min-count guard
+    dropped, ln-PMI against the unigram language model. The oracle
+    replays the adjacency self-join and the exact probability ratio."""
+    from cord19_crawler_spark.operators.termstats import pmi_collocations
+
+    return pmi_collocations(
+        _tokens(spark, sf_dir), min_count=_PMI_MIN_COUNT
+    )
+
+
+_PMI_SQL = f"""
+WITH {_TOKENS_CTE},
+pairs AS (
+  SELECT a.word AS w1, b.word AS w2, count(*) AS pair_count
+  FROM tokens a JOIN tokens b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+), uni AS (
+  SELECT word, count(*) AS c FROM tokens GROUP BY word
+), consts AS (
+  SELECT (SELECT CAST(sum(pair_count) AS DOUBLE) FROM pairs) AS np,
+         (SELECT CAST(count(*) AS DOUBLE) FROM tokens) AS n
+)
+SELECT p.w1, p.w2, CAST(p.pair_count AS BIGINT) AS pair_count,
+       round(ln((p.pair_count / c.np)
+                / ((u1.c / c.n) * (u2.c / c.n))), 6) AS pmi
+FROM pairs p JOIN uni u1 ON u1.word = p.w1
+             JOIN uni u2 ON u2.word = p.w2, consts c
+WHERE p.pair_count >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2
+"""
+
+
+def tfidf_doc_keywords_q(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (the curation pipeline's
+    document-tagging pass) using the reference's exact term weight; the
+    per-doc rank cut lowers to WindowGroupLimit. The oracle replays df,
+    the weight formula and the (weight desc, word) rank."""
+    from cord19_crawler_spark.operators.termstats import tfidf_doc_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_doc_keywords(postings_tf(spark, sf_dir), d, k=3)
+
+
+_DOC_KEYWORDS_SQL = f"""
+WITH {_TOKENS_CTE},
+postings AS (
+  SELECT word, doc_id, count(*) AS tf FROM tokens GROUP BY word, doc_id
+), dfs AS (
+  SELECT word, count(DISTINCT doc_id) AS df FROM postings GROUP BY word
+), total AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+), weighted AS (
+  SELECT p.doc_id, p.word,
+         (CASE WHEN p.tf > 1 THEN 1.0 + ln(p.tf) ELSE 1.0 END)
+         * (ln((t.n + 1.0) / (d.df + 1.0)) + 1.0) AS w
+  FROM postings p JOIN dfs d USING (word) CROSS JOIN total t
+), ranked AS (
+  SELECT doc_id, word, w,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY w DESC, word) AS rank
+  FROM weighted
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, word,
+       round(w, 6) AS weight
+FROM ranked WHERE rank <= 3
+"""
+
+
 _DELTA_TERMS = ["merge", "batch"]
 
 
@@ -7237,6 +7312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "conjunctive_and_search": conjunctive_and_search,
         "champion_list_topk": champion_list_topk,
+        "pmi_collocations": pmi_collocations_q,
+        "tfidf_doc_keywords": tfidf_doc_keywords_q,
         "phrase_search_bigram": phrase_search_bigram,
         "spelling_correction": spelling_correction_q,
         "search_snippets": search_snippets,
@@ -7395,6 +7472,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_dirichlet_topk": _LM_DIRICHLET_SQL,
         "conjunctive_and_search": _CONJUNCTIVE_SQL,
         "champion_list_topk": _CHAMPION_SQL,
+        "pmi_collocations": _PMI_SQL,
+        "tfidf_doc_keywords": _DOC_KEYWORDS_SQL,
         "phrase_search_bigram": _PHRASE_SQL,
         "spelling_correction": _SPELL_SQL,
         "search_snippets": _SNIPPET_SQL,
