@@ -2326,6 +2326,130 @@ FROM pr GROUP BY vec_id
 """
 
 
+def embedding_sq_rerank(spark, sf_dir):
+    """Scalar-quantized cosine search (8-bit codes, 4x scan reduction):
+    every vector scored in the DECODED int8 domain, top-50 candidates by
+    (rounded approx desc, vec_id), exact full-precision rerank to
+    top-10. The oracle replays the per-dim min/max training, the
+    round-half-up code rule, the midstep-free reconstruction and both
+    ranking cuts."""
+    from cord19_crawler_spark.operators.quantize import sq_search
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    t = e.filter(F.col("vec_id") != 0)
+    return sq_search(t, q, k=10, rerank=50)
+
+
+_SQ_RERANK_SQL = """
+WITH base AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id <> 0
+), qv AS MATERIALIZED (
+  SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0
+), elems AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM base
+), params AS MATERIALIZED (
+  SELECT dim, min(x) AS lo, max(x) AS hi FROM elems GROUP BY dim
+), dec AS MATERIALIZED (
+  SELECT e.vec_id, e.dim,
+         CASE WHEN p.hi = p.lo THEN p.lo
+              ELSE p.lo + least(255, greatest(0,
+                     floor((e.x - p.lo) / (p.hi - p.lo) * 255.0 + 0.5)))
+                   * (p.hi - p.lo) / 255.0
+         END AS xd
+  FROM elems e JOIN params p USING (dim)
+), qe AS MATERIALIZED (
+  SELECT generate_subscripts(q, 1) AS dim, unnest(q) AS qx FROM qv
+), approx AS MATERIALIZED (
+  SELECT d.vec_id,
+         round(sum(d.xd * q.qx)
+               / (sqrt(sum(d.xd * d.xd)) * sqrt(sum(q.qx * q.qx))),
+               6) AS approx_cosine
+  FROM dec d JOIN qe q USING (dim) GROUP BY d.vec_id
+), cand AS MATERIALIZED (
+  SELECT vec_id, approx_cosine FROM approx
+  ORDER BY approx_cosine DESC, vec_id LIMIT 50
+)
+SELECT c.vec_id, c.approx_cosine,
+       round(list_dot_product(b.v, (SELECT q FROM qv))
+             / (sqrt(list_dot_product(b.v, b.v))
+                * sqrt((SELECT list_dot_product(q, q) FROM qv))),
+             6) AS cosine
+FROM cand c JOIN base b USING (vec_id)
+ORDER BY cosine DESC, c.vec_id
+LIMIT 10
+"""
+
+
+def pq_adc_search(spark, sf_dir):
+    """Product quantization with asymmetric-distance scoring (Jegou et
+    al. TPAMI 2011): m=8 subspaces, ksub=16 exemplar codewords (the 16
+    lowest-id vectors — deterministic, so every stage is replayable),
+    codes from the 9-decimal-pinned L2 argmin, then ADC top-10 where the
+    query's LUT joins the stored codes and the corpus embeddings are
+    never read. The oracle unrolls codebook, encode argmin and LUT sum."""
+    from cord19_crawler_spark.operators.quantize import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    t = e.filter(F.col("vec_id") != 0)
+    cb = pq_codebook(e, m=8, ksub=16, dims=64)
+    codes = pq_encode(t, cb, m=8, dims=64)
+    return pq_adc_topk(codes, cb, q, k=10, m=8, dims=64)
+
+
+_PQ_ADC_SQL = """
+WITH allel AS MATERIALIZED (
+  SELECT vec_id,
+         ((generate_subscripts(v, 1) - 1) // 8) AS subspace,
+         ((generate_subscripts(v, 1) - 1) % 8) AS within,
+         unnest(v) AS x
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+), cbids AS MATERIALIZED (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+), cb AS MATERIALIZED (
+  SELECT i.code, e.subspace, e.within, e.x
+  FROM cbids i JOIN allel e USING (vec_id)
+), dists AS MATERIALIZED (
+  SELECT e.vec_id, e.subspace, c.code,
+         round(sum((e.x - c.x) * (e.x - c.x)), 9) AS d
+  FROM allel e JOIN cb c
+    ON c.subspace = e.subspace AND c.within = e.within
+  WHERE e.vec_id <> 0
+  GROUP BY 1, 2, 3
+), codes AS MATERIALIZED (
+  SELECT vec_id, subspace, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY d, code) AS rn
+    FROM dists
+  ) WHERE rn = 1
+), qel AS MATERIALIZED (
+  SELECT ((generate_subscripts(q, 1) - 1) // 8) AS subspace,
+         ((generate_subscripts(q, 1) - 1) % 8) AS within,
+         unnest(q) AS qx
+  FROM (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+        WHERE vec_id = 0)
+), lut AS MATERIALIZED (
+  SELECT c.subspace, c.code, sum((c.x - q.qx) * (c.x - q.qx)) AS qd
+  FROM cb c JOIN qel q
+    ON q.subspace = c.subspace AND q.within = c.within
+  GROUP BY 1, 2
+)
+SELECT s.vec_id, round(sum(l.qd), 6) AS adist
+FROM codes s JOIN lut l
+  ON l.subspace = s.subspace AND l.code = s.code
+GROUP BY s.vec_id
+ORDER BY adist, s.vec_id
+LIMIT 10
+"""
+
+
 def kmeans_assign(spark, sf_dir):
     """Fixed-iteration Lloyd k-means (k=4, 3 update rounds + final
     assignment, lowest-id seeding, lowest-cluster tie-break) over the
@@ -7347,6 +7471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_cosine_topk": similarity_cosine_topk,
         "similarity_sign_buckets": similarity_sign_buckets,
         "embedding_random_projection": embedding_random_projection,
+        "embedding_sq_rerank": embedding_sq_rerank,
+        "pq_adc_search": pq_adc_search,
         "kmeans_assign": kmeans_assign,
         "text_token_stats": text_token_stats,
         "text_quality_scores": text_quality_scores,
@@ -7506,6 +7632,8 @@ def oracle_sql() -> dict[str, str]:
         "similarity_sign_buckets": _SIGN_BUCKET_SQL,
         "embedding_random_projection": _RP_SQL,
         "kmeans_assign": _kmeans_sql(),
+        "embedding_sq_rerank": _SQ_RERANK_SQL,
+        "pq_adc_search": _PQ_ADC_SQL,
         "text_token_stats": _TOKEN_STATS_SQL,
         "text_quality_scores": _text_quality_sql(),
         "text_repetition_metrics": _REPETITION_SQL,
