@@ -1396,6 +1396,103 @@ FROM postings WHERE word IN ('spark', 'agg')
 """
 
 
+_EF_WORDS = ["spark", "agg", "window"]
+
+
+def elias_fano_postings_q(spark, sf_dir):
+    """Elias-Fano posting encoding (Vigna WSDM 2013) with the integer-
+    only split parameter l = bit_length(U // n) - 1 (no FP log2): U and
+    per-word n come from the FULL posting file; three words' streams are
+    emitted. The oracle replays U/n/l, the low/high split and the
+    unary-gap deltas via window functions."""
+    from cord19_crawler_spark.operators.compression import (
+        elias_fano_encode_df,
+    )
+
+    p = postings_tf(spark, sf_dir)
+    return elias_fano_encode_df(p).filter(F.col("word").isin(_EF_WORDS))
+
+
+_EF_SQL = f"""
+WITH {_TOKENS_CTE},
+postings AS (
+  SELECT word, doc_id, count(*) AS tf FROM tokens GROUP BY word, doc_id
+), u AS (
+  SELECT max(doc_id) + 1 AS u FROM postings
+), nl AS (
+  SELECT word, count(*) AS n FROM postings GROUP BY word
+), rows_ AS (
+  SELECT p.word, p.doc_id,
+         CAST(length(bin(u.u // n.n)) - 1 AS INTEGER) AS l,
+         row_number() OVER (PARTITION BY p.word ORDER BY p.doc_id) - 1 AS idx
+  FROM postings p JOIN nl n USING (word), u
+), split AS (
+  SELECT word, idx, l,
+         doc_id % (CAST(1 AS BIGINT) << l) AS low,
+         doc_id >> l AS high
+  FROM rows_
+)
+SELECT word, CAST(idx AS INTEGER) AS idx, l, CAST(low AS BIGINT) AS low,
+       CAST(high - coalesce(lag(high) OVER (PARTITION BY word ORDER BY idx), 0)
+            AS BIGINT) AS high_delta
+FROM split
+WHERE word IN ({", ".join(f"'{t}'" for t in _EF_WORDS)})
+"""
+
+
+_CMS_D, _CMS_W, _CMS_THRESHOLD = 4, 4096, 500
+
+
+def cms_heavy_hitters_q(spark, sf_dir):
+    """Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    one 4x4096 counter table over the full token stream (row-salted
+    md5_long56 cells — the repo's cross-engine base hash), probed for
+    every vocabulary word, keeping estimates >= 500. The oracle rebuilds
+    every counter cell and the min-over-rows estimate exactly."""
+    from cord19_crawler_spark.operators.sketches import cms_heavy_hitters
+
+    toks = _tokens(spark, sf_dir).select("word")
+    vocab = toks.distinct()
+    return cms_heavy_hitters(
+        toks, vocab, d=_CMS_D, w=_CMS_W, threshold=_CMS_THRESHOLD
+    )
+
+
+def _cms_cell_sql(row: int, key: str = "word") -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{row}:' || {key}), 1, 14)) AS BIGINT)"
+        f" % {_CMS_W}"
+    )
+
+
+_CMS_SQL = f"""
+WITH {_TOKENS_CTE},
+cells AS (
+  {" UNION ALL ".join(
+      f"SELECT {r} AS row, {_cms_cell_sql(r)} AS col, word FROM tokens"
+      for r in range(_CMS_D)
+  )}
+), counters AS (
+  SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY row, col
+), vocab AS (
+  SELECT DISTINCT word FROM tokens
+), probe AS (
+  {" UNION ALL ".join(
+      f"SELECT word, {r} AS row, {_cms_cell_sql(r)} AS col FROM vocab"
+      for r in range(_CMS_D)
+  )}
+), est AS (
+  SELECT p.word, min(coalesce(c.cnt, 0)) AS est
+  FROM probe p LEFT JOIN counters c USING (row, col)
+  GROUP BY p.word
+)
+SELECT word, CAST(est AS BIGINT) AS est FROM est
+WHERE est >= {_CMS_THRESHOLD}
+ORDER BY est DESC, word
+"""
+
+
 _EXPAND_TERMS = ["customer", "filtering", "orders", "spark"]
 
 
@@ -7446,6 +7543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "round_robin_barrel_head": round_robin_barrel_head,
         "doc_id_dense_mapping": doc_id_dense_mapping,
         "gap_encode_postings": gap_encode_postings,
+        "elias_fano_postings": elias_fano_postings_q,
+        "cms_heavy_hitters": cms_heavy_hitters_q,
         "lemma_variant_expansion": lemma_variant_expansion,
         # frontier family
         "frontier_canonicalize": frontier_canonicalize,
@@ -7608,6 +7707,8 @@ def oracle_sql() -> dict[str, str]:
         "round_robin_barrel_head": _RR_BARREL_SQL,
         "doc_id_dense_mapping": _DOCMAP_SQL,
         "gap_encode_postings": _GAP_SQL,
+        "elias_fano_postings": _EF_SQL,
+        "cms_heavy_hitters": _CMS_SQL,
         "lemma_variant_expansion": _lemma_expand_sql(),
         "frontier_canonicalize": _CANON_SQL,
         "frontier_indegree_priority": _INDEGREE_SQL,
