@@ -4289,6 +4289,59 @@ FROM s{iterations}, th"""
     return "".join(parts)
 
 
+_KCORE_K, _KCORE_UNROLL = 4, 4
+
+
+def link_kcore_q(spark, sf_dir):
+    """4-core of the order-supplier bipartite graph (supplier ids offset
+    by 10^6 into a disjoint node space) by iterative peeling. The k-core
+    is the UNIQUE maximal subgraph with min degree >= k, so the oracle
+    needs no round-count pin: it unrolls 4 peel rounds as MATERIALIZED
+    CTEs — at or past the fixpoint at every scale factor — and the
+    operator early-exits whenever it converges."""
+    from cord19_crawler_spark.operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_suppkey") + 1000000).alias("dst"),
+    )
+    return kcore(edges, k=_KCORE_K)
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_UNROLL) -> str:
+    parts = [
+        """
+WITH raw AS (
+  SELECT l_orderkey AS s, 1000000 + l_suppkey AS d FROM lineitem
+), ce AS MATERIALIZED (
+  SELECT DISTINCT greatest(s, d) AS a, least(s, d) AS b
+  FROM raw WHERE s <> d
+), adj0 AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM ce
+  UNION ALL
+  SELECT b AS node, a AS nbr FROM ce
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", keep{i} AS MATERIALIZED (
+  SELECT node FROM adj{i - 1} GROUP BY node HAVING count(*) >= {k}
+), adj{i} AS MATERIALIZED (
+  SELECT e.node, e.nbr FROM adj{i - 1} e
+  JOIN keep{i} k1 ON k1.node = e.node
+  JOIN keep{i} k2 ON k2.node = e.nbr
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(count(*) AS BIGINT) AS core_degree
+FROM adj{rounds} GROUP BY node
+"""
+    )
+    return "".join(parts)
+
+
 def link_triangles_q(spark, sf_dir):
     """Per-node triangle counts (degree-oriented compact-forward, Latapy
     TCS 2008 / Suri & Vassilvitskii WWW 2011 — the web-spam local-
@@ -7602,6 +7655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": link_hits_q,
         "link_opic": link_opic_q,
         "link_triangles": link_triangles_q,
+        "link_kcore": link_kcore_q,
         "link_cocitation": link_cocitation_q,
         "link_coupling_capped": link_coupling_capped_q,
         "link_trustrank": link_trustrank_q,
@@ -7763,6 +7817,7 @@ def oracle_sql() -> dict[str, str]:
         "link_hits": _hits_sql(),
         "link_opic": _opic_sql(),
         "link_triangles": _TRIANGLES_SQL,
+        "link_kcore": _kcore_sql(),
         "link_cocitation": _COCITATION_SQL,
         "link_coupling_capped": _COUPLING_CAPPED_SQL,
         "link_trustrank": _trustrank_sql(),

@@ -1069,3 +1069,62 @@ def copair_counts(
         .groupBy("node_a", "node_b")
         .agg(F.count(F.lit(1)).cast("long").alias("strength"))
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman, Social
+    Networks 1983; distributed formulation per Montresor et al. 2013):
+    repeatedly delete nodes of degree < k until the remaining subgraph
+    — the unique maximal subgraph with minimum degree >= k — is stable.
+    Link-graph cores separate densely interlinked regions (and link
+    farms: spam clusters live in high cores, Becchetti et al. KDD 2008)
+    from the low-degree periphery a crawl frontier can deprioritize.
+
+    Input is an undirected edge list (self-loops dropped, parallel
+    edges collapsed).  Returns (node, core_degree): the members of the
+    k-core with their degree INSIDE it (all >= k).  The fixpoint is
+    round-count-independent — any schedule of deletions reaches the
+    same core (the k-core is unique) — which is what makes the operator
+    oracle-checkable without pinning the round count.
+
+    Scale shape (10^10 edges): each round is ONE degree aggregate
+    (map-side partial, keyed on node) plus two semi-joins of the
+    adjacency against the surviving-node set — no window, no driver
+    data; the per-round early-exit costs one 1-row count action (the
+    same bounded-action budget as ``bfs_depth``).  Lineage is truncated
+    per round via ``iterutil.lineage_truncator``; pass
+    ``checkpoint_dir`` for executor-loss-safe truncation on preemptible
+    clusters.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    _ckpt = lineage_truncator(checkpoint_dir)
+    ce = _canon_edges(edges, src, dst)
+    adj = _ckpt(
+        ce.select(F.col("src").alias("node"), F.col("dst").alias("nbr")).union(
+            ce.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+        )
+    )
+    for _ in range(max_rounds):
+        deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("_deg"))
+        doomed = deg.filter(F.col("_deg") < k)
+        if doomed.limit(1).count() == 0:
+            break
+        keep = deg.filter(F.col("_deg") >= k).select("node")
+        adj = _ckpt(
+            adj.join(keep, "node", "semi").join(
+                keep.withColumnRenamed("node", "nbr"), "nbr", "semi"
+            )
+        )
+    return adj.groupBy("node").agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )

@@ -259,3 +259,71 @@ def test_anchor_text_topk_plan_is_group_limited(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_path_graph_cascades_to_empty(spark):
+    """A path peels one end per round: deep cascade, empty 2-core."""
+    from cord19_crawler_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    assert kcore(edges, k=2).count() == 0
+
+
+def test_kcore_clique_plus_pendants(spark):
+    """A 5-clique with pendant chains: pendants cascade off round by
+    round, the clique survives at full internal degree."""
+    from cord19_crawler_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    chains = [(0, 10), (10, 11), (11, 12), (3, 20), (20, 21)]
+    edges = spark.createDataFrame(clique + chains, "src long, dst long")
+    got = sorted(
+        (r["node"], r["core_degree"]) for r in kcore(edges, k=3).collect()
+    )
+    assert got == [(n, 4) for n in range(5)]
+    # k=1 keeps everything (parallel/self edges collapse first)
+    noisy = spark.createDataFrame(
+        clique + chains + [(0, 0), (1, 0)], "src long, dst long"
+    )
+    assert kcore(noisy, k=1).count() == 10  # 5 clique + 5 chain nodes
+
+
+def test_kcore_degeneracy_ladder(spark):
+    """Each k strips exactly the < k shell: a graph with 1-, 2- and
+    3-core layers reports the right membership at every k."""
+    from cord19_crawler_spark.operators.graph import kcore
+
+    # 4-clique (3-core) + a 4-cycle attached (2-core) + a pendant (1-core)
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    cyc = [(3, 5), (5, 6), (6, 7), (7, 3)]
+    pend = [(7, 9)]
+    edges = spark.createDataFrame(k4 + cyc + pend, "src long, dst long")
+    assert kcore(edges, k=1).count() == 8  # 4 clique + 3 cycle + pendant
+    n2 = sorted(r["node"] for r in kcore(edges, k=2).collect())
+    assert n2 == [0, 1, 2, 3, 5, 6, 7]
+    n3 = sorted(r["node"] for r in kcore(edges, k=3).collect())
+    assert n3 == [0, 1, 2, 3]
+    with pytest.raises(ValueError):
+        kcore(edges, k=0)
+    with pytest.raises(ValueError):
+        kcore(edges, k=2, max_rounds=0)
+
+
+def test_kcore_reliable_checkpoint_equivalence(spark, tmp_path):
+    from cord19_crawler_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    chains = [(0, 10), (10, 11), (3, 20)]
+    edges = spark.createDataFrame(clique + chains, "src long, dst long")
+    base = sorted(map(tuple, kcore(edges, k=3).collect()))
+    ckpt = sorted(
+        map(tuple, kcore(edges, k=3, checkpoint_dir=str(tmp_path)).collect())
+    )
+    assert base == ckpt
