@@ -1493,6 +1493,74 @@ ORDER BY est DESC, word
 """
 
 
+_HLL_P = 12
+
+
+def hll_distinct_users_q(spark, sf_dir):
+    """HyperLogLog distinct counting (Flajolet et al. 2007) per stream
+    key: one fixed-size (<= 2^12-row per group) register table instead
+    of an exact countDistinct shuffle of every key — the crawl-scale
+    primitive for distinct-URLs-per-host / distinct-users-per-type over
+    10^11-row streams, mergeable across days/shards by max on (group,
+    bucket). The estimate is bit-exact cross-engine (integer harmonic
+    sum, one pinned double division), so the oracle matches it to full
+    precision; the exact countDistinct sits alongside to expose the
+    sketch error."""
+    from cord19_crawler_spark.operators.sketches import hll_cardinality
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_cardinality(ev, "user_id", group_cols=("event_type",), p=_HLL_P)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "buckets_used", "hll_est", "exact_distinct"
+    )
+
+
+def _hll_sql() -> str:
+    from cord19_crawler_spark.operators.sketches import hll_alpha
+
+    p = _HLL_P
+    w = 56 - p
+    m = 1 << p
+    numer = hll_alpha(p) * m * m * float(1 << (w + 1))
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+  FROM events
+), r AS (
+  SELECT event_type, h >> {w} AS bucket,
+         CASE WHEN h % {1 << w} = 0 THEN {w + 1}
+              ELSE {w + 1} - length(bin(h % {1 << w})) END AS m0
+  FROM h
+), reg AS (
+  SELECT event_type, bucket, max(m0) AS m FROM r GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS buckets_used,
+         CAST(sum(1::BIGINT << ({w + 1} - m)) AS BIGINT) AS s_present
+  FROM reg GROUP BY 1
+), est AS (
+  SELECT event_type, buckets_used,
+         {numer!r} / CAST(s_present + ({m} - buckets_used) * {1 << (w + 1)} AS DOUBLE) AS e_raw,
+         CAST({m} - buckets_used AS DOUBLE) AS zeros
+  FROM s
+)
+SELECT e.event_type, e.buckets_used,
+       CASE WHEN e_raw <= {2.5 * m!r} AND zeros > 0
+            THEN {float(m)!r} * ln({float(m)!r} / zeros)
+            ELSE e_raw END AS hll_est,
+       x.exact_distinct
+FROM est e
+JOIN (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+) x USING (event_type)
+"""
+
+
 _EXPAND_TERMS = ["customer", "filtering", "orders", "spark"]
 
 
@@ -7598,6 +7666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_encode_postings": gap_encode_postings,
         "elias_fano_postings": elias_fano_postings_q,
         "cms_heavy_hitters": cms_heavy_hitters_q,
+        "hll_distinct_users": hll_distinct_users_q,
         "lemma_variant_expansion": lemma_variant_expansion,
         # frontier family
         "frontier_canonicalize": frontier_canonicalize,
@@ -7763,6 +7832,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_encode_postings": _GAP_SQL,
         "elias_fano_postings": _EF_SQL,
         "cms_heavy_hitters": _CMS_SQL,
+        "hll_distinct_users": _hll_sql(),
         "lemma_variant_expansion": _lemma_expand_sql(),
         "frontier_canonicalize": _CANON_SQL,
         "frontier_indegree_priority": _INDEGREE_SQL,

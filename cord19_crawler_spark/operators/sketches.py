@@ -1,6 +1,6 @@
-"""Mergeable frequency sketches: Count-Min (Cormode & Muthukrishnan,
-J. Algorithms 2005) for heavy-hitter estimation over corpus-scale key
-streams.
+"""Mergeable sketches: Count-Min (Cormode & Muthukrishnan, J.
+Algorithms 2005) for heavy-hitter estimation and HyperLogLog (Flajolet
+et al., AofA 2007) for distinct counting over corpus-scale key streams.
 
 Why a sketch at 100 TB: an exact per-key count over a 10^11-token stream
 shuffles the full vocabulary every time; a d x w Count-Min table is a
@@ -129,3 +129,104 @@ def cms_heavy_hitters(
     return est.filter(F.col("est") >= threshold).orderBy(
         F.desc("est"), F.asc(key_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct counting
+# ---------------------------------------------------------------------------
+
+HLL_HASH_BITS = 56  # md5_long56 yields 56 usable hash bits
+
+
+def hll_registers(
+    items: DataFrame,
+    key_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    p: int = 12,
+) -> DataFrame:
+    """Per-group HyperLogLog registers (Flajolet et al. 2007): bucket =
+    top ``p`` hash bits, register = max over the stream of the leading
+    1-bit position (rank) of the remaining ``56 - p`` bits.
+
+    Why a sketch at 100 TB: exact countDistinct over 10^11 URLs/tokens
+    shuffles every distinct key; the register table is a FIXED-size
+    (2^p rows per group) map-side-partial max-aggregate, and register
+    tables built over disjoint inputs (days, shards, sources) merge by
+    max on (group, bucket) — union + re-aggregate, no rebuild.  Keyed
+    on the repo's cross-engine md5_long56 so a DuckDB oracle reproduces
+    every register and the estimate exactly.
+
+    Returns (group_cols..., bucket, m) with m >= 1; buckets the stream
+    never touched are ABSENT (their register is implicitly 0).
+    """
+    if not (4 <= p <= 18):
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    w = HLL_HASH_BITS - p  # suffix width; rank range is 1..w+1
+    h = md5_long56(F.col(key_col).cast("string"))
+    suffix = h % F.lit(1 << w)
+    rank = F.when(suffix == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(suffix))
+    )
+    return (
+        items.select(
+            *group_cols,
+            F.shiftright(h, w).alias("bucket"),
+            rank.cast("int").alias("_rank"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rank").alias("m"))
+    )
+
+
+def hll_alpha(p: int) -> float:
+    """Bias-correction constant alpha_m for m = 2^p (Flajolet 2007 §4)."""
+    m = 1 << p
+    if p == 4:
+        return 0.673
+    if p == 5:
+        return 0.697
+    if p == 6:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_cardinality(
+    items: DataFrame,
+    key_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    p: int = 12,
+) -> DataFrame:
+    """Per-group HLL distinct-count estimate with the small-range
+    (linear-counting) correction.  Returns (group_cols..., buckets_used,
+    hll_est) — ``buckets_used`` is the number of non-zero registers.
+
+    Exact cross-engine arithmetic: the harmonic sum ``sum(2^-M_b)`` is
+    computed as the INTEGER ``S = sum(2^(w+1-M_b))`` over all 2^p
+    buckets (absent bucket => M_b = 0 => term 2^(w+1); each term
+    <= 2^45 and there are <= 2^18 of them, so S fits bigint exactly),
+    then ``est = alpha * m^2 * 2^(w+1) / S`` — one double division of
+    exact integers by a pinned literal, bit-identical on any IEEE-754
+    engine, which is what lets a DuckDB oracle match the estimate to
+    full precision rather than within tolerance.
+    """
+    w = HLL_HASH_BITS - p
+    m = 1 << p
+    reg = hll_registers(items, key_col, group_cols=group_cols, p=p)
+    gb = list(group_cols)
+    s = reg.groupBy(*gb).agg(
+        F.count(F.lit(1)).cast("long").alias("buckets_used"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w + 1} - m)"))
+        .cast("long")
+        .alias("_s_present"),
+    )
+    numer = hll_alpha(p) * m * m * float(1 << (w + 1))  # one pinned literal
+    s_total = F.col("_s_present") + (F.lit(m) - F.col("buckets_used")) * F.lit(
+        1 << (w + 1)
+    ).cast("long")
+    e_raw = F.lit(numer) / s_total.cast("double")
+    zeros = (F.lit(m) - F.col("buckets_used")).cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(e_raw)
+    return s.select(*gb, "buckets_used", est.alias("hll_est"))

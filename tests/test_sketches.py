@@ -99,3 +99,76 @@ def test_elias_fano_round_trip_randomized(spark, seed):
     dec = elias_fano_decode_df(enc).collect()
     got = sorted((r["word"], r["doc_id"]) for r in dec)
     assert got == sorted(pairs)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def _keys(spark, keys, grp="g"):
+    return spark.createDataFrame([(grp, k) for k in keys], "g string, k string")
+
+
+def test_hll_estimate_within_expected_error(spark):
+    from cord19_crawler_spark.operators.sketches import hll_cardinality
+
+    n = 20000
+    df = _keys(spark, [f"url{i}" for i in range(n)])
+    row = hll_cardinality(df, "k", group_cols=("g",), p=12).collect()[0]
+    # std error ~ 1.04/sqrt(4096) = 1.6%; allow 4 sigma
+    assert abs(row["hll_est"] - n) / n < 0.065
+    assert 0 < row["buckets_used"] <= 4096
+
+
+def test_hll_duplicate_insensitive(spark):
+    from cord19_crawler_spark.operators.sketches import hll_cardinality
+
+    keys = [f"u{i}" for i in range(500)]
+    once = hll_cardinality(_keys(spark, keys), "k", ("g",), p=10).collect()[0]
+    thrice = hll_cardinality(
+        _keys(spark, keys * 3), "k", ("g",), p=10
+    ).collect()[0]
+    assert once["hll_est"] == thrice["hll_est"]
+    assert once["buckets_used"] == thrice["buckets_used"]
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Registers over disjoint halves, merged with max on (g, bucket),
+    equal the registers of the whole stream — the sketch's merge law."""
+    from cord19_crawler_spark.operators.sketches import hll_registers
+
+    keys = [f"k{i}" for i in range(3000)]
+    whole = hll_registers(_keys(spark, keys), "k", ("g",), p=8)
+    a = hll_registers(_keys(spark, keys[:1500]), "k", ("g",), p=8)
+    b = hll_registers(_keys(spark, keys[1500:]), "k", ("g",), p=8)
+    merged = (
+        a.union(b).groupBy("g", "bucket").agg(F.max("m").alias("m"))
+    )
+    lhs = sorted(map(tuple, whole.collect()))
+    rhs = sorted(map(tuple, merged.collect()))
+    assert lhs == rhs
+
+
+def test_hll_linear_counting_small_range(spark):
+    """Tiny cardinality relative to m: the linear-counting branch fires
+    and is EXACT when every key lands in its own bucket."""
+    from cord19_crawler_spark.operators.sketches import hll_cardinality
+
+    import math
+
+    row = hll_cardinality(
+        _keys(spark, [f"x{i}" for i in range(5)]), "k", ("g",), p=12
+    ).collect()[0]
+    m = 4096
+    used = row["buckets_used"]
+    assert row["hll_est"] == m * math.log(m / (m - used))
+
+
+def test_hll_p_validation(spark):
+    from cord19_crawler_spark.operators.sketches import hll_registers
+
+    with pytest.raises(ValueError):
+        hll_registers(_keys(spark, ["a"]), "k", ("g",), p=3)
+    with pytest.raises(ValueError):
+        hll_registers(_keys(spark, ["a"]), "k", ("g",), p=19)
