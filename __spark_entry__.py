@@ -4227,6 +4227,75 @@ deg AS (
     return "".join(parts)
 
 
+def link_salsa_q(spark, sf_dir):
+    """SALSA (Lempel & Moran WWW 2000, 4 synchronous two-hop-walk
+    rounds, no renormalization — the stochastic walk conserves each
+    chain's L1 mass exactly) over a deterministic synthetic link graph
+    (src = o_custkey % 160, dst = o_orderkey % 191; sources-only and
+    sinks-only nodes exist, so the zero-side paths are value-checked).
+    The TKC-resistant complement of link_hits for spam-robust crawl
+    prioritization. The oracle unrolls all four rounds as chained
+    MATERIALIZED CTEs."""
+    from cord19_crawler_spark.operators.graph import salsa
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 160).alias("src"),
+        (F.col("o_orderkey") % 191).alias("dst"),
+    )
+    s = salsa(edges, iterations=4)
+    return s.select(
+        "node",
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
+def _salsa_sql(iterations: int = 4) -> str:
+    parts = [
+        """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % 160 AS src, o_orderkey % 191 AS dst
+  FROM orders WHERE o_custkey % 160 <> o_orderkey % 191
+), ind AS MATERIALIZED (
+  SELECT dst AS node, CAST(count(*) AS DOUBLE) AS ind FROM e GROUP BY dst
+), outd AS MATERIALIZED (
+  SELECT src AS node, CAST(count(*) AS DOUBLE) AS outd FROM e GROUP BY src
+), na AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ind),
+nh AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM outd),
+a0 AS MATERIALIZED (SELECT node, 1.0 / na.n AS a FROM ind, na),
+h0 AS MATERIALIZED (SELECT node, 1.0 / nh.n AS h FROM outd, nh)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""", sa{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.a / ind.ind) AS s
+  FROM e JOIN a{i - 1} a ON a.node = e.dst JOIN ind ON ind.node = e.dst
+  GROUP BY e.src
+), a{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(sa.s / outd.outd) AS a
+  FROM e JOIN sa{i} sa ON sa.node = e.src JOIN outd ON outd.node = e.src
+  GROUP BY e.dst
+), sh{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.h / outd.outd) AS s
+  FROM e JOIN h{i - 1} h ON h.node = e.src JOIN outd ON outd.node = e.src
+  GROUP BY e.dst
+), h{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(sh.s / ind.ind) AS h
+  FROM e JOIN sh{i} sh ON sh.node = e.dst JOIN ind ON ind.node = e.dst
+  GROUP BY e.src
+)"""
+        )
+    parts.append(
+        f"""
+SELECT coalesce(a.node, h.node) AS node,
+       round(coalesce(a.a, 0), 6) AS authority,
+       round(coalesce(h.h, 0), 6) AS hub
+FROM a{iterations} a FULL JOIN h{iterations} h ON a.node = h.node"""
+    )
+    return "".join(parts)
+
+
 def link_hits_q(spark, sf_dir):
     """Fixed-iteration HITS hubs/authorities (Kleinberg JACM 1999, 4
     rounds of I-then-O with L2 normalization) over the same deterministic
@@ -7722,6 +7791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline_q,
         "link_pagerank": link_pagerank_q,
         "link_hits": link_hits_q,
+        "link_salsa": link_salsa_q,
         "link_opic": link_opic_q,
         "link_triangles": link_triangles_q,
         "link_kcore": link_kcore_q,
@@ -7885,6 +7955,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _curation_pipeline_sql(),
         "link_pagerank": _pagerank_sql(),
         "link_hits": _hits_sql(),
+        "link_salsa": _salsa_sql(),
         "link_opic": _opic_sql(),
         "link_triangles": _TRIANGLES_SQL,
         "link_kcore": _kcore_sql(),

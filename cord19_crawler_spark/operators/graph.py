@@ -1128,3 +1128,118 @@ def kcore(
     return adj.groupBy("node").agg(
         F.count(F.lit(1)).alias("core_degree")
     )
+
+
+def salsa(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SALSA (Lempel & Moran, WWW 2000): HITS' mutual-reinforcement on a
+    STOCHASTIC two-hop walk, which is what makes it resistant to the
+    tightly-knit-community (TKC) spam that inflates HITS — a link farm's
+    mass is divided by its own degrees instead of compounding.  The
+    authority chain walks backward along a uniformly-chosen in-link
+    (1/indeg) then forward along a uniformly-chosen out-link (1/outdeg);
+    the hub chain is the mirror image.
+
+    Semantics pinned for oracle replay: parallel edges collapse,
+    self-loops drop; authorities (nodes with >= 1 in-link) start at
+    1/|A|, hubs (>= 1 out-link) at 1/|H|; exactly ``iterations``
+    synchronous rounds with NO renormalization — the walk is stochastic,
+    so each chain's L1 mass stays exactly 1 (a pinned test invariant;
+    disconnected components keep their initial mass share, per the
+    paper's non-irreducible case).  Returns (node, authority, hub), 0
+    for non-members of a side.
+
+    Scale shape (10^10 edges): per round each chain is two edge joins +
+    two map-side-partial aggregates keyed on src/dst — same shuffle
+    budget as one HITS round, no window, no driver data; per-round
+    lineage truncated via iterutil (``checkpoint_dir`` for reliable
+    truncation on preemptible clusters).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    _ckpt = lineage_truncator(checkpoint_dir)
+    e = _ckpt(
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    indeg = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("ind")
+    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outd")
+    )
+    n_auth = indeg.count()
+    n_hub = outdeg.count()
+    auth = _ckpt(
+        indeg.select("node", "ind", F.lit(1.0 / n_auth).alias("authority"))
+    )
+    hub = _ckpt(
+        outdeg.select("node", "outd", F.lit(1.0 / n_hub).alias("hub"))
+    )
+    for _ in range(iterations):
+        # authority chain: back along 1/indeg, forward along 1/outdeg
+        at_hub = (
+            e.join(
+                auth.select(
+                    F.col("node").alias("dst"),
+                    (F.col("authority") / F.col("ind")).alias("_m"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("_m").alias("_s"))
+            .join(outdeg, "node")
+            .select(F.col("node").alias("src"), (F.col("_s") / F.col("outd")).alias("_t"))
+        )
+        a_new = (
+            e.join(at_hub, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("_t").alias("authority"))
+        )
+        # hub chain: forward along 1/outdeg, back along 1/indeg
+        at_auth = (
+            e.join(
+                hub.select(
+                    F.col("node").alias("src"),
+                    (F.col("hub") / F.col("outd")).alias("_m"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("_m").alias("_s"))
+            .join(indeg, "node")
+            .select(F.col("node").alias("dst"), (F.col("_s") / F.col("ind")).alias("_t"))
+        )
+        h_new = (
+            e.join(at_auth, "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("_t").alias("hub"))
+        )
+        both = _ckpt(
+            indeg.join(a_new, "node")
+            .join(outdeg.join(h_new, "node"), "node", "full")
+        )
+        auth = both.filter(F.col("ind").isNotNull()).select(
+            "node", "ind", "authority"
+        )
+        hub = both.filter(F.col("outd").isNotNull()).select(
+            "node", "outd", "hub"
+        )
+    return (
+        auth.select("node", "authority")
+        .join(hub.select("node", "hub"), "node", "full")
+        .select(
+            "node",
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        )
+    )
