@@ -2408,6 +2408,41 @@ def similarity_cosine_topk(spark, sf_dir):
     )
 
 
+def hard_negatives_q(spark, sf_dir):
+    """Contrastive hard-negative mining (training-data family): per
+    anchor (vec_id < 4), the top-5 most cosine-similar vectors with a
+    DIFFERENT label. Anchors broadcast; corpus scanned once; per-anchor
+    top-k via WindowGroupLimit (rank over round-6 cosine with neg_id
+    tie-break, so selection is reproducible cross-engine)."""
+    from cord19_crawler_spark.operators.similarity import hard_negatives
+
+    e = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(e, e.filter(F.col("vec_id") < 4), k=5)
+
+
+_HARD_NEG_SQL = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av, label AS albl
+  FROM embeddings WHERE vec_id < 4
+), p AS (
+  SELECT a.anchor_id, e.vec_id AS neg_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), a.av) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(a.av, a.av))), 6) AS cosine
+  FROM embeddings e CROSS JOIN a
+  WHERE e.label <> a.albl
+), r AS (
+  SELECT anchor_id, neg_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY anchor_id ORDER BY cosine DESC, neg_id ASC
+         ) AS INTEGER) AS rank
+  FROM p
+)
+SELECT anchor_id, neg_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
 _COSINE_SQL = """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
@@ -7759,6 +7794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_capped": dedup_simhash_capped,
         "dedup_embedding_cosine": dedup_embedding_cosine_q,
         "similarity_cosine_topk": similarity_cosine_topk,
+        "hard_negatives_topk": hard_negatives_q,
         "similarity_sign_buckets": similarity_sign_buckets,
         "embedding_random_projection": embedding_random_projection,
         "embedding_sq_rerank": embedding_sq_rerank,
@@ -7924,6 +7960,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_capped": _simhash_capped_sql(),
         "dedup_embedding_cosine": _EMB_DEDUP_SQL,
         "similarity_cosine_topk": _COSINE_SQL,
+        "hard_negatives_topk": _HARD_NEG_SQL,
         "similarity_sign_buckets": _SIGN_BUCKET_SQL,
         "embedding_random_projection": _RP_SQL,
         "kmeans_assign": _kmeans_sql(),

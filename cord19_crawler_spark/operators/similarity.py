@@ -401,3 +401,70 @@ def lloyd_kmeans(
         "cluster",
         F.round(F.sqrt("_d"), 6).alias("dist"),
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector, the
+    top-k most cosine-similar corpus vectors with a DIFFERENT label —
+    the negatives that sit closest to the decision boundary, which is
+    what contrastive/retrieval training wants in the batch (cf. dense
+    retrieval practice: in-domain hard negatives beat random ones).
+
+    Returns (anchor_id, neg_id, cosine, rank) with rank 1..k per anchor
+    (cosine rounded to 6 BEFORE ranking; ties break on neg_id asc, so
+    the selection is reproducible cross-engine).
+
+    Scale shape (10^9 corpus x 10^3 anchors): the anchor set is the
+    SMALL side and is broadcast — the corpus is scanned exactly once,
+    never shuffled; the per-anchor top-k is a rank<=k filter that
+    Catalyst rewrites to WindowGroupLimit, so each task keeps only k
+    rows per anchor before the (tiny, anchors*k-row) final exchange.
+    Float products are widened to double inside the zip_with so Spark
+    and any IEEE-754 oracle agree bit-for-bit.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("_av"),
+        F.col(label_col).alias("_albl"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).alias("_v"),
+        F.col(label_col).alias("_lbl"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_v", "_av", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("_lbl") != F.col("_albl"))
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.round(dot / (F.sqrt(sq("_v")) * F.sqrt(sq("_av"))), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("neg_id")
+    )
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -81,3 +81,53 @@ def test_lsh_near_dup_deterministic(spark, planted):
     ra = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in a.collect()}
     rb = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in b.collect()}
     assert ra == rb
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_semantics(spark):
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cord19_crawler_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),   # same label as anchor 0 -> never a negative
+        (2, [0.8, 0.2], 1),
+        (3, [0.0, 1.0], 1),
+        (4, [-1.0, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    anchors = emb.filter(F.col("vec_id") == 0)
+    got = hard_negatives(emb, anchors, k=2).collect()
+    assert [(r["neg_id"], r["rank"]) for r in got] == [(2, 1), (3, 2)]
+    # hardest negative first: vec 2 is closest to the anchor
+    cos = 0.8 / math.sqrt(0.8**2 + 0.2**2)
+    assert got[0]["cosine"] == pytest.approx(round(cos, 6), abs=1e-9)
+    with pytest.raises(ValueError):
+        hard_negatives(emb, anchors, k=0)
+
+
+def test_hard_negatives_plan_broadcasts_anchors_and_group_limits(spark):
+    from pyspark.sql import functions as F
+
+    from cord19_crawler_spark.operators.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 3) for i in range(50)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    df = hard_negatives(emb, emb.filter(F.col("vec_id") < 2), k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # corpus scanned once with the anchor side broadcast, and the
+    # per-anchor top-k pushed down as a group limit
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
