@@ -1093,6 +1093,83 @@ LIMIT 20
 """
 
 
+_RM3_FB_DOCS, _RM3_FB_TERMS, _RM3_LAM = 10, 10, 0.5
+
+
+def rm3_expansion_q(spark, sf_dir):
+    """RM3 pseudo-relevance-feedback expansion (Lavrenko & Croft 2001 /
+    Abdul-Jaleel 2004) over the same postings and query terms as the
+    Dirichlet-QL row: softmax doc weights over the top-10 QL scores,
+    relevance-model term distribution, top-10 term cut on round-9
+    weights, lambda=0.5 interpolation with the uniform query model. The
+    oracle replays every stage — feedback selection, softmax, RM1 sums,
+    term cut, interpolation — in chained CTEs."""
+    from cord19_crawler_spark.operators.search import rm3_expansion
+
+    p = postings_tf(spark, sf_dir)
+    return rm3_expansion(
+        p,
+        _QUERY_TERMS,
+        mu=_DIRICHLET_MU,
+        fb_docs=_RM3_FB_DOCS,
+        fb_terms=_RM3_FB_TERMS,
+        lam=_RM3_LAM,
+    )
+
+
+_RM3_SQL = f"""
+WITH {_TOKENS_CTE},
+postings AS (
+  SELECT word, doc_id, count(*) AS tf FROM tokens GROUP BY word, doc_id
+), doclens AS (
+  SELECT doc_id, sum(tf) AS doclen FROM postings GROUP BY doc_id
+), mass AS (
+  SELECT CAST(sum(tf) AS DOUBLE) AS m FROM postings
+), qhits AS (
+  SELECT * FROM postings
+  WHERE word IN ({", ".join(f"'{t}'" for t in _QUERY_TERMS)})
+), ctf AS (
+  SELECT word, CAST(sum(tf) AS DOUBLE) AS ctf FROM qhits GROUP BY word
+), nq AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nq FROM ctf
+), fb AS MATERIALIZED (
+  SELECT h.doc_id,
+         round(sum(ln(1 + h.tf / ({_DIRICHLET_MU} * c.ctf / m.m)))
+               + any_value(q.nq)
+                 * ln({_DIRICHLET_MU} / (l.doclen + {_DIRICHLET_MU})),
+               6) AS score
+  FROM qhits h JOIN ctf c USING (word) JOIN doclens l USING (doc_id),
+       mass m, nq q
+  GROUP BY h.doc_id, l.doclen
+  ORDER BY score DESC, h.doc_id
+  LIMIT {_RM3_FB_DOCS}
+), ex AS (
+  SELECT doc_id, exp(score - (SELECT max(score) FROM fb)) AS ee FROM fb
+), pd AS MATERIALIZED (
+  SELECT doc_id, ee / (SELECT sum(ee) FROM ex) AS p_d FROM ex
+), fbpost AS MATERIALIZED (
+  SELECT p.doc_id, p.word, p.tf, pd.p_d FROM postings p JOIN pd USING (doc_id)
+), fdl AS (
+  SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM fbpost GROUP BY doc_id
+), rm1 AS (
+  SELECT word, round(sum(tf / f.dl * p_d), 9) AS p_rm1
+  FROM fbpost JOIN fdl f USING (doc_id) GROUP BY word
+), top AS MATERIALIZED (
+  SELECT word, p_rm1 FROM rm1 ORDER BY p_rm1 DESC, word ASC
+  LIMIT {_RM3_FB_TERMS}
+), orig AS (
+  SELECT unnest([{", ".join(f"'{t}'" for t in _QUERY_TERMS)}]) AS word,
+         1.0 / {len(_QUERY_TERMS)} AS p_q
+)
+SELECT coalesce(o.word, t.word) AS word,
+       round({_RM3_LAM} * coalesce(o.p_q, 0)
+             + {1.0 - _RM3_LAM} * coalesce(t.p_rm1, 0), 6) AS weight,
+       o.word IS NOT NULL AS from_query,
+       t.word IS NOT NULL AS from_feedback
+FROM orig o FULL JOIN top t ON o.word = t.word
+"""
+
+
 def conjunctive_and_search(spark, sf_dir):
     """Boolean-AND retrieval (posting-list intersection, IIR ch. 1.3)
     for the same three query terms: only docs containing ALL of them,
@@ -7756,6 +7833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_topk": bm25_search_topk,
         "bm25_pruned_topk": bm25_pruned_topk,
         "lm_dirichlet_topk": lm_dirichlet_topk,
+        "rm3_expansion": rm3_expansion_q,
         "conjunctive_and_search": conjunctive_and_search,
         "champion_list_topk": champion_list_topk,
         "pmi_collocations": pmi_collocations_q,
@@ -7924,6 +8002,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search_topk": _BM25_SQL,
         "bm25_pruned_topk": _BM25_SQL,
         "lm_dirichlet_topk": _LM_DIRICHLET_SQL,
+        "rm3_expansion": _RM3_SQL,
         "conjunctive_and_search": _CONJUNCTIVE_SQL,
         "champion_list_topk": _CHAMPION_SQL,
         "pmi_collocations": _PMI_SQL,

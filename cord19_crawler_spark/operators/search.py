@@ -728,3 +728,88 @@ def champion_lists(postings: DataFrame, m: int = 10) -> DataFrame:
         .filter(F.col("_r") <= m)
         .drop("_r")
     )
+
+
+def rm3_expansion(
+    postings: DataFrame,
+    query_terms: list[str],
+    mu: float = 2000.0,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    lam: float = 0.5,
+) -> DataFrame:
+    """RM3 pseudo-relevance-feedback query expansion (Lavrenko & Croft
+    SIGIR 2001 relevance model, interpolated per Abdul-Jaleel et al.
+    TREC 2004): run the Dirichlet-QL ranker, treat its top ``fb_docs``
+    as pseudo-relevant, estimate the relevance model
+
+      p(d|Q)  = softmax over the feedback docs' (rounded) QL scores
+      p(w|R)  = sum_d p(w|d) * p(d|Q)   with p(w|d) = tf_wd / doclen_d
+
+    keep the ``fb_terms`` highest-weight terms, and interpolate with
+    the uniform original-query distribution:
+
+      p'(w) = lam * p_orig(w) + (1 - lam) * p_RM1(w)
+
+    Returns (word, weight, from_query, from_feedback) — the expanded
+    query distribution a downstream weighted-QL/BM25 pass consumes.
+    Pinned for oracle replay: feedback selection uses the ROUNDED
+    6-decimal QL scores with doc_id tie-break; the feedback-term cut
+    ranks on p(w|R) rounded to 9 decimals with word tie-break (raw
+    doubles differ across engines at ~1e-16 — rounding makes the
+    selection, not just the values, reproducible); weights round to 6.
+
+    Scale shape (10^10 postings): the QL pass is the lm_dirichlet_search
+    plan (term-pruned scan + one doc_id join); the feedback set is
+    ``fb_docs`` rows — BROADCAST back onto the postings scan, so the
+    relevance model is one semi-pruned scan + one map-side-partial
+    aggregate keyed on word; the term cut is TakeOrderedAndProject.
+    Nothing corpus-sized shuffles twice.
+    """
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if fb_docs < 1 or fb_terms < 1:
+        raise ValueError("fb_docs and fb_terms must be >= 1")
+    spark = postings.sparkSession
+    terms_list = list(dict.fromkeys(query_terms))
+    fb = lm_dirichlet_search(postings, terms_list, mu=mu, k=fb_docs).select(
+        "doc_id", "score"
+    )
+    mx = fb.agg(F.max("score").alias("_mx"))
+    e = fb.crossJoin(F.broadcast(mx)).select(
+        "doc_id", F.exp(F.col("score") - F.col("_mx")).alias("_e")
+    )
+    z = e.agg(F.sum("_e").alias("_z"))
+    pd = e.crossJoin(F.broadcast(z)).select(
+        "doc_id", (F.col("_e") / F.col("_z")).alias("_pd")
+    )
+    fbpost = postings.join(F.broadcast(pd), "doc_id")
+    fdl = fbpost.groupBy("doc_id").agg(
+        F.sum("tf").cast("double").alias("_dl")
+    )
+    rm1 = (
+        fbpost.join(F.broadcast(fdl), "doc_id")
+        .groupBy("word")
+        .agg(F.sum(F.col("tf") / F.col("_dl") * F.col("_pd")).alias("_rm1"))
+    )
+    top = (
+        rm1.select("word", F.round("_rm1", 9).alias("_rm1"))
+        .orderBy(F.desc("_rm1"), F.asc("word"))
+        .limit(fb_terms)
+    )
+    orig = spark.createDataFrame(
+        [(t, 1.0 / len(terms_list)) for t in terms_list], "word string, _pq double"
+    )
+    return (
+        orig.join(top, "word", "full")
+        .select(
+            "word",
+            F.round(
+                F.lit(float(lam)) * F.coalesce("_pq", F.lit(0.0))
+                + F.lit(1.0 - float(lam)) * F.coalesce("_rm1", F.lit(0.0)),
+                6,
+            ).alias("weight"),
+            F.col("_pq").isNotNull().alias("from_query"),
+            F.col("_rm1").isNotNull().alias("from_feedback"),
+        )
+    )

@@ -319,3 +319,74 @@ def test_champion_lists_cut_and_equivalence(spark):
     assert [tuple(r) for r in tier] == [tuple(r) for r in full]
     with pytest.raises(ValueError):
         champion_lists(_postings(spark, rows), m=0)
+
+
+# ---------------------------------------------------------------------------
+# RM3 pseudo-relevance feedback
+# ---------------------------------------------------------------------------
+
+
+def _rm3_replay(rows, terms, mu, fb_docs, fb_terms, lam):
+    """Pure-Python replay of every pinned RM3 stage."""
+    import math
+    from collections import defaultdict
+
+    fb = _dirichlet_replay(rows, set(terms), mu, fb_docs)
+    mx = max(s for _, s, _ in fb)
+    ee = {d: math.exp(s - mx) for d, s, _ in fb}
+    z = sum(ee.values())
+    pd = {d: e / z for d, e in ee.items()}
+    doclen = defaultdict(int)
+    for w, d, tf in rows:
+        doclen[d] += tf
+    rm1 = defaultdict(float)
+    for w, d, tf in rows:
+        if d in pd:
+            rm1[w] += tf / float(doclen[d]) * pd[d]
+    top = sorted(
+        ((w, round(p, 9)) for w, p in rm1.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:fb_terms]
+    out = {}
+    for t in terms:
+        out[t] = lam * (1.0 / len(terms))
+    for w, p in top:
+        out[w] = out.get(w, 0.0) + (1 - lam) * p
+    return {w: round(v, 6) for w, v in out.items()}
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_rm3_matches_python_replay(spark, seed):
+    from cord19_crawler_spark.operators.search import rm3_expansion
+
+    rows = _rand_postings(seed)
+    terms = ["w1", "w4", "w9"]
+    got = {
+        r["word"]: r["weight"]
+        for r in rm3_expansion(
+            _postings(spark, rows), terms, mu=50.0, fb_docs=8, fb_terms=6,
+            lam=0.4,
+        ).collect()
+    }
+    want = _rm3_replay(rows, terms, 50.0, 8, 6, 0.4)
+    assert got == pytest.approx(want, abs=2e-6)
+
+
+def test_rm3_flags_and_mass(spark):
+    from cord19_crawler_spark.operators.search import rm3_expansion
+
+    rows = [("a", 1, 4), ("b", 1, 2), ("c", 2, 3), ("a", 2, 1)]
+    out = rm3_expansion(
+        _postings(spark, rows), ["a"], mu=10.0, fb_docs=2, fb_terms=10,
+        lam=0.5,
+    ).collect()
+    by = {r["word"]: r for r in out}
+    assert by["a"]["from_query"] and by["a"]["from_feedback"]
+    assert not by["b"]["from_query"] and by["b"]["from_feedback"]
+    # full vocab fits in fb_terms -> both models are distributions, so
+    # the interpolated mass is 1
+    assert sum(r["weight"] for r in out) == pytest.approx(1.0, abs=1e-5)
+    with pytest.raises(ValueError):
+        rm3_expansion(_postings(spark, rows), ["a"], lam=1.5)
+    with pytest.raises(ValueError):
+        rm3_expansion(_postings(spark, rows), ["a"], fb_docs=0)
