@@ -2520,6 +2520,77 @@ SELECT anchor_id, neg_id, cosine, rank FROM r WHERE rank <= 5
 """
 
 
+_ANN_RECALL_K, _ANN_RECALL_DIMS = 10, 6
+
+
+def ann_recall_q(spark, sf_dir):
+    """Recall@10 of the sign-bucket ANN path (bucket + hamming-1 probes
+    — the partition-pruned scale path of ann_lsh_topk) against
+    brute-force cosine, per anchor (vec_id < 8). The evaluation harness
+    for the approximate path: the oracle recomputes both pinned top-k
+    selections and the intersection exactly."""
+    from cord19_crawler_spark.operators.similarity import ann_recall_at_k
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_recall_at_k(
+        e, e.filter(F.col("vec_id") < 8), k=_ANN_RECALL_K,
+        bucket_dims=_ANN_RECALL_DIMS,
+    )
+
+
+def _ann_recall_sql() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END)"
+        for d in range(_ANN_RECALL_DIMS)
+    )
+    k = _ANN_RECALL_K
+    return f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av,
+         {bucket} AS ab
+  FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v,
+         {bucket} AS nb
+  FROM embeddings
+), p AS MATERIALIZED (
+  SELECT a.anchor_id, c.nid,
+         round(list_dot_product(c.v, a.av) /
+               (sqrt(list_dot_product(c.v, c.v)) *
+                sqrt(list_dot_product(a.av, a.av))), 6) AS cosine,
+         bit_count(xor(c.nb, a.ab)) AS hd
+  FROM c CROSS JOIN a WHERE c.nid <> a.anchor_id
+), ex AS (
+  SELECT anchor_id, nid FROM (
+    SELECT anchor_id, nid,
+           row_number() OVER (PARTITION BY anchor_id
+                              ORDER BY cosine DESC, nid) AS r
+    FROM p) WHERE r <= {k}
+), ls AS (
+  SELECT anchor_id, nid FROM (
+    SELECT anchor_id, nid,
+           row_number() OVER (PARTITION BY anchor_id
+                              ORDER BY cosine DESC, nid) AS r
+    FROM p WHERE hd <= 1) WHERE r <= {k}
+), sizes AS (
+  SELECT anchor_id, CAST(count(*) AS BIGINT) AS lsh_k FROM ls GROUP BY 1
+), hit AS (
+  SELECT e.anchor_id, CAST(count(*) AS BIGINT) AS hits
+  FROM ex e JOIN ls l ON e.anchor_id = l.anchor_id AND e.nid = l.nid
+  GROUP BY 1
+), base AS (
+  SELECT anchor_id, CAST(count(*) AS BIGINT) AS exact_k FROM ex GROUP BY 1
+)
+SELECT b.anchor_id, b.exact_k,
+       coalesce(s.lsh_k, 0) AS lsh_k,
+       coalesce(h.hits, 0) AS hits,
+       CAST(coalesce(h.hits, 0) AS DOUBLE) / {float(k)!r} AS recall
+FROM base b
+LEFT JOIN sizes s USING (anchor_id)
+LEFT JOIN hit h USING (anchor_id)
+"""
+
+
 _COSINE_SQL = """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
@@ -7873,6 +7944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup_embedding_cosine_q,
         "similarity_cosine_topk": similarity_cosine_topk,
         "hard_negatives_topk": hard_negatives_q,
+        "ann_recall_at_k": ann_recall_q,
         "similarity_sign_buckets": similarity_sign_buckets,
         "embedding_random_projection": embedding_random_projection,
         "embedding_sq_rerank": embedding_sq_rerank,
@@ -8040,6 +8112,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _EMB_DEDUP_SQL,
         "similarity_cosine_topk": _COSINE_SQL,
         "hard_negatives_topk": _HARD_NEG_SQL,
+        "ann_recall_at_k": _ann_recall_sql(),
         "similarity_sign_buckets": _SIGN_BUCKET_SQL,
         "embedding_random_projection": _RP_SQL,
         "kmeans_assign": _kmeans_sql(),

@@ -468,3 +468,108 @@ def hard_negatives(
     return pairs.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ann_recall_at_k(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bucket_dims: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the sign-bucket ANN path against brute-force cosine
+    — the measure-don't-guess harness for the approximate scale path:
+    per query, |exact top-k ∩ LSH top-k| / k, where the LSH candidate
+    set is the query's sign bucket plus all hamming-1 neighbors (the
+    same probe set ``ann_lsh_topk`` scans via partition pruning).
+
+    Returns (anchor_id, exact_k, lsh_k, hits, recall).  Both rankings
+    pin the cross-engine selection: cosine rounded to 6 desc, id asc.
+    ``lsh_k`` < k is itself a signal (probe set smaller than k).
+
+    Scale shape: queries are the SMALL broadcast side; the corpus is
+    scanned once, both per-anchor top-k cuts are rank<=k filters that
+    lower to WindowGroupLimit (k rows per anchor retained per task),
+    and everything after the cut is anchors*k-row small. The bucket
+    membership test is one bit_count(xor) on scan-side codegen — no
+    second pass over the corpus for the LSH leg.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    a = queries.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("_av"),
+        sign_bucket_expr(vec_col, bucket_dims).alias("_ab"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("_v"),
+        sign_bucket_expr(vec_col, bucket_dims).alias("_nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_v", "_av", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("nid") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "nid",
+            F.round(dot / (F.sqrt(sq("_v")) * F.sqrt(sq("_av"))), 6).alias(
+                "cosine"
+            ),
+            F.bit_count(
+                F.col("_nb").bitwiseXOR(F.col("_ab"))
+            ).alias("_hd"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("nid")
+    )
+    exact = (
+        pairs.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select("anchor_id", "nid")
+    )
+    lsh = (
+        pairs.filter(F.col("_hd") <= 1)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select("anchor_id", F.col("nid").alias("_lnid"))
+    )
+    lsh_sizes = lsh.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("lsh_k")
+    )
+    joined = exact.join(
+        lsh.withColumnRenamed("_lnid", "nid"),
+        ["anchor_id", "nid"],
+        "left_semi",
+    )
+    hits = joined.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("hits")
+    )
+    base = exact.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_k")
+    )
+    return (
+        base.join(lsh_sizes, "anchor_id", "left")
+        .join(hits, "anchor_id", "left")
+        .select(
+            "anchor_id",
+            "exact_k",
+            F.coalesce("lsh_k", F.lit(0).cast("long")).alias("lsh_k"),
+            F.coalesce("hits", F.lit(0).cast("long")).alias("hits"),
+            (
+                F.coalesce("hits", F.lit(0).cast("long")).cast("double")
+                / F.lit(float(k))
+            ).alias("recall"),
+        )
+    )

@@ -131,3 +131,49 @@ def test_hard_negatives_plan_broadcasts_anchors_and_group_limits(spark):
     # per-anchor top-k pushed down as a group limit
     assert "BroadcastNestedLoopJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_ann_recall_planted_buckets(spark):
+    """Anchor along +x: same-bucket vectors are recalled; a vector in a
+    hamming-2 bucket is invisible to the probe even when it's the true
+    nearest neighbor."""
+    from pyspark.sql import functions as F
+
+    from cord19_crawler_spark.operators.similarity import ann_recall_at_k
+
+    rows = [
+        (0, [1.0, 1.0, 1.0], 0),     # anchor, bucket 111
+        (1, [0.9, 1.0, 1.0], 0),     # same bucket
+        (2, [1.0, -0.1, 1.0], 0),    # hamming-1
+        (3, [0.99, -0.1, -0.1], 0),  # hamming-2: closest by cosine? no — but unseen
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = ann_recall_at_k(
+        emb, emb.filter(F.col("vec_id") == 0), k=3, bucket_dims=3
+    ).collect()[0]
+    assert out["exact_k"] == 3
+    assert out["lsh_k"] == 2          # vec 3 not probed
+    assert out["hits"] == 2
+    assert out["recall"] == 2 / 3
+
+
+def test_ann_recall_perfect_when_probe_covers(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cord19_crawler_spark.operators.similarity import ann_recall_at_k
+
+    emb = spark.createDataFrame(
+        [(i, [1.0 + i, 2.0], 0) for i in range(12)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = ann_recall_at_k(
+        emb, emb.filter(F.col("vec_id") < 2), k=5, bucket_dims=2
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["recall"] == 1.0 and r["hits"] == 5
+    with pytest.raises(ValueError):
+        ann_recall_at_k(emb, emb, k=0)
