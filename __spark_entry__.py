@@ -1329,6 +1329,62 @@ FROM ranked WHERE rank <= 3
 """
 
 
+_COMPACT_MIN_SIZE, _COMPACT_FANOUT = 1000, 4
+
+
+def segment_compaction_plan_q(spark, sf_dir):
+    """Size-tiered compaction planner (LSM/Lucene tiered policy) for
+    the delta-index segment catalog: integer-exact tiers via bin-length
+    (floor-log2 of size/min_size), oldest-first ranking within a tier,
+    and merge groups only for COMPLETE fanout-sized runs — the
+    O(log_fanout N) write-amplification maintenance plan the read-time
+    union needs once upserts accumulate. Segment catalog synthesized
+    deterministically from orders (every 37th order; size = floored
+    total price — floor pinned in BOTH engines because double->bigint
+    casts truncate in Spark but round in DuckDB)."""
+    from cord19_crawler_spark.operators.delta import plan_compaction
+
+    o = _t(spark, sf_dir, "orders")
+    seg = o.filter(F.col("o_orderkey") % 37 == 0).select(
+        F.col("o_orderkey").alias("segment_id"),
+        F.floor("o_totalprice").cast("long").alias("size_bytes"),
+        (F.col("o_orderkey") % 11).alias("created_round"),
+    )
+    out = plan_compaction(
+        seg, min_size=_COMPACT_MIN_SIZE, fanout=_COMPACT_FANOUT
+    )
+    return out.select(
+        "segment_id",
+        "size_bytes",
+        F.col("tier").cast("int").alias("tier"),
+        "merge_group",
+    )
+
+
+_COMPACTION_SQL = f"""
+WITH seg AS (
+  SELECT o_orderkey AS segment_id,
+         CAST(floor(o_totalprice) AS BIGINT) AS size_bytes,
+         o_orderkey % 11 AS created_round
+  FROM orders WHERE o_orderkey % 37 = 0
+), t AS (
+  SELECT segment_id, size_bytes, created_round,
+         length(bin(greatest(size_bytes // {_COMPACT_MIN_SIZE}, 1))) - 1 AS tier
+  FROM seg
+), r AS (
+  SELECT segment_id, size_bytes, tier,
+         row_number() OVER (PARTITION BY tier
+                            ORDER BY created_round, segment_id) - 1 AS rn,
+         count(*) OVER (PARTITION BY tier) AS n
+  FROM t
+)
+SELECT segment_id, size_bytes, CAST(tier AS INTEGER) AS tier,
+       CASE WHEN rn // {_COMPACT_FANOUT} < n // {_COMPACT_FANOUT}
+            THEN tier * 1000000 + rn // {_COMPACT_FANOUT} END AS merge_group
+FROM r
+"""
+
+
 _DELTA_TERMS = ["merge", "batch"]
 
 
@@ -7913,6 +7969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spelling_correction": spelling_correction_q,
         "search_snippets": search_snippets,
         "delta_merged_search": delta_merged_search,
+        "segment_compaction_plan": segment_compaction_plan_q,
         "autocomplete_top3": autocomplete_top3,
         "round_robin_barrel_head": round_robin_barrel_head,
         "doc_id_dense_mapping": doc_id_dense_mapping,
@@ -8083,6 +8140,7 @@ def oracle_sql() -> dict[str, str]:
         "spelling_correction": _SPELL_SQL,
         "search_snippets": _SNIPPET_SQL,
         "delta_merged_search": _delta_search_sql(),
+        "segment_compaction_plan": _COMPACTION_SQL,
         "autocomplete_top3": _AUTOCOMPLETE_SQL,
         "round_robin_barrel_head": _RR_BARREL_SQL,
         "doc_id_dense_mapping": _DOCMAP_SQL,

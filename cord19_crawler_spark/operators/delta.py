@@ -93,3 +93,80 @@ def search_with_delta(
 
     merged = merged_postings(static_postings, delta_docs)
     return tfidf_search(merged, query_terms, total_docs, k)
+
+
+def plan_compaction(
+    segments: DataFrame,
+    min_size: int = 1024,
+    fanout: int = 4,
+    id_col: str = "segment_id",
+    size_col: str = "size_bytes",
+    age_col: str = "created_round",
+) -> DataFrame:
+    """Size-tiered compaction planner for accumulated delta segments —
+    the LSM-style maintenance decision (Lucene/BigTable/RocksDB tiered
+    policy) the delta index needs at scale: every upsert round appends a
+    small segment, and without merging, the read-time union fans out to
+    thousands of tiny files (S3 listing + per-file open dominate the
+    query).
+
+    Pinned policy (oracle-replayable, all-integer — no float log):
+      tier(s)       = bit_length(max(size // min_size, 1)) - 1
+                    = floor(log2(size / min_size)), clamped at 0
+      within a tier, order by (age asc, id asc) — oldest first
+      merge_group   = tier * 10^6 + (rank // fanout) for the COMPLETE
+                      groups of ``fanout`` segments; the trailing
+                      partial group stays unmerged (merge_group NULL)
+
+    Returns (segment_id, size_bytes, tier, merge_group).  Merging only
+    complete fanout-sized groups keeps write amplification at the
+    classic O(log_fanout(N)) per byte: each byte is rewritten at most
+    once per tier it climbs.
+
+    Scale shape: segment CATALOGS are small (10^4-10^5 rows even at
+    100 TB of data), so one window per tier is fine — the plan is
+    driver-light metadata work; the expensive part (the merge itself)
+    is the caller's distributed rewrite of the selected groups.
+    """
+    if min_size < 1 or fanout < 2:
+        raise ValueError("min_size must be >= 1 and fanout >= 2")
+    from pyspark.sql import Window
+
+    # integer div (not / + cast: double division can round up at the
+    # 2^53 boundary), then floor(log2) via exact bin-length
+    tier = (
+        F.length(
+            F.bin(
+                F.greatest(
+                    F.expr(f"CAST({size_col} AS BIGINT) div {min_size}"),
+                    F.lit(1).cast("long"),
+                )
+            )
+        )
+        - 1
+    ).alias("tier")
+    base = segments.select(
+        F.col(id_col).alias("segment_id"),
+        F.col(size_col).cast("long").alias("size_bytes"),
+        F.col(age_col).alias("_age"),
+        tier,
+    )
+    w = Window.partitionBy("tier").orderBy(
+        F.asc("_age"), F.asc("segment_id")
+    )
+    ranked = base.withColumn("_rn", F.row_number().over(w) - 1)
+    counts = base.groupBy("tier").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.join(F.broadcast(counts), "tier")
+        .select(
+            "segment_id",
+            "size_bytes",
+            "tier",
+            F.when(
+                (F.col("_rn") / fanout).cast("long")
+                < (F.col("_n") / fanout).cast("long"),
+                F.col("tier").cast("long") * 1000000
+                + (F.col("_rn") / fanout).cast("long"),
+            ).alias("merge_group"),
+        )
+    )

@@ -146,3 +146,57 @@ def test_expire_on_compact_auto(spark, tmp_path):
     plain.run(4, seeds=seed_urls(spark, 10, 200))
     assert auto.crawl_order() == plain.crawl_order()
     assert auto.seen_set() == plain.seen_set()
+
+
+# ---------------------------------------------------------------------------
+# size-tiered segment compaction planner (operators/delta.py)
+# ---------------------------------------------------------------------------
+
+
+def test_plan_compaction_tiers_and_groups(spark):
+    import pytest
+    from cord19_crawler_spark.operators.delta import plan_compaction
+
+    # tier 0: sizes < 2*min ... ; min_size=10, fanout=2
+    rows = [
+        # (id, size, age): tier = floor(log2(size // 10)), clamp 0
+        (1, 10, 0),   # 10//10=1  -> tier 0
+        (2, 19, 1),   # 1 -> tier 0
+        (3, 25, 2),   # 2 -> tier 1
+        (4, 39, 0),   # 3 -> tier 1
+        (5, 45, 1),   # 4 -> tier 2
+        (6, 5, 3),    # 0 -> clamped tier 0 (below min_size)
+    ]
+    seg = spark.createDataFrame(
+        rows, "segment_id long, size_bytes long, created_round long"
+    )
+    out = {r["segment_id"]: r for r in
+           plan_compaction(seg, min_size=10, fanout=2).collect()}
+    assert {i: out[i]["tier"] for i in out} == {
+        1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 0
+    }
+    # tier 0 has 3 segments ordered by age: 1 (age0), 2 (age1), 6 (age3)
+    # -> one complete pair (1,2) in group 0; 6 left unmerged
+    assert out[1]["merge_group"] == 0 and out[2]["merge_group"] == 0
+    assert out[6]["merge_group"] is None
+    # tier 1 pair ordered by age: 4 (age0), 3 (age2) -> group 10^6
+    assert out[4]["merge_group"] == 1000000 and out[3]["merge_group"] == 1000000
+    # tier 2 singleton: unmerged
+    assert out[5]["merge_group"] is None
+    with pytest.raises(ValueError):
+        plan_compaction(seg, min_size=0)
+    with pytest.raises(ValueError):
+        plan_compaction(seg, fanout=1)
+
+
+def test_plan_compaction_complete_groups_only(spark):
+    from cord19_crawler_spark.operators.delta import plan_compaction
+
+    seg = spark.createDataFrame(
+        [(i, 10, i) for i in range(11)],
+        "segment_id long, size_bytes long, created_round long",
+    )
+    out = plan_compaction(seg, min_size=10, fanout=4).collect()
+    merged = [r for r in out if r["merge_group"] is not None]
+    assert len(merged) == 8  # two complete groups of 4; 3 stragglers
+    assert len({r["merge_group"] for r in merged}) == 2
