@@ -4466,6 +4466,79 @@ deg AS (
     return "".join(parts)
 
 
+_HB_RADIUS, _HB_P = 3, 6
+
+
+def link_hyperball_q(spark, sf_dir):
+    """HyperBall (Boldi & Vigna 2013): per-node radius-3 out-ball size
+    estimated by iterated max-merge of per-node HLL registers along the
+    edges — the web-scale neighborhood/centrality primitive (exact
+    multi-source BFS is O(N^2) mass). Register max-merge IS sketch
+    union, so the oracle unrolls all three rounds as MATERIALIZED CTEs
+    and must reproduce every register of every round plus the
+    integer-exact HLL estimate."""
+    from cord19_crawler_spark.operators.graph import hyperball
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 140).alias("src"),
+        (F.col("o_orderkey") % 163).alias("dst"),
+    )
+    return hyperball(edges, radius=_HB_RADIUS, p=_HB_P)
+
+
+def _hyperball_sql(radius: int = _HB_RADIUS, p: int = _HB_P) -> str:
+    from cord19_crawler_spark.operators.sketches import hll_alpha
+
+    w = 56 - p
+    m = 1 << p
+    numer = hll_alpha(p) * m * m * float(1 << (w + 1))
+    parts = [
+        f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % 140 AS src, o_orderkey % 163 AS dst
+  FROM orders WHERE o_custkey % 140 <> o_orderkey % 163
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+), r0 AS MATERIALIZED (
+  SELECT node, h >> {w} AS bucket,
+         CASE WHEN h % {1 << w} = 0 THEN {w + 1}
+              ELSE {w + 1} - length(bin(h % {1 << w})) END AS m
+  FROM (
+    SELECT node,
+           CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+    FROM nodes)
+)"""
+    ]
+    for i in range(1, radius + 1):
+        parts.append(
+            f""", r{i} AS MATERIALIZED (
+  SELECT node, bucket, max(m) AS m FROM (
+    SELECT node, bucket, m FROM r{i - 1}
+    UNION ALL
+    SELECT e.src AS node, r.bucket, r.m
+    FROM e JOIN r{i - 1} r ON r.node = e.dst
+  ) GROUP BY node, bucket
+)"""
+        )
+    parts.append(
+        f""", s AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS buckets_used,
+         CAST(sum(1::BIGINT << ({w + 1} - m)) AS BIGINT) AS sp
+  FROM r{radius} GROUP BY node
+)
+SELECT node, buckets_used,
+       CASE WHEN {numer!r} / CAST(sp + ({m} - buckets_used) * {1 << (w + 1)} AS DOUBLE)
+                 <= {2.5 * m!r}
+             AND buckets_used < {m}
+            THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - buckets_used AS DOUBLE))
+            ELSE {numer!r} / CAST(sp + ({m} - buckets_used) * {1 << (w + 1)} AS DOUBLE)
+       END AS ball_est
+FROM s"""
+    )
+    return "".join(parts)
+
+
 def link_salsa_q(spark, sf_dir):
     """SALSA (Lempel & Moran WWW 2000, 4 synchronous two-hop-walk
     rounds, no renormalization — the stochastic walk conserves each
@@ -8035,6 +8108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": link_pagerank_q,
         "link_hits": link_hits_q,
         "link_salsa": link_salsa_q,
+        "link_hyperball": link_hyperball_q,
         "link_opic": link_opic_q,
         "link_triangles": link_triangles_q,
         "link_kcore": link_kcore_q,
@@ -8203,6 +8277,7 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": _pagerank_sql(),
         "link_hits": _hits_sql(),
         "link_salsa": _salsa_sql(),
+        "link_hyperball": _hyperball_sql(),
         "link_opic": _opic_sql(),
         "link_triangles": _TRIANGLES_SQL,
         "link_kcore": _kcore_sql(),

@@ -1243,3 +1243,73 @@ def salsa(
             F.coalesce("hub", F.lit(0.0)).alias("hub"),
         )
     )
+
+
+def hyperball(
+    edges: DataFrame,
+    radius: int = 3,
+    p: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, WebSci 2013 — 'In-Core Computation of
+    Geometric Centralities with HyperBall'): estimate every node's
+    out-ball size |B(v, r)| = #nodes reachable within ``radius`` steps
+    by iterating max-merges of per-node HyperLogLog registers along the
+    edges — the algorithm that computed neighborhood functions and
+    centralities on the 3.5-billion-node Facebook/common-crawl graphs,
+    and the web-scale substitute for exact multi-source BFS (which is
+    O(N^2) mass at crawl scale).
+
+    reg_0(v) = HLL registers of {v}; round t: reg_t(v) = max-merge of
+    reg_{t-1}(v) with reg_{t-1} of every out-neighbor — after r rounds
+    the counter of v holds exactly the HLL sketch of B(v, r) (register
+    max-merge IS set union, the sketch's defining law).  Every hash and
+    the estimate are the cross-engine-exact HLL primitives
+    (operators/sketches.py), so a DuckDB oracle replays every register
+    of every round and the final estimate bit-for-bit.
+
+    Returns (node, buckets_used, ball_est): ``ball_est`` includes the
+    node itself (|B| >= 1).
+
+    Scale shape (10^10 edges): state is N * <= 2^p register rows — with
+    p=11 that is ~32 bytes/node of true information, the same budget
+    HyperBall runs at web scale; each round is ONE equi-join of the
+    register frame with the edge list on dst plus ONE (node, bucket)
+    max-aggregate with map-side partials; no window, no driver data.
+    Lineage truncated per round (``checkpoint_dir`` for reliable
+    truncation under executor loss).
+    """
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    from .sketches import hll_estimate_from_registers, hll_registers
+
+    _ckpt = lineage_truncator(checkpoint_dir)
+    e = _ckpt(
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    reg = _ckpt(hll_registers(nodes, "node", group_cols=("node",), p=p))
+    for _ in range(radius):
+        from_nbrs = (
+            e.join(reg.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "bucket", "m")
+        )
+        reg = _ckpt(
+            reg.unionByName(from_nbrs)
+            .groupBy("node", "bucket")
+            .agg(F.max("m").alias("m"))
+        )
+    return hll_estimate_from_registers(reg, group_cols=("node",), p=p).select(
+        "node", "buckets_used", F.col("hll_est").alias("ball_est")
+    )

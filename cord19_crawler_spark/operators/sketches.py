@@ -209,9 +209,22 @@ def hll_cardinality(
     engine, which is what lets a DuckDB oracle match the estimate to
     full precision rather than within tolerance.
     """
+    reg = hll_registers(items, key_col, group_cols=group_cols, p=p)
+    return hll_estimate_from_registers(reg, group_cols=group_cols, p=p)
+
+
+def hll_estimate_from_registers(
+    reg: DataFrame,
+    group_cols: list[str] | tuple[str, ...] = (),
+    p: int = 12,
+) -> DataFrame:
+    """The estimate stage of :func:`hll_cardinality`, split out so any
+    register table — built directly, merged across shards, or grown by
+    an iterative algorithm like :func:`~..graph.hyperball` — folds to
+    (group_cols..., buckets_used, hll_est) with the same integer-exact
+    cross-engine arithmetic."""
     w = HLL_HASH_BITS - p
     m = 1 << p
-    reg = hll_registers(items, key_col, group_cols=group_cols, p=p)
     gb = list(group_cols)
     s = reg.groupBy(*gb).agg(
         F.count(F.lit(1)).cast("long").alias("buckets_used"),

@@ -327,3 +327,82 @@ def test_kcore_reliable_checkpoint_equivalence(spark, tmp_path):
         map(tuple, kcore(edges, k=3, checkpoint_dir=str(tmp_path)).collect())
     )
     assert base == ckpt
+
+
+# ---------------------------------------------------------------------------
+# HyperBall neighborhood estimation
+# ---------------------------------------------------------------------------
+
+
+def _balls(edges, radius):
+    """Exact out-balls via Python BFS (includes the node itself)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    nodes = set()
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            nodes.update((s, d))
+    out = {}
+    for v in nodes:
+        ball, frontier = {v}, {v}
+        for _ in range(radius):
+            frontier = {n for f in frontier for n in adj[f]} - ball
+            ball |= frontier
+        out[v] = ball
+    return out
+
+
+def test_hyperball_registers_equal_exact_ball_sketch(spark):
+    """The defining law: after r rounds, node v's registers are exactly
+    the HLL sketch of its radius-r BFS ball."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cord19_crawler_spark.operators.graph import hyperball
+    from cord19_crawler_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    rng = random.Random(3)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(70)})
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["buckets_used"], r["ball_est"])
+        for r in hyperball(edf, radius=2, p=6).collect()
+    }
+    balls = _balls(edges, 2)
+    members = spark.createDataFrame(
+        [(v, m) for v, ball in balls.items() for m in ball],
+        "node long, member long",
+    )
+    want_reg = hll_registers(members, "member", group_cols=("node",), p=6)
+    want = {
+        r["node"]: (r["buckets_used"], r["hll_est"])
+        for r in hll_estimate_from_registers(
+            want_reg, group_cols=("node",), p=6
+        ).collect()
+    }
+    assert got == want
+
+
+def test_hyperball_chain_and_validation(spark):
+    import pytest
+
+    from cord19_crawler_spark.operators.graph import hyperball
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    out = {r["node"]: r for r in hyperball(chain, radius=2, p=8).collect()}
+    # chain 0->1->..->5: |B(0,2)|=3, |B(4,2)|=2, |B(5,2)|=1; tiny sets
+    # with no bucket collisions -> buckets_used is the exact ball size
+    assert out[0]["buckets_used"] == 3
+    assert out[4]["buckets_used"] == 2
+    assert out[5]["buckets_used"] == 1
+    assert out[5]["ball_est"] > 0
+    with pytest.raises(ValueError):
+        hyperball(chain, radius=0)
