@@ -937,6 +937,86 @@ LIMIT 20
 """
 
 
+_DIRICHLET_MU = 100.0
+_RRF_K0, _RRF_K = 60, 15
+
+
+def rrf_fusion_q(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack et al. SIGIR 2009) of the BM25
+    and Dirichlet-QL runs for the same query terms: rank each FULL
+    match set (rounded scores, doc_id tie-break), sum 1/(60 + rank),
+    top-15 by round-9 fused score. The hybrid-search combiner; the
+    oracle recomputes both runs, both rankings, and the fusion."""
+    from cord19_crawler_spark.operators.search import (
+        bm25_search,
+        lm_dirichlet_search,
+        rrf_fuse,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    p = postings_tf(spark, sf_dir)
+    bm = bm25_search(p, _QUERY_TERMS, d, k1=1.2, b=0.75, k=None)
+    ql = lm_dirichlet_search(p, _QUERY_TERMS, mu=_DIRICHLET_MU, k=None)
+    return rrf_fuse([bm, ql], k0=_RRF_K0, k=_RRF_K)
+
+
+_RRF_SQL = f"""
+WITH {_TOKENS_CTE},
+postings AS (
+  SELECT word, doc_id, count(*) AS tf FROM tokens GROUP BY word, doc_id
+), doclens AS (
+  SELECT doc_id, sum(tf) AS doclen FROM postings GROUP BY doc_id
+), hits AS (
+  SELECT * FROM postings
+  WHERE word IN ({", ".join(f"'{t}'" for t in _QUERY_TERMS)})
+), consts AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT sum(tf) FROM postings) AS DOUBLE)
+           / (SELECT count(*) FROM documents) AS avgdl
+), dfs AS (
+  SELECT word, count(DISTINCT doc_id) AS term_df FROM hits GROUP BY word
+), bm AS MATERIALIZED (
+  SELECT h.doc_id,
+    round(sum(
+      ln(1 + (c.n - d.term_df + 0.5) / (d.term_df + 0.5))
+      * (h.tf * 2.2)
+      / (h.tf + 1.2 * (1 - 0.75 + 0.75 * l.doclen / c.avgdl))
+    ), 6) AS score
+  FROM hits h JOIN dfs d USING (word) JOIN doclens l USING (doc_id), consts c
+  GROUP BY h.doc_id
+), mass AS (
+  SELECT CAST(sum(tf) AS DOUBLE) AS m FROM postings
+), ctf AS (
+  SELECT word, CAST(sum(tf) AS DOUBLE) AS ctf FROM hits GROUP BY word
+), nq AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nq FROM ctf
+), ql AS MATERIALIZED (
+  SELECT h.doc_id,
+    round(sum(ln(1 + h.tf / ({_DIRICHLET_MU} * c.ctf / m.m)))
+          + any_value(q.nq)
+            * ln({_DIRICHLET_MU} / (l.doclen + {_DIRICHLET_MU})), 6) AS score
+  FROM hits h JOIN ctf c USING (word) JOIN doclens l USING (doc_id),
+       mass m, nq q
+  GROUP BY h.doc_id, l.doclen
+), rb AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm
+), rq AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM ql
+), u AS (
+  SELECT doc_id, 1.0 / ({_RRF_K0} + r) AS c FROM rb
+  UNION ALL
+  SELECT doc_id, 1.0 / ({_RRF_K0} + r) AS c FROM rq
+)
+SELECT doc_id, round(sum(c), 9) AS rrf_score,
+       CAST(count(*) AS INTEGER) AS runs_matched
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT {_RRF_K}
+"""
+
+
 _PHRASE = ["order", "sort"]
 
 
@@ -1047,7 +1127,6 @@ SELECT doc_id, start, n_hits AS hits, n_terms FROM best WHERE rn = 1
 """
 
 
-_DIRICHLET_MU = 100.0
 
 
 def lm_dirichlet_topk(spark, sf_dir):
@@ -8034,6 +8113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pruned_topk": bm25_pruned_topk,
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "rm3_expansion": rm3_expansion_q,
+        "rrf_fusion": rrf_fusion_q,
         "conjunctive_and_search": conjunctive_and_search,
         "champion_list_topk": champion_list_topk,
         "pmi_collocations": pmi_collocations_q,
@@ -8206,6 +8286,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_pruned_topk": _BM25_SQL,
         "lm_dirichlet_topk": _LM_DIRICHLET_SQL,
         "rm3_expansion": _RM3_SQL,
+        "rrf_fusion": _RRF_SQL,
         "conjunctive_and_search": _CONJUNCTIVE_SQL,
         "champion_list_topk": _CHAMPION_SQL,
         "pmi_collocations": _PMI_SQL,

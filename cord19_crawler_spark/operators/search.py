@@ -813,3 +813,56 @@ def rm3_expansion(
             F.col("_rm1").isNotNull().alias("from_feedback"),
         )
     )
+
+
+def rrf_fuse(
+    runs: list[DataFrame],
+    k0: int = 60,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k: int | None = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    fuse N retrieval runs for the same query by summing 1/(k0 + rank)
+    over the runs each document appears in — the standard hybrid-search
+    combiner (BM25 x QL, lexical x dense) that needs no score
+    calibration because it consumes only RANKS.
+
+    Pinned semantics: each run is ranked by (score desc, id asc) — runs
+    are expected to carry rounded scores, so ranks are reproducible
+    cross-engine; a doc absent from a run contributes nothing for it
+    (the paper's convention); rrf_score rounds to 9 and orders the
+    output with id tie-break.  Returns (doc_id, rrf_score,
+    runs_matched).
+
+    Scale shape: per-run ranking uses the two-phase range-partitioned
+    global rank (operators/ranking.py — no single-reducer window even
+    when a run has 10^8 matches); the fusion is one map-side-partial
+    aggregate on doc_id; ``k`` lowers to TakeOrderedAndProject.
+    """
+    if not runs:
+        raise ValueError("runs must be non-empty")
+    if k0 < 1:
+        raise ValueError(f"k0 must be >= 1, got {k0}")
+    from .ranking import global_row_number
+
+    fused = None
+    for run in runs:
+        ranked = global_row_number(
+            run.select(
+                F.col(id_col).alias("doc_id"), F.col(score_col).alias("_s")
+            ),
+            order_by=[F.desc("_s"), F.asc("doc_id")],
+            name="_r",
+            dtype="long",
+        ).select(
+            "doc_id",
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col("_r"))).alias("_c"),
+        )
+        fused = ranked if fused is None else fused.unionByName(ranked)
+    out = fused.groupBy("doc_id").agg(
+        F.round(F.sum("_c"), 9).alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("runs_matched"),
+    )
+    ordered = out.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return ordered if k is None else ordered.limit(k)

@@ -390,3 +390,45 @@ def test_rm3_flags_and_mass(spark):
         rm3_expansion(_postings(spark, rows), ["a"], lam=1.5)
     with pytest.raises(ValueError):
         rm3_expansion(_postings(spark, rows), ["a"], fb_docs=0)
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_known_values(spark):
+    from cord19_crawler_spark.operators.search import rrf_fuse
+
+    run1 = spark.createDataFrame(
+        [(1, 3.0), (2, 2.0), (3, 1.0)], "doc_id long, score double"
+    )
+    run2 = spark.createDataFrame(
+        [(2, 9.0), (3, 8.0), (4, 7.0)], "doc_id long, score double"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([run1, run2], k0=10, k=None).collect()}
+    assert out[2]["rrf_score"] == round(1 / 12 + 1 / 11, 9)
+    assert out[1]["rrf_score"] == round(1 / 11, 9)
+    assert out[4]["rrf_score"] == round(1 / 13, 9)
+    assert out[2]["runs_matched"] == 2 and out[1]["runs_matched"] == 1
+    # doc 2: rank 2 + rank 1 beats doc 1's single rank-1 appearance
+    top = rrf_fuse([run1, run2], k0=10, k=1).collect()[0]
+    assert top["doc_id"] == 2
+
+
+def test_rrf_fuse_tie_and_validation(spark):
+    import pytest
+
+    from cord19_crawler_spark.operators.search import rrf_fuse
+
+    # equal scores: rank order falls back to doc_id asc
+    run = spark.createDataFrame(
+        [(7, 1.0), (3, 1.0)], "doc_id long, score double"
+    )
+    out = rrf_fuse([run], k0=60, k=None).collect()
+    by = {r["doc_id"]: r["rrf_score"] for r in out}
+    assert by[3] == round(1 / 61, 9) and by[7] == round(1 / 62, 9)
+    with pytest.raises(ValueError):
+        rrf_fuse([], k0=60)
+    with pytest.raises(ValueError):
+        rrf_fuse([run], k0=0)
