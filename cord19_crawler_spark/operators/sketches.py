@@ -243,3 +243,31 @@ def hll_estimate_from_registers(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(e_raw)
     return s.select(*gb, "buckets_used", est.alias("hll_est"))
+
+
+def hll_estimate_py(registers, p: int) -> tuple[int, float]:
+    """Driver/state-side twin of :func:`hll_estimate_from_registers` —
+    the SAME integer harmonic sum and pinned literals, so a streaming
+    state function (or a test replay) produces estimates bit-identical
+    to the batch plan.  ``registers`` is a dense length-2^p sequence of
+    register values (0 = untouched).  Returns (buckets_used, hll_est).
+    """
+    w = HLL_HASH_BITS - p
+    m = 1 << p
+    if len(registers) != m:
+        raise ValueError(f"expected {m} registers, got {len(registers)}")
+    used = 0
+    s_present = 0
+    for r in registers:
+        if r > 0:
+            used += 1
+            s_present += 1 << (w + 1 - int(r))
+    numer = hll_alpha(p) * m * m * float(1 << (w + 1))
+    s_total = s_present + (m - used) * (1 << (w + 1))
+    e_raw = numer / float(s_total)
+    zeros = float(m - used)
+    if e_raw <= 2.5 * m and zeros > 0:
+        import math
+
+        return used, float(m) * math.log(float(m) / zeros)
+    return used, e_raw
