@@ -937,6 +937,81 @@ LIMIT 20
 """
 
 
+_BM25F_TITLE_LEN = 8
+_BM25F_WEIGHTS = {"title": 2.5, "body": 1.0}
+_BM25F_B = {"title": 0.5, "body": 0.75}
+
+
+def bm25f_fielded_topk(spark, sf_dir):
+    """BM25F fielded ranking (Robertson/Zaragoza/Taylor CIKM 2004): the
+    first 8 token positions are the 'title' field (weight 2.5, b 0.5),
+    the rest 'body' (1.0, 0.75); per-field length normalization and
+    weighting feed ONE k1 saturation. The oracle replays field lengths,
+    per-field avgdl, the any-field df/idf, and the fused scoring sum."""
+    from cord19_crawler_spark.operators.search import bm25f_search
+
+    toks = _tokens(spark, sf_dir)
+    fposts = (
+        toks.withColumn(
+            "field",
+            F.when(F.col("pos") < _BM25F_TITLE_LEN, F.lit("title")).otherwise(
+                F.lit("body")
+            ),
+        )
+        .groupBy("word", "doc_id", "field")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    d = _t(spark, sf_dir, "documents")
+    return bm25f_search(
+        fposts, _QUERY_TERMS, d, _BM25F_WEIGHTS, _BM25F_B, k1=1.2, k=20
+    )
+
+
+_BM25F_SQL = f"""
+WITH {_TOKENS_CTE},
+fposts AS (
+  SELECT word, doc_id,
+         CASE WHEN pos < {_BM25F_TITLE_LEN} THEN 'title' ELSE 'body' END AS field,
+         count(*) AS tf
+  FROM tokens GROUP BY 1, 2, 3
+), flens AS (
+  SELECT doc_id, field, sum(tf) AS flen FROM fposts GROUP BY 1, 2
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+), avglens AS (
+  SELECT field, CAST(sum(flen) AS DOUBLE) / (SELECT n FROM nn) AS avgfl
+  FROM flens GROUP BY field
+), hits AS (
+  SELECT * FROM fposts
+  WHERE word IN ({", ".join(f"'{t}'" for t in _QUERY_TERMS)})
+), dfs AS (
+  SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM hits GROUP BY word
+), wmap AS (
+  SELECT * FROM (VALUES
+    ('body', {_BM25F_WEIGHTS["body"]!r}, {_BM25F_B["body"]!r}),
+    ('title', {_BM25F_WEIGHTS["title"]!r}, {_BM25F_B["title"]!r})
+  ) AS t(field, wf, bf)
+), tfw AS (
+  SELECT h.word, h.doc_id,
+         sum(w.wf * h.tf / (1 - w.bf + w.bf * l.flen / a.avgfl)) AS tfw
+  FROM hits h
+  JOIN flens l USING (doc_id, field)
+  JOIN avglens a USING (field)
+  JOIN wmap w USING (field)
+  GROUP BY h.word, h.doc_id
+)
+SELECT t.doc_id,
+       round(sum(ln(1 + (nn.n - d.df + 0.5) / (d.df + 0.5))
+                 * t.tfw / (1.2 + t.tfw)), 6) AS score,
+       CAST(count(*) AS INTEGER) AS matched_terms
+FROM tfw t JOIN dfs d USING (word), nn
+GROUP BY t.doc_id
+ORDER BY score DESC, t.doc_id
+LIMIT 20
+"""
+
+
 _DIRICHLET_MU = 100.0
 _RRF_K0, _RRF_K = 60, 15
 
@@ -8110,6 +8185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_multiword_search": tfidf_multiword_search,
         "tfidf_all_matches": tfidf_all_matches,
         "bm25_search_topk": bm25_search_topk,
+        "bm25f_fielded_topk": bm25f_fielded_topk,
         "bm25_pruned_topk": bm25_pruned_topk,
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "rm3_expansion": rm3_expansion_q,
@@ -8283,6 +8359,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_multiword_search": _TFIDF_SQL,
         "tfidf_all_matches": _TFIDF_ALL_SQL,
         "bm25_search_topk": _BM25_SQL,
+        "bm25f_fielded_topk": _BM25F_SQL,
         "bm25_pruned_topk": _BM25_SQL,
         "lm_dirichlet_topk": _LM_DIRICHLET_SQL,
         "rm3_expansion": _RM3_SQL,

@@ -866,3 +866,116 @@ def rrf_fuse(
     )
     ordered = out.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
     return ordered if k is None else ordered.limit(k)
+
+
+def bm25f_search(
+    field_postings: DataFrame,
+    query_terms: list[str],
+    total_docs: int | DataFrame,
+    field_weights: dict[str, float],
+    field_b: dict[str, float],
+    k1: float = 1.2,
+    k: int | None = 20,
+) -> DataFrame:
+    """BM25F fielded ranking (Robertson, Zaragoza & Taylor, CIKM 2004
+    'Simple BM25 extension to multiple weighted fields') — the web-search
+    upgrade of flat BM25: term frequencies from structured fields
+    (title / body / anchor text) are length-normalized PER FIELD,
+    weighted, and summed into one pseudo-frequency BEFORE the k1
+    saturation, so a title hit is worth more than a body hit without
+    double-saturating.
+
+    Input is (word, doc_id, field, tf).  Pinned semantics
+    (oracle-replayable):
+
+      len(d,f)   = sum of tf over d's field-f postings
+      avglen(f)  = sum over docs of len(d,f) / N  (absent field = 0)
+      tf~(w,d)   = sum_f  w_f * tf / (1 - b_f + b_f * len(d,f)/avglen(f))
+      idf(w)     = ln(1 + (N - df + 0.5) / (df + 0.5)),  df counted over
+                   docs containing w in ANY field
+      score(d)   = sum over matched terms of idf * tf~ / (k1 + tf~)
+
+    rounded to 6, doc_id tie-break; ``matched_terms`` counts the
+    distinct matched query terms.  ``total_docs`` is a scalar or a
+    DataFrame counted in-plan (broadcast 1-row aggregate — same
+    contract as ``bm25_search``).
+
+    Scale shape (10^10 postings): the word filter pushes into the scan;
+    field lengths are ONE map-side-partial aggregate keyed (doc_id,
+    field); avglen collapses to an n_fields-row broadcast; the field
+    weight table is a literal broadcast; the only wide exchange is the
+    hits-to-field-lengths equi-join on (doc_id, field).  ``k`` lowers
+    to TakeOrderedAndProject.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    missing = set(field_weights) ^ set(field_b)
+    if missing:
+        raise ValueError(f"field_weights/field_b keys differ: {missing}")
+    spark = field_postings.sparkSession
+    terms_list = list(dict.fromkeys(query_terms))
+    terms = spark.createDataFrame([(t,) for t in terms_list], "word string")
+    if isinstance(total_docs, DataFrame):
+        n_df = total_docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    else:
+        n_df = spark.range(1).select(F.lit(float(total_docs)).alias("_n"))
+    flens = field_postings.groupBy("doc_id", "field").agg(
+        F.sum("tf").alias("_flen")
+    )
+    avglens = (
+        flens.groupBy("field")
+        .agg(F.sum("_flen").cast("double").alias("_sumfl"))
+        .crossJoin(F.broadcast(n_df))
+        .select("field", (F.col("_sumfl") / F.col("_n")).alias("_avgfl"))
+    )
+    wdf = spark.createDataFrame(
+        [
+            (f, float(field_weights[f]), float(field_b[f]))
+            for f in sorted(field_weights)
+        ],
+        "field string, _wf double, _bf double",
+    )
+    hits = field_postings.join(F.broadcast(terms), "word")
+    dfs = (
+        hits.select("word", "doc_id")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("double").alias("_df"))
+    )
+    tfw = (
+        hits.join(flens, ["doc_id", "field"])
+        .join(F.broadcast(avglens), "field")
+        .join(F.broadcast(wdf), "field")
+        .withColumn(
+            "_c",
+            F.col("_wf")
+            * F.col("tf")
+            / (
+                1.0
+                - F.col("_bf")
+                + F.col("_bf") * F.col("_flen") / F.col("_avgfl")
+            ),
+        )
+        .groupBy("word", "doc_id")
+        .agg(F.sum("_c").alias("_tfw"))
+    )
+    scored = (
+        tfw.join(F.broadcast(dfs), "word")
+        .crossJoin(F.broadcast(n_df))
+        .withColumn(
+            "_s",
+            F.log(
+                1.0
+                + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+            )
+            * F.col("_tfw")
+            / (F.lit(float(k1)) + F.col("_tfw")),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("_s"), 6).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("matched_terms"),
+        )
+    )
+    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+    return ordered if k is None else ordered.limit(k)

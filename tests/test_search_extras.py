@@ -432,3 +432,71 @@ def test_rrf_fuse_tie_and_validation(spark):
         rrf_fuse([], k0=60)
     with pytest.raises(ValueError):
         rrf_fuse([run], k0=0)
+
+
+# ---------------------------------------------------------------------------
+# BM25F fielded ranking
+# ---------------------------------------------------------------------------
+
+
+def test_bm25f_single_field_reduces_to_bm25(spark):
+    """With one field at weight 1 and matching b, BM25F's
+    tf~/(k1 + tf~) is exactly BM25's (k1+1)tf' / (tf' + k1) divided by
+    (k1+1) — the flat model is the single-field special case."""
+    from cord19_crawler_spark.operators.search import bm25f_search
+
+    rows = _rand_postings(5)
+    fielded = spark.createDataFrame(
+        [(w, d, "body", tf) for w, d, tf in rows],
+        "word string, doc_id long, field string, tf long",
+    )
+    terms = ["w0", "w3", "w7"]
+    flat = {
+        r["doc_id"]: (r["score"], r["matched_terms"])
+        for r in bm25_search(
+            _postings(spark, rows), terms, 40, k1=1.2, b=0.75, k=None
+        ).collect()
+    }
+    f = {
+        r["doc_id"]: (r["score"], r["matched_terms"])
+        for r in bm25f_search(
+            fielded, terms, 40, {"body": 1.0}, {"body": 0.75}, k1=1.2,
+            k=None,
+        ).collect()
+    }
+    assert set(f) == set(flat)
+    for d in f:
+        assert f[d][1] == flat[d][1]
+        assert f[d][0] * 2.2 == pytest.approx(flat[d][0], abs=5e-6)
+
+
+def test_bm25f_title_hits_outrank_body_hits(spark):
+    from cord19_crawler_spark.operators.search import bm25f_search
+
+    # two docs, identical shape; doc 1 has the query word in title,
+    # doc 2 in body; same total length
+    rows = [
+        ("q", 1, "title", 1), ("x", 1, "body", 9),
+        ("q", 2, "body", 1), ("x", 2, "body", 8), ("x", 2, "title", 1),
+    ]
+    fielded = spark.createDataFrame(
+        rows, "word string, doc_id long, field string, tf long"
+    )
+    out = bm25f_search(
+        fielded, ["q"], 2, {"title": 2.5, "body": 1.0},
+        {"title": 0.5, "body": 0.75}, k=None,
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1, 2]
+    assert out[0]["score"] > out[1]["score"]
+
+
+def test_bm25f_validation(spark):
+    from cord19_crawler_spark.operators.search import bm25f_search
+
+    df = spark.createDataFrame(
+        [("a", 1, "body", 1)], "word string, doc_id long, field string, tf long"
+    )
+    with pytest.raises(ValueError):
+        bm25f_search(df, [], 1, {"body": 1.0}, {"body": 0.75})
+    with pytest.raises(ValueError):
+        bm25f_search(df, ["a"], 1, {"body": 1.0}, {"title": 0.5})
