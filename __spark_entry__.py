@@ -937,6 +937,49 @@ LIMIT 20
 """
 
 
+def proximity_min_span_q(spark, sf_dir):
+    """Proximity retrieval (minimal cover span, Clarke et al. cover
+    density): docs containing ALL three query terms ranked by the
+    smallest position window covering one occurrence of each, computed
+    in one ordered pass via per-term conditional running maxes. The
+    oracle replays the same windowed scan with SQL window functions."""
+    from cord19_crawler_spark.operators.search import proximity_min_span
+
+    return proximity_min_span(_tokens(spark, sf_dir), _QUERY_TERMS, k=20)
+
+
+def _prox_sql() -> str:
+    lasts = ",\n         ".join(
+        f"max(CASE WHEN word = '{t}' THEN pos END) OVER wdef AS l{i}"
+        for i, t in enumerate(_QUERY_TERMS)
+    )
+    notnull = " AND ".join(f"l{i} IS NOT NULL" for i in range(len(_QUERY_TERMS)))
+    least = ", ".join(f"l{i}" for i in range(len(_QUERY_TERMS)))
+    return f"""
+WITH {_TOKENS_CTE},
+occ AS (
+  SELECT doc_id, pos, word FROM tokens
+  WHERE word IN ({", ".join(f"'{t}'" for t in _QUERY_TERMS)})
+), wl AS (
+  SELECT doc_id, pos,
+         {lasts}
+  FROM occ
+  WINDOW wdef AS (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+), spans AS (
+  SELECT doc_id, pos AS end_pos, pos - least({least}) + 1 AS span
+  FROM wl WHERE {notnull}
+), agg AS (
+  SELECT doc_id, min(span) AS min_span FROM spans GROUP BY doc_id
+)
+SELECT s.doc_id, CAST(a.min_span AS BIGINT) AS min_span,
+       CAST(min(s.end_pos) AS BIGINT) AS best_end
+FROM spans s JOIN agg a ON s.doc_id = a.doc_id AND s.span = a.min_span
+GROUP BY s.doc_id, a.min_span
+ORDER BY min_span, s.doc_id
+LIMIT 20
+"""
+
+
 _BM25F_TITLE_LEN = 8
 _BM25F_WEIGHTS = {"title": 2.5, "body": 1.0}
 _BM25F_B = {"title": 0.5, "body": 0.75}
@@ -8186,6 +8229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_all_matches": tfidf_all_matches,
         "bm25_search_topk": bm25_search_topk,
         "bm25f_fielded_topk": bm25f_fielded_topk,
+        "proximity_min_span": proximity_min_span_q,
         "bm25_pruned_topk": bm25_pruned_topk,
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "rm3_expansion": rm3_expansion_q,
@@ -8360,6 +8404,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_all_matches": _TFIDF_ALL_SQL,
         "bm25_search_topk": _BM25_SQL,
         "bm25f_fielded_topk": _BM25F_SQL,
+        "proximity_min_span": _prox_sql(),
         "bm25_pruned_topk": _BM25_SQL,
         "lm_dirichlet_topk": _LM_DIRICHLET_SQL,
         "rm3_expansion": _RM3_SQL,

@@ -979,3 +979,72 @@ def bm25f_search(
     )
     ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
     return ordered if k is None else ordered.limit(k)
+
+
+def proximity_min_span(
+    tokens: DataFrame,
+    query_terms: list[str],
+    k: int | None = 20,
+) -> DataFrame:
+    """Proximity retrieval: for every document containing ALL query
+    terms, the length of the smallest position window covering at least
+    one occurrence of each (the minimal cover span of Clarke et al.'s
+    cover-density family) — the classic "terms near each other" signal
+    between exact phrase match and bag-of-words.
+
+    Input is positional tokens (doc_id, pos, word).  The minimal span
+    is computed in ONE ordered pass per document: scanning occurrences
+    by position, keep a running last-seen position PER TERM (a
+    conditional running max); whenever every term has been seen, the
+    candidate span is cur_pos - min(last-seen) + 1; the answer is the
+    minimum candidate.  Returns (doc_id, min_span, best_end) ordered by
+    (min_span asc, doc_id asc) — ``best_end`` is the smallest window
+    END position achieving it (deterministic snippet anchor).
+
+    Scale shape (10^10 tokens): the term filter pushes into the scan
+    (|q| terms), so the windowed pass runs over MATCHED occurrences
+    only; the window partitions by doc_id (no global window), and the
+    final per-doc fold is a map-side-partial min.  ``k`` lowers to
+    TakeOrderedAndProject.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    from pyspark.sql import Window
+
+    spark = tokens.sparkSession
+    terms_list = list(dict.fromkeys(query_terms))
+    terms = spark.createDataFrame([(t,) for t in terms_list], "word string")
+    occ = tokens.join(F.broadcast(terms), "word").select(
+        "doc_id", "pos", "word"
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lasts = [
+        F.max(F.when(F.col("word") == t, F.col("pos"))).over(w).alias(f"_l{i}")
+        for i, t in enumerate(terms_list)
+    ]
+    with_last = occ.select("doc_id", "pos", *lasts)
+    last_cols = [F.col(f"_l{i}") for i in range(len(terms_list))]
+    earliest = F.least(*last_cols) if len(last_cols) > 1 else last_cols[0]
+    span = F.col("pos") - earliest + 1
+    # least() ignores NULLs in both Spark and DuckDB, so "all terms
+    # seen" must be an explicit conjunction, not least(...).isNotNull()
+    all_seen = F.lit(True)
+    for i in range(len(terms_list)):
+        all_seen = all_seen & F.col(f"_l{i}").isNotNull()
+    complete = with_last.filter(all_seen)
+    scored = (
+        complete.select("doc_id", span.alias("_span"), F.col("pos").alias("_end"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("_span").cast("long").alias("min_span"),
+            F.min_by(F.col("_end"), F.struct(F.col("_span"), F.col("_end")))
+            .cast("long")
+            .alias("best_end"),
+        )
+    )
+    ordered = scored.orderBy(F.asc("min_span"), F.asc("doc_id"))
+    return ordered if k is None else ordered.limit(k)

@@ -500,3 +500,66 @@ def test_bm25f_validation(spark):
         bm25f_search(df, [], 1, {"body": 1.0}, {"body": 0.75})
     with pytest.raises(ValueError):
         bm25f_search(df, ["a"], 1, {"body": 1.0}, {"title": 0.5})
+
+
+# ---------------------------------------------------------------------------
+# proximity minimal cover span
+# ---------------------------------------------------------------------------
+
+
+def test_proximity_min_span_planted(spark):
+    from cord19_crawler_spark.operators.search import proximity_min_span
+
+    docs = [
+        (1, "aa xx xx xx bb xx aa bb"),   # best window: aa(6) bb(7) -> 2
+        (2, "bb xx xx xx xx xx xx xx aa"),  # only cover: [0..8] -> 9
+        (3, "aa xx aa xx aa"),            # missing bb -> absent
+        (4, "bb aa"),                     # [0,1] -> 2
+    ]
+    toks = _tokens_df(spark, docs)
+    out = [tuple(r) for r in proximity_min_span(toks, ["aa", "bb"], k=None).collect()]
+    # (doc, min_span, best_end): ties on span order by doc_id
+    assert out == [(1, 2, 7), (4, 2, 1), (2, 9, 8)]
+
+
+def test_proximity_min_span_matches_bruteforce(spark):
+    import itertools
+
+    from cord19_crawler_spark.operators.search import proximity_min_span
+
+    rng = random.Random(19)
+    vocab = ["aa", "bb", "cc", "xx", "yy"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(30))) for i in range(12)
+    ]
+    terms = ["aa", "bb", "cc"]
+    want = {}
+    for d, text in docs:
+        toks = text.split()
+        pos = {t: [i for i, w in enumerate(toks) if w == t] for t in terms}
+        if any(not v for v in pos.values()):
+            continue
+        best = None
+        for combo in itertools.product(*pos.values()):
+            span = max(combo) - min(combo) + 1
+            end = max(combo)
+            if best is None or (span, end) < best:
+                best = (span, end)
+        want[d] = best
+    got = {
+        r["doc_id"]: (r["min_span"], r["best_end"])
+        for r in proximity_min_span(
+            _tokens_df(spark, docs), terms, k=None
+        ).collect()
+    }
+    assert got == want
+
+
+def test_proximity_single_term_and_validation(spark):
+    from cord19_crawler_spark.operators.search import proximity_min_span
+
+    toks = _tokens_df(spark, [(1, "aa xx aa")])
+    out = proximity_min_span(toks, ["aa"], k=None).collect()
+    assert [tuple(r) for r in out] == [(1, 1, 0)]
+    with pytest.raises(ValueError):
+        proximity_min_span(toks, [])
