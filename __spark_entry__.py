@@ -4663,6 +4663,42 @@ deg AS (
     return "".join(parts)
 
 
+def link_reciprocity_q(spark, sf_dir):
+    """Per-node link reciprocity (Davison SIGIR 2000): the fraction of
+    out-links reciprocated — link-exchange rings score near 1, organic
+    links near 0. One self-semi-join on the reversed edge pair over the
+    same synthetic link-graph family as the other link_* rows."""
+    from cord19_crawler_spark.operators.graph import link_reciprocity
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_orderkey") % 131).alias("src"),
+        (F.col("o_custkey") % 131).alias("dst"),
+    )
+    return link_reciprocity(edges)
+
+
+_RECIPROCITY_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_orderkey % 131 AS src, o_custkey % 131 AS dst
+  FROM orders WHERE o_orderkey % 131 <> o_custkey % 131
+), m AS (
+  SELECT e.src, CAST(count(*) AS BIGINT) AS mutual
+  FROM e WHERE EXISTS (
+    SELECT 1 FROM e b WHERE b.src = e.dst AND b.dst = e.src
+  )
+  GROUP BY e.src
+), o AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src
+)
+SELECT o.src AS node, o.outdeg,
+       coalesce(m.mutual, 0) AS mutual,
+       CAST(coalesce(m.mutual, 0) AS DOUBLE) / CAST(o.outdeg AS DOUBLE)
+         AS reciprocity
+FROM o LEFT JOIN m USING (src)
+"""
+
+
 _HB_RADIUS, _HB_P = 3, 6
 
 
@@ -8309,6 +8345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": link_hits_q,
         "link_salsa": link_salsa_q,
         "link_hyperball": link_hyperball_q,
+        "link_reciprocity": link_reciprocity_q,
         "link_opic": link_opic_q,
         "link_triangles": link_triangles_q,
         "link_kcore": link_kcore_q,
@@ -8481,6 +8518,7 @@ def oracle_sql() -> dict[str, str]:
         "link_hits": _hits_sql(),
         "link_salsa": _salsa_sql(),
         "link_hyperball": _hyperball_sql(),
+        "link_reciprocity": _RECIPROCITY_SQL,
         "link_opic": _opic_sql(),
         "link_triangles": _TRIANGLES_SQL,
         "link_kcore": _kcore_sql(),

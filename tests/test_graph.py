@@ -406,3 +406,19 @@ def test_hyperball_chain_and_validation(spark):
     assert out[5]["ball_est"] > 0
     with pytest.raises(ValueError):
         hyperball(chain, radius=0)
+
+
+def test_link_reciprocity_planted(spark):
+    from cord19_crawler_spark.operators.graph import link_reciprocity
+
+    # ring 1<->2 (full reciprocity), 3->1 one-way, 2->4 one-way,
+    # self-loop 5->5 dropped, duplicate edge collapsed
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 1), (3, 1), (2, 4), (5, 5)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r for r in link_reciprocity(edges).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["outdeg"], out[1]["mutual"], out[1]["reciprocity"]) == (1, 1, 1.0)
+    assert (out[2]["outdeg"], out[2]["mutual"], out[2]["reciprocity"]) == (2, 1, 0.5)
+    assert (out[3]["outdeg"], out[3]["mutual"], out[3]["reciprocity"]) == (1, 0, 0.0)
