@@ -2555,6 +2555,77 @@ WHERE round(common / (sa.n + sb.n - common), 6) >= 0.7
 """
 
 
+def minhash_error_q(spark, sf_dir):
+    """MinHash estimator accuracy (Broder 1997): per LSH candidate pair
+    (docs < 60, unigram shingles, 8 perms, 4 bands, uncapped), the
+    agreeing-permutation Jaccard estimate next to the exact shingle
+    Jaccard and the absolute error — the harness that sizes num_perm at
+    scale. The oracle replays signatures, banding, the candidate join,
+    the match count, and the exact verify."""
+    from cord19_crawler_spark.operators.dedup import minhash_estimate_error
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return minhash_estimate_error(
+        d, num_perm=8, bands=4, ngram=1, max_bucket_df=None
+    )
+
+
+def _minhash_error_sql() -> str:
+    params = minhash_params(8)
+    h = md5_long56_sql("shingle")
+    mins = ", ".join(
+        f"min({minhash_expr_sql(h, a, b)}) AS mh_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(mh_{2 * b} AS VARCHAR) || ':' || "
+        f"CAST(mh_{2 * b + 1} AS VARCHAR) AS key FROM sigs"
+        for b in range(4)
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+WITH shingles AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS shingle
+  FROM documents WHERE doc_id < 60
+),
+sigs AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         round(({match_sum}) / 8.0, 6) AS est_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS common
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+exact AS (
+  SELECT doc_a, doc_b,
+         round(common / (za.n + zb.n - common), 6) AS jaccard
+  FROM common
+  JOIN sizes za ON za.doc_id = doc_a
+  JOIN sizes zb ON zb.doc_id = doc_b
+)
+SELECT e.doc_a, e.doc_b, e.est_jaccard, x.jaccard,
+       round(abs(e.est_jaccard - x.jaccard), 6) AS abs_err
+FROM est e JOIN exact x USING (doc_a, doc_b)
+"""
+
+
 def dedup_minhash_lsh_capped(spark, sf_dir):
     """MinHash-LSH e2e WITH the hot-bucket guard (max_bucket_df=5): band
     buckets over 5 members are deterministically sub-sampled to their 5
@@ -8302,6 +8373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_vocab": set_ops_vocab,
         "dedup_minhash_signatures": dedup_minhash_signatures_q,
         "dedup_minhash_lsh_e2e": dedup_minhash_lsh_e2e,
+        "minhash_estimate_error": minhash_error_q,
         "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
         "dedup_embedding_cosine_capped": dedup_embedding_cosine_capped,
         "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
@@ -8476,6 +8548,7 @@ def oracle_sql() -> dict[str, str]:
         "set_ops_vocab": _SET_OPS_SQL,
         "dedup_minhash_signatures": _minhash_sql(),
         "dedup_minhash_lsh_e2e": _minhash_e2e_sql(),
+        "minhash_estimate_error": _minhash_error_sql(),
         "dedup_minhash_lsh_capped": _minhash_e2e_sql(max_bucket_df=5),
         "dedup_embedding_cosine_capped": _EMB_DEDUP_CAPPED_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,

@@ -1075,3 +1075,64 @@ def winnowing_fingerprints(
             F.col("_s.h").alias("fp"),
         )
     )
+
+
+def minhash_estimate_error(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    seed: int = 42,
+    bands: int = 4,
+    ngram: int = 1,
+    max_bucket_df: int | None = None,
+) -> DataFrame:
+    """Measure-don't-guess harness for the MinHash path: for every LSH
+    candidate pair, the signature-based Jaccard ESTIMATE (fraction of
+    agreeing permutations — the Broder 1997 unbiased estimator) next to
+    the EXACT shingle Jaccard, with the absolute error.  This is how a
+    100-TB run chooses num_perm/bands: the estimator's std error is
+    sqrt(J(1-J)/num_perm), and this operator reports the realized
+    distribution on the actual corpus instead of trusting the formula.
+
+    Returns (doc_a, doc_b, est_jaccard, jaccard, abs_err), all rounded
+    to 6.  Scale shape: the pair frame is LSH-bounded (banded buckets,
+    optionally capped), the signature re-join adds two hash joins on
+    doc ids, and the exact verify is the same two-semi-join plan as
+    ``verify_jaccard`` — nothing beyond the e2e dedup pipeline's cost.
+    """
+    sh = shingles(docs, id_col, text_col, ngram)
+    sigs = minhash_signatures(sh, num_perm=num_perm, seed=seed)
+    pairs = lsh_candidate_pairs(sigs, bands=bands, max_bucket_df=max_bucket_df)
+    mh_cols = [c for c in sigs.columns if c.startswith("mh_")]
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"a_{c}") for c in mh_cols],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"b_{c}") for c in mh_cols],
+    )
+    matches = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0)
+        for c in mh_cols
+    )
+    est = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(num_perm)), 6).alias("est_jaccard"),
+        )
+    )
+    exact = verify_jaccard(pairs, sh, threshold=0.0)
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias(
+            "abs_err"
+        ),
+    )

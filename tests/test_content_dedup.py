@@ -159,3 +159,43 @@ def test_open_adopts_content_dedup_facet(spark, tmp_path):
     assert resumed.cfg.extra.get("content_dedup") is True
     out = resumed.run(2)
     assert out[-1]["content_duplicates_skipped"] == 2  # the mirror pages
+
+
+# ---------------------------------------------------------------------------
+# minhash estimator accuracy harness
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_estimate_error_identical_and_disjoint(spark):
+    from pyspark.sql import functions as F
+
+    from cord19_crawler_spark.operators.dedup import minhash_estimate_error
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd"),
+            (2, "aa bb cc dd"),          # identical to 1 -> J = 1, est = 1
+            (3, "aa bb cc dd ee"),       # near-dup of 1/2
+            (4, "zz yy xx ww"),          # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in minhash_estimate_error(
+            docs, num_perm=8, bands=4, ngram=1
+        ).collect()
+    }
+    # identical docs: all permutations agree, exact J = 1, error 0
+    r12 = out[(1, 2)]
+    assert r12["est_jaccard"] == 1.0 and r12["jaccard"] == 1.0
+    assert r12["abs_err"] == 0.0
+    # every reported pair is an LSH candidate; errors bounded by 1
+    for r in out.values():
+        assert 0.0 <= r["abs_err"] <= 1.0
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["jaccard"])) < 1e-9
+    # disjoint doc 4 should not pair with 1 at these settings unless a
+    # band collides; if present its exact jaccard must be 0
+    for (a, b), r in out.items():
+        if 4 in (a, b) and (a in (1, 2, 3) or b in (1, 2, 3)):
+            assert r["jaccard"] == 0.0
