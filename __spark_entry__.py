@@ -937,6 +937,42 @@ LIMIT 20
 """
 
 
+_ZIPF_TOP_N = 500
+
+
+def zipf_fit_q(spark, sf_dir):
+    """Zipf rank-frequency fit over the top-500 vocabulary: LS slope and
+    intercept of ln(freq) vs ln(rank) via explicit normal-equation sums
+    (no engine regression aggregate) — the corpus-health diagnostic that
+    flags template/spam-flattened frequency curves. Ranks pinned by
+    (freq desc, word asc)."""
+    from cord19_crawler_spark.operators.termstats import zipf_fit
+
+    return zipf_fit(_tokens(spark, sf_dir), top_n=_ZIPF_TOP_N)
+
+
+_ZIPF_SQL = f"""
+WITH {_TOKENS_CTE},
+freqs AS (
+  SELECT word, count(*) AS freq FROM tokens GROUP BY word
+  ORDER BY freq DESC, word LIMIT {_ZIPF_TOP_N}
+), ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, word) AS rank
+  FROM freqs
+), xy AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+  FROM ranked
+)
+SELECT CAST(count(*) AS BIGINT) AS n_words,
+       round((count(*) * sum(x * y) - sum(x) * sum(y))
+             / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS slope,
+       round((sum(y) - ((count(*) * sum(x * y) - sum(x) * sum(y))
+                        / (count(*) * sum(x * x) - sum(x) * sum(x)))
+                       * sum(x)) / count(*), 6) AS intercept
+FROM xy
+"""
+
+
 def proximity_min_span_q(spark, sf_dir):
     """Proximity retrieval (minimal cover span, Clarke et al. cover
     density): docs containing ALL three query terms ranked by the
@@ -8337,6 +8373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_topk": bm25_search_topk,
         "bm25f_fielded_topk": bm25f_fielded_topk,
         "proximity_min_span": proximity_min_span_q,
+        "zipf_fit": zipf_fit_q,
         "bm25_pruned_topk": bm25_pruned_topk,
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "rm3_expansion": rm3_expansion_q,
@@ -8514,6 +8551,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search_topk": _BM25_SQL,
         "bm25f_fielded_topk": _BM25F_SQL,
         "proximity_min_span": _prox_sql(),
+        "zipf_fit": _ZIPF_SQL,
         "bm25_pruned_topk": _BM25_SQL,
         "lm_dirichlet_topk": _LM_DIRICHLET_SQL,
         "rm3_expansion": _RM3_SQL,

@@ -136,3 +136,83 @@ def tfidf_doc_keywords(
             F.round("_w", 6).alias("weight"),
         )
     )
+
+
+def zipf_fit(
+    tokens: DataFrame,
+    top_n: int = 500,
+    word_col: str = "word",
+) -> DataFrame:
+    """Zipf rank-frequency fit: least-squares slope of ln(freq) on
+    ln(rank) over the ``top_n`` most frequent words — the classic corpus
+    health diagnostic (natural text sits near slope -1; boilerplate,
+    template farms, and machine-generated spam flatten or steepen the
+    curve, cf. Gopher's repetition analyses).  Returns ONE row
+    (n_words, slope, intercept), rounded to 6.
+
+    Pinned semantics: ranks are 1-based over (freq desc, word asc) —
+    fully deterministic cross-engine; the fit uses the explicit
+    normal-equation sums (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²), NOT an
+    engine-specific regression aggregate, so both engines sum the same
+    per-word terms.
+
+    Scale shape (10^11 tokens): the frequency table is one
+    map-side-partial aggregate; the top-N cut is TakeOrderedAndProject
+    (N rows to the driver side of the plan, never the vocabulary); the
+    fit itself is a 1-row aggregate over N rows.  Ranking the tiny
+    top-N frame uses a plain window — bounded at N rows by
+    construction.
+    """
+    if top_n < 2:
+        raise ValueError(f"top_n must be >= 2, got {top_n}")
+    from pyspark.sql import Window
+
+    freqs = (
+        tokens.groupBy(F.col(word_col).alias("word"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(top_n)
+    )
+    # N rows max — a window here is bounded, not a global-rank hazard
+    ranked = freqs.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("freq"), F.asc("word"))
+        ),
+    )
+    xy = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    return xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.round(
+            (
+                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+                - F.sum("x") * F.sum("y")
+            )
+            / (
+                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x")
+            ),
+            6,
+        ).alias("slope"),
+        F.round(
+            (
+                F.sum("y")
+                - (
+                    (
+                        F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+                        - F.sum("x") * F.sum("y")
+                    )
+                    / (
+                        F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+                        - F.sum("x") * F.sum("x")
+                    )
+                )
+                * F.sum("x")
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("intercept"),
+    )

@@ -204,3 +204,28 @@ def test_bpe_token_count_parity_and_values(spark):
             f"SELECT len(regexp_extract_all(?, '{pat}'))", [c]
         ).fetchone()
         assert n == got[i], (c, n, got[i])
+
+
+def test_zipf_fit_planted_power_law(spark):
+    """A corpus whose frequencies are exactly freq = 1000 / rank fits
+    slope -1, intercept ln(1000)."""
+    import math
+
+    import pytest
+
+    from cord19_crawler_spark.operators.termstats import zipf_fit
+
+    rows = []
+    for rank in range(1, 21):
+        freq = round(1000 / rank)
+        rows += [(f"w{rank:03d}_{'x' * rank}",)] * freq
+    # distinct words with strictly decreasing counts; word names chosen
+    # so freq ties cannot occur (freq differs for every rank here)
+    toks = spark.createDataFrame(rows, "word string")
+    out = zipf_fit(toks, top_n=20).collect()[0]
+    assert out["n_words"] == 20
+    # rounding of 1000/rank distorts slightly; generous tolerance
+    assert out["slope"] == pytest.approx(-1.0, abs=0.01)
+    assert out["intercept"] == pytest.approx(math.log(1000), abs=0.05)
+    with pytest.raises(ValueError):
+        zipf_fit(toks, top_n=1)
