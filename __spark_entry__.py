@@ -964,11 +964,13 @@ freqs AS (
   FROM ranked
 )
 SELECT CAST(count(*) AS BIGINT) AS n_words,
-       round((count(*) * sum(x * y) - sum(x) * sum(y))
-             / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS slope,
-       round((sum(y) - ((count(*) * sum(x * y) - sum(x) * sum(y))
-                        / (count(*) * sum(x * x) - sum(x) * sum(x)))
-                       * sum(x)) / count(*), 6) AS intercept
+       CASE WHEN count(*) >= 2 THEN
+         round((count(*) * sum(x * y) - sum(x) * sum(y))
+               / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) END AS slope,
+       CASE WHEN count(*) >= 2 THEN
+         round((sum(y) - ((count(*) * sum(x * y) - sum(x) * sum(y))
+                          / (count(*) * sum(x * x) - sum(x) * sum(x)))
+                         * sum(x)) / count(*), 6) END AS intercept
 FROM xy
 """
 
@@ -1895,7 +1897,7 @@ def _hll_sql() -> str:
 WITH h AS (
   SELECT event_type,
          CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ), r AS (
   SELECT event_type, h >> {w} AS bucket,
          CASE WHEN h % {1 << w} = 0 THEN {w + 1}
@@ -2656,9 +2658,10 @@ exact AS (
   JOIN sizes za ON za.doc_id = doc_a
   JOIN sizes zb ON zb.doc_id = doc_b
 )
-SELECT e.doc_a, e.doc_b, e.est_jaccard, x.jaccard,
-       round(abs(e.est_jaccard - x.jaccard), 6) AS abs_err
-FROM est e JOIN exact x USING (doc_a, doc_b)
+SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       coalesce(x.jaccard, 0) AS jaccard,
+       round(abs(e.est_jaccard - coalesce(x.jaccard, 0)), 6) AS abs_err
+FROM est e LEFT JOIN exact x USING (doc_a, doc_b)
 """
 
 

@@ -1126,13 +1126,20 @@ def minhash_estimate_error(
             F.round(matches / F.lit(float(num_perm)), 6).alias("est_jaccard"),
         )
     )
+    # LEFT join + coalesce(0): a candidate pair with ZERO common
+    # shingles (band collision between disjoint docs) has no row in the
+    # exact-verify frame — it is exactly the maximum-error pair this
+    # harness exists to surface, so it must report jaccard=0, not vanish
     exact = verify_jaccard(pairs, sh, threshold=0.0)
-    return est.join(exact, ["doc_a", "doc_b"]).select(
+    return est.join(exact, ["doc_a", "doc_b"], "left").select(
         "doc_a",
         "doc_b",
         "est_jaccard",
-        "jaccard",
-        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias(
-            "abs_err"
-        ),
+        F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+        F.round(
+            F.abs(
+                F.col("est_jaccard") - F.coalesce("jaccard", F.lit(0.0))
+            ),
+            6,
+        ).alias("abs_err"),
     )

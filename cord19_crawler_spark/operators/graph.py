@@ -1114,16 +1114,30 @@ def kcore(
             ce.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
         )
     )
+    converged = False
     for _ in range(max_rounds):
-        deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("_deg"))
+        # truncate the degree frame eagerly so the early-exit count and
+        # the keep semi-joins share ONE aggregation, not two
+        deg = _ckpt(adj.groupBy("node").agg(F.count(F.lit(1)).alias("_deg")))
         doomed = deg.filter(F.col("_deg") < k)
         if doomed.limit(1).count() == 0:
+            converged = True
             break
         keep = deg.filter(F.col("_deg") >= k).select("node")
         adj = _ckpt(
             adj.join(keep, "node", "semi").join(
                 keep.withColumnRenamed("node", "nbr"), "nbr", "semi"
             )
+        )
+    if not converged:
+        # an exhausted round budget means the remaining subgraph still
+        # has sub-k nodes — returning it would violate the documented
+        # 'min degree >= k' invariant (same contract as
+        # connected_components' fail-loud non-convergence)
+        raise RuntimeError(
+            f"kcore did not converge within max_rounds={max_rounds}; "
+            "raise max_rounds (deep peel cascades, e.g. long paths, "
+            "strip O(1) nodes per round)"
         )
     return adj.groupBy("node").agg(
         F.count(F.lit(1)).alias("core_degree")
@@ -1179,6 +1193,11 @@ def salsa(
     )
     n_auth = indeg.count()
     n_hub = outdeg.count()
+    if n_auth == 0 or n_hub == 0:
+        raise ValueError(
+            "salsa: edge set is empty after dropping self-loops — "
+            "no authorities/hubs to walk over"
+        )
     auth = _ckpt(
         indeg.select("node", "ind", F.lit(1.0 / n_auth).alias("authority"))
     )
@@ -1224,16 +1243,12 @@ def salsa(
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("_t").alias("hub"))
         )
-        both = _ckpt(
-            indeg.join(a_new, "node")
-            .join(outdeg.join(h_new, "node"), "node", "full")
-        )
-        auth = both.filter(F.col("ind").isNotNull()).select(
-            "node", "ind", "authority"
-        )
-        hub = both.filter(F.col("outd").isNotNull()).select(
-            "node", "outd", "hub"
-        )
+        # membership is FIXED (authorities = indeg>0 nodes, hubs =
+        # outdeg>0 nodes, and every member receives positive mass each
+        # round — see the inner-join argument in the docstring), so the
+        # two chains update independently: no cross-side join needed
+        auth = _ckpt(indeg.join(a_new, "node"))
+        hub = _ckpt(outdeg.join(h_new, "node"))
     return (
         auth.select("node", "authority")
         .join(hub.select("node", "hub"), "node", "full")

@@ -892,7 +892,13 @@ def bm25f_search(
       avglen(f)  = sum over docs of len(d,f) / N  (absent field = 0)
       tf~(w,d)   = sum_f  w_f * tf / (1 - b_f + b_f * len(d,f)/avglen(f))
       idf(w)     = ln(1 + (N - df + 0.5) / (df + 0.5)),  df counted over
-                   docs containing w in ANY field
+                   docs containing w in ANY CONFIGURED field
+
+    Postings whose ``field`` has no entry in ``field_weights`` are
+    EXCLUDED consistently — from the tf~ sum, the field lengths, and
+    the df/idf counts — so an unconfigured field never contributes to a
+    doc's score in one place while silently depressing idf in another
+    (a typo'd field name changes nothing rather than corrupting scores).
       score(d)   = sum over matched terms of idf * tf~ / (k1 + tf~)
 
     rounded to 6, doc_id tie-break; ``matched_terms`` counts the
@@ -919,6 +925,11 @@ def bm25f_search(
         n_df = total_docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     else:
         n_df = spark.range(1).select(F.lit(float(total_docs)).alias("_n"))
+    # consistent scope: only configured fields exist downstream (see
+    # docstring) — an isin literal filter, pushed into the scan
+    field_postings = field_postings.filter(
+        F.col("field").isin(sorted(field_weights))
+    )
     flens = field_postings.groupBy("doc_id", "field").agg(
         F.sum("tf").alias("_flen")
     )

@@ -30,6 +30,25 @@ def _norm(v):
     )
 
 
+def _dotd(a, b):
+    """Dot product with per-element widening to double BEFORE the
+    multiply — the cross-engine-exact variant (float*float then widen
+    differs in the last ulp from widen-then-multiply); one definition
+    shared by every oracle-matched pairwise operator."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sqd(v):
+    """Squared L2 norm with the same per-element double widening."""
+    return F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+
+
 def cosine_expr(vec_col: str, query: list[float]):
     q = F.array(*[F.lit(float(x)) for x in query])
     v = F.col(vec_col)
@@ -443,23 +462,17 @@ def hard_negatives(
         F.col(vec_col).alias("_v"),
         F.col(label_col).alias("_lbl"),
     )
-    dot = F.aggregate(
-        F.zip_with("_v", "_av", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    sq = lambda col: F.aggregate(  # noqa: E731
-        col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-    )
     pairs = (
         c.crossJoin(F.broadcast(a))
         .filter(F.col("_lbl") != F.col("_albl"))
         .select(
             "anchor_id",
             "neg_id",
-            F.round(dot / (F.sqrt(sq("_v")) * F.sqrt(sq("_av"))), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                _dotd(F.col("_v"), F.col("_av"))
+                / (F.sqrt(_sqd(F.col("_v"))) * F.sqrt(_sqd(F.col("_av")))),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("anchor_id").orderBy(
@@ -509,23 +522,17 @@ def ann_recall_at_k(
         F.col(vec_col).alias("_v"),
         sign_bucket_expr(vec_col, bucket_dims).alias("_nb"),
     )
-    dot = F.aggregate(
-        F.zip_with("_v", "_av", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    sq = lambda col: F.aggregate(  # noqa: E731
-        col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-    )
     pairs = (
         c.crossJoin(F.broadcast(a))
         .filter(F.col("nid") != F.col("anchor_id"))
         .select(
             "anchor_id",
             "nid",
-            F.round(dot / (F.sqrt(sq("_v")) * F.sqrt(sq("_av"))), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                _dotd(F.col("_v"), F.col("_av"))
+                / (F.sqrt(_sqd(F.col("_v"))) * F.sqrt(_sqd(F.col("_av")))),
+                6,
+            ).alias("cosine"),
             F.bit_count(
                 F.col("_nb").bitwiseXOR(F.col("_ab"))
             ).alias("_hd"),

@@ -157,8 +157,30 @@ def hll_registers(
     every register and the estimate exactly.
 
     Returns (group_cols..., bucket, m) with m >= 1; buckets the stream
-    never touched are ABSENT (their register is implicitly 0).
+    never touched are ABSENT (their register is implicitly 0).  NULL
+    keys are dropped before hashing (a NULL hash would otherwise create
+    a NULL-bucket register that inflates buckets_used while adding
+    nothing to the harmonic sum — a silently biased estimate).
     """
+    bucket, rank = hll_cell_exprs(key_col, p)
+    return (
+        items.filter(F.col(key_col).isNotNull())
+        .select(
+            *group_cols,
+            bucket.alias("bucket"),
+            rank.alias("_rank"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rank").alias("m"))
+    )
+
+
+def hll_cell_exprs(key_col: str, p: int):
+    """The pinned (bucket, rank) cell expressions — ONE definition shared
+    by the batch register build and the streaming state operator
+    (streaming/sketch.py), so the two paths cannot drift and the
+    bit-identical batch/stream parity holds by construction.  Callers
+    must drop NULL keys first (md5 of NULL is NULL)."""
     if not (4 <= p <= 18):
         raise ValueError(f"p must be in [4, 18], got {p}")
     w = HLL_HASH_BITS - p  # suffix width; rank range is 1..w+1
@@ -167,15 +189,7 @@ def hll_registers(
     rank = F.when(suffix == 0, F.lit(w + 1)).otherwise(
         F.lit(w + 1) - F.length(F.bin(suffix))
     )
-    return (
-        items.select(
-            *group_cols,
-            F.shiftright(h, w).alias("bucket"),
-            rank.cast("int").alias("_rank"),
-        )
-        .groupBy(*group_cols, "bucket")
-        .agg(F.max("_rank").alias("m"))
-    )
+    return F.shiftright(h, w), rank.cast("int")
 
 
 def hll_alpha(p: int) -> float:

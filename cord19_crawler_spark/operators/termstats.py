@@ -184,35 +184,17 @@ def zipf_fit(
         F.log(F.col("rank").cast("double")).alias("x"),
         F.log(F.col("freq").cast("double")).alias("y"),
     )
+    n = F.count(F.lit(1))
+    slope = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    intercept = (F.sum("y") - slope * F.sum("x")) / n
+    # a 1-word corpus makes the normal-equation denominator exactly 0
+    # (x = ln(1) = 0 everywhere): report NULL, never a silent NaN that
+    # would defeat downstream threshold alerts
+    fit_ok = n >= 2
     return xy.agg(
-        F.count(F.lit(1)).cast("long").alias("n_words"),
-        F.round(
-            (
-                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
-                - F.sum("x") * F.sum("y")
-            )
-            / (
-                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
-                - F.sum("x") * F.sum("x")
-            ),
-            6,
-        ).alias("slope"),
-        F.round(
-            (
-                F.sum("y")
-                - (
-                    (
-                        F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
-                        - F.sum("x") * F.sum("y")
-                    )
-                    / (
-                        F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
-                        - F.sum("x") * F.sum("x")
-                    )
-                )
-                * F.sum("x")
-            )
-            / F.count(F.lit(1)),
-            6,
-        ).alias("intercept"),
+        n.cast("long").alias("n_words"),
+        F.when(fit_ok, F.round(slope, 6)).alias("slope"),
+        F.when(fit_ok, F.round(intercept, 6)).alias("intercept"),
     )

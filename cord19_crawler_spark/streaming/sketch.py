@@ -26,8 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..functions.hashes import md5_long56
-from ..operators.sketches import HLL_HASH_BITS, hll_estimate_py
+from ..operators.sketches import hll_cell_exprs, hll_estimate_py
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -45,21 +44,15 @@ STATE_SCHEMA = T.StructType(
 def with_hll_cells(
     stream: DataFrame, key_col: str, group_col: str, p: int = 10
 ) -> DataFrame:
-    """Scan-side (JVM, codegen) bucket/rank cells — the same pinned
-    expressions as ``hll_registers``, shared so the streaming and batch
-    paths cannot drift."""
-    if not (4 <= p <= 18):
-        raise ValueError(f"p must be in [4, 18], got {p}")
-    w = HLL_HASH_BITS - p
-    h = md5_long56(F.col(key_col).cast("string"))
-    suffix = h % F.lit(1 << w)
-    rank = F.when(suffix == 0, F.lit(w + 1)).otherwise(
-        F.lit(w + 1) - F.length(F.bin(suffix))
-    )
-    return stream.select(
+    """Scan-side (JVM, codegen) bucket/rank cells via the SHARED
+    ``hll_cell_exprs`` (one definition with the batch register build —
+    parity by construction, not by copy).  NULL keys dropped, matching
+    the batch operator."""
+    bucket, rank = hll_cell_exprs(key_col, p)
+    return stream.filter(F.col(key_col).isNotNull()).select(
         F.col(group_col).cast("string").alias("group"),
-        F.shiftright(h, w).cast("int").alias("bucket"),
-        rank.cast("int").alias("rank"),
+        bucket.cast("int").alias("bucket"),
+        rank.alias("rank"),
     )
 
 

@@ -199,3 +199,23 @@ def test_minhash_estimate_error_identical_and_disjoint(spark):
     for (a, b), r in out.items():
         if 4 in (a, b) and (a in (1, 2, 3) or b in (1, 2, 3)):
             assert r["jaccard"] == 0.0
+
+
+def test_minhash_estimate_error_band_collision_pair_not_dropped(spark):
+    """Two disjoint single-shingle docs whose shingle hashes are
+    congruent mod the MinHash prime agree on EVERY permutation: the LSH
+    pairs them (est = 1) while true Jaccard is 0 — the maximum-error
+    pair must be REPORTED (jaccard 0, abs_err 1), not dropped by the
+    exact-verify join."""
+    from cord19_crawler_spark.operators.dedup import minhash_estimate_error
+
+    # md5_long56('w46609') ≡ md5_long56('w77292') (mod 2^31-1)
+    docs = spark.createDataFrame(
+        [(1, "w46609"), (2, "w77292")], "doc_id long, text string"
+    )
+    out = minhash_estimate_error(docs, num_perm=8, bands=4, ngram=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["est_jaccard"] == 1.0
+    assert r["jaccard"] == 0.0 and r["abs_err"] == 1.0

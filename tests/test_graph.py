@@ -422,3 +422,21 @@ def test_link_reciprocity_planted(spark):
     assert (out[1]["outdeg"], out[1]["mutual"], out[1]["reciprocity"]) == (1, 1, 1.0)
     assert (out[2]["outdeg"], out[2]["mutual"], out[2]["reciprocity"]) == (2, 1, 0.5)
     assert (out[3]["outdeg"], out[3]["mutual"], out[3]["reciprocity"]) == (1, 0, 0.0)
+
+
+def test_kcore_nonconvergence_fails_loud(spark):
+    from cord19_crawler_spark.operators.graph import kcore
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(path, k=2, max_rounds=3)
+
+
+def test_salsa_empty_after_canon_fails_loud(spark):
+    from cord19_crawler_spark.operators.graph import salsa
+
+    only_loops = spark.createDataFrame([(5, 5)], "src long, dst long")
+    with pytest.raises(ValueError, match="empty"):
+        salsa(only_loops)

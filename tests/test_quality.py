@@ -229,3 +229,12 @@ def test_zipf_fit_planted_power_law(spark):
     assert out["intercept"] == pytest.approx(math.log(1000), abs=0.05)
     with pytest.raises(ValueError):
         zipf_fit(toks, top_n=1)
+
+
+def test_zipf_fit_degenerate_single_word_returns_null(spark):
+    from cord19_crawler_spark.operators.termstats import zipf_fit
+
+    toks = spark.createDataFrame([("aa",)] * 7, "word string")
+    out = zipf_fit(toks, top_n=10).collect()[0]
+    assert out["n_words"] == 1
+    assert out["slope"] is None and out["intercept"] is None

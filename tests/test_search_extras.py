@@ -563,3 +563,22 @@ def test_proximity_single_term_and_validation(spark):
     assert [tuple(r) for r in out] == [(1, 1, 0)]
     with pytest.raises(ValueError):
         proximity_min_span(toks, [])
+
+
+def test_bm25f_unconfigured_field_fully_excluded(spark):
+    """A field absent from field_weights contributes to NOTHING: a doc
+    matched only there is absent, and df/idf are unchanged vs a corpus
+    without that field at all."""
+    from cord19_crawler_spark.operators.search import bm25f_search
+
+    base = [("q", 1, "body", 2), ("x", 1, "body", 5), ("q", 2, "body", 1)]
+    extra = base + [("q", 3, "anchor", 9), ("x", 2, "anchor", 4)]
+    cfg = ({"body": 1.0}, {"body": 0.75})
+    a = [tuple(r) for r in bm25f_search(
+        spark.createDataFrame(base, "word string, doc_id long, field string, tf long"),
+        ["q"], 3, *cfg, k=None).collect()]
+    b = [tuple(r) for r in bm25f_search(
+        spark.createDataFrame(extra, "word string, doc_id long, field string, tf long"),
+        ["q"], 3, *cfg, k=None).collect()]
+    assert a == b
+    assert {r[0] for r in b} == {1, 2}  # doc 3 (anchor-only) absent

@@ -172,3 +172,16 @@ def test_hll_p_validation(spark):
         hll_registers(_keys(spark, ["a"]), "k", ("g",), p=3)
     with pytest.raises(ValueError):
         hll_registers(_keys(spark, ["a"]), "k", ("g",), p=19)
+
+
+def test_hll_null_keys_dropped(spark):
+    """NULL keys must not inflate buckets_used or bias the estimate."""
+    from cord19_crawler_spark.operators.sketches import hll_cardinality
+
+    clean = _keys(spark, [f"u{i}" for i in range(100)])
+    dirty = clean.unionByName(
+        spark.createDataFrame([("g", None)] * 5, "g string, k string")
+    )
+    a = hll_cardinality(clean, "k", ("g",), p=10).collect()[0]
+    b = hll_cardinality(dirty, "k", ("g",), p=10).collect()[0]
+    assert (a["buckets_used"], a["hll_est"]) == (b["buckets_used"], b["hll_est"])
