@@ -5172,6 +5172,52 @@ FROM corners GROUP BY node
 """
 
 
+def link_clustering_q(spark, sf_dir):
+    """Per-node local clustering coefficient C = 2T/(d(d-1))
+    (Watts-Strogatz; with the raw triangle count it is the
+    Becchetti KDD 2008 spam feature pair) over the SAME synthetic graph
+    as link_triangles. C is an exact small-integer ratio — no rounding
+    needed for cross-engine equality; d<2 nodes pin C=0."""
+    from cord19_crawler_spark.operators.graph import clustering_coefficient
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 120).alias("src"),
+        (F.col("o_orderkey") % 137).alias("dst"),
+    )
+    return clustering_coefficient(edges)
+
+
+_CLUSTERING_SQL = """
+WITH raw AS (
+  SELECT o_custkey % 120 AS s, o_orderkey % 137 AS d FROM orders
+), ce AS MATERIALIZED (
+  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+  FROM raw WHERE s <> d
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM ce UNION ALL SELECT b FROM ce
+  ) GROUP BY node
+), tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ce e1 JOIN ce e2 ON e2.a = e1.b
+       JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
+), tcount AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, d.degree, coalesce(t.triangles, 0) AS triangles,
+       CASE WHEN d.degree >= 2 THEN
+         2.0 * coalesce(t.triangles, 0)
+           / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+       ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN tcount t USING (node)
+"""
+
+
 def link_cocitation_q(spark, sf_dir):
     """Co-citation pair strengths (Small JASIS 1973): pages cited
     together by the same source, over a deterministic synthetic link
@@ -8460,6 +8506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_reciprocity": link_reciprocity_q,
         "link_opic": link_opic_q,
         "link_triangles": link_triangles_q,
+        "link_clustering_coeff": link_clustering_q,
         "link_kcore": link_kcore_q,
         "link_cocitation": link_cocitation_q,
         "link_coupling_capped": link_coupling_capped_q,
@@ -8635,6 +8682,7 @@ def oracle_sql() -> dict[str, str]:
         "link_reciprocity": _RECIPROCITY_SQL,
         "link_opic": _opic_sql(),
         "link_triangles": _TRIANGLES_SQL,
+        "link_clustering_coeff": _CLUSTERING_SQL,
         "link_kcore": _kcore_sql(),
         "link_cocitation": _COCITATION_SQL,
         "link_coupling_capped": _COUPLING_CAPPED_SQL,

@@ -54,6 +54,11 @@ __all__ = [
     "domain_link_graph",
     "triangle_count",
     "copair_counts",
+    "kcore",
+    "salsa",
+    "hyperball",
+    "link_reciprocity",
+    "clustering_coefficient",
 ]
 
 
@@ -1384,4 +1389,51 @@ def link_reciprocity(
                 / F.col("outdeg").cast("double")
             ).alias("reciprocity"),
         )
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node local clustering coefficient on the undirected link
+    graph: C(v) = 2·T(v) / (d(v)·(d(v)−1)) — the Watts–Strogatz local
+    density that, with the raw triangle count, forms the
+    Becchetti et al. (KDD 2008) web-spam feature pair: link farms show
+    high C at high degree, organic hubs show low C.
+
+    Pinned semantics: degrees and triangles over the canonical
+    undirected simple graph (parallel edges/self-loops collapsed);
+    nodes with d < 2 get C = 0 (standard convention); every node with
+    >= 1 edge appears.  C is an exact small-integer ratio (2T and
+    d(d−1) are exact longs), so the double is cross-engine identical
+    with no rounding.
+
+    Scale shape (10^10 edges): the degree table is ONE
+    map-side-partial aggregate; triangles come from the
+    degree-oriented compact-forward plan (``triangle_count``); the
+    final join is degree-frame x triangle-frame on node — both
+    node-sized, never edge-sized.
+    """
+    ce = _canon_edges(edges, src, dst)
+    deg = (
+        ce.select(F.col("src").alias("node"))
+        .union(ce.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_count(ce)
+    t = F.coalesce(F.col("triangles"), F.lit(0).cast("long"))
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        t.alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            (F.lit(2.0) * t.cast("double"))
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
     )

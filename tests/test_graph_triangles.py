@@ -97,3 +97,21 @@ def test_copair_hot_key_cap_bites(spark):
 def test_copair_mode_validation(spark):
     with pytest.raises(ValueError):
         copair_counts(_edges(spark, [(1, 2)]), mode="nope")
+
+
+def test_clustering_coefficient_planted(spark):
+    from cord19_crawler_spark.operators.graph import clustering_coefficient
+
+    # 4-clique (C=1 everywhere) + pendant 9 on node 0 + isolated edge 7-8
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(
+        k4 + [(0, 9), (7, 8)], "src long, dst long"
+    )
+    out = {r["node"]: r for r in clustering_coefficient(edges).collect()}
+    # clique interior: d=3, T=3 -> C=1; node 0: d=4, T=3 -> 2*3/12=0.5
+    for n in (1, 2, 3):
+        assert (out[n]["degree"], out[n]["triangles"], out[n]["clustering"]) == (3, 3, 1.0)
+    assert (out[0]["degree"], out[0]["triangles"], out[0]["clustering"]) == (4, 3, 0.5)
+    # pendant and isolated edge: d=1 -> C=0, zero triangles, still present
+    for n in (9, 7, 8):
+        assert (out[n]["degree"], out[n]["triangles"], out[n]["clustering"]) == (1, 0, 0.0)
