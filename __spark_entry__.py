@@ -2030,14 +2030,14 @@ _CANON_URL_SQL_EXPR = """
 
 def frontier_canonicalize(spark, sf_dir):
     """P1 analogue (THE canonicalization kernel): messy URL variants →
-    canonical form via the vectorized pandas UDF; oracle constructs the
-    canonical string directly."""
-    _ensure_workers(spark)
-    from cord19_crawler_spark.functions.urls import canonicalize_url
+    canonical form via the pure-Catalyst canonicalizer (codegen'd, no
+    Python boundary — equality with the pandas kernel on this grammar is
+    test-pinned); oracle constructs the canonical string directly."""
+    from cord19_crawler_spark.functions.urls import canonicalize_url_sql
 
     m = _messy_urls(spark, sf_dir)
     return (
-        m.select(canonicalize_url(F.col("raw_url")).alias("url"))
+        m.select(canonicalize_url_sql(F.col("raw_url")).alias("url"))
         .groupBy("url")
         .agg(F.count(F.lit(1)).alias("n_raw"))
         .orderBy("url")
@@ -2057,12 +2057,11 @@ def frontier_indegree_priority(spark, sf_dir):
     URL reference counts on the dedup shuffle key, log1p-damped priority,
     deterministic top-20 (priority DESC, url ASC — the scheduler's total
     order). Oracle replays canonicalization + ln(1+refs) in DuckDB."""
-    _ensure_workers(spark)
-    from cord19_crawler_spark.functions.urls import canonicalize_url
+    from cord19_crawler_spark.functions.urls import canonicalize_url_sql
 
     m = _messy_urls(spark, sf_dir)
     counted = (
-        m.select(canonicalize_url(F.col("raw_url")).alias("url"))
+        m.select(canonicalize_url_sql(F.col("raw_url")).alias("url"))
         .groupBy("url")
         .agg(F.count(F.lit(1)).alias("refs"))
     )
@@ -2089,12 +2088,11 @@ SELECT url, refs, round(0.5 * (1 + ln(1 + refs)), 6) AS priority FROM (
 def frontier_seen_antijoin(spark, sf_dir):
     """J2/URL-seen: candidates minus seen set (exact anti-join), counted per
     host. Seen = URLs of orders with o_orderkey % 3 = 0."""
-    _ensure_workers(spark)
-    from cord19_crawler_spark.functions.urls import canonicalize_url
+    from cord19_crawler_spark.functions.urls import canonicalize_url_sql
 
     m = _messy_urls(spark, sf_dir)
     canon = m.select(
-        canonicalize_url(F.col("raw_url")).alias("url"),
+        canonicalize_url_sql(F.col("raw_url")).alias("url"),
         "host",
         (F.col("o_orderkey") % 3 == 0).alias("is_seen"),
     )
@@ -2130,12 +2128,11 @@ GROUP BY host ORDER BY host
 def frontier_per_host_topk(spark, sf_dir):
     """The per-host priority queue (politeness max-in-flight = 3):
     Window.partitionBy(host).orderBy(priority desc, url) ≤ 3."""
-    _ensure_workers(spark)
-    from cord19_crawler_spark.functions.urls import canonicalize_url
+    from cord19_crawler_spark.functions.urls import canonicalize_url_sql
 
     m = _messy_urls(spark, sf_dir)
     canon = m.select(
-        canonicalize_url(F.col("raw_url")).alias("url"), "host", "priority"
+        canonicalize_url_sql(F.col("raw_url")).alias("url"), "host", "priority"
     )
     w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
     return (
@@ -2164,11 +2161,12 @@ SELECT host, url, priority, rank FROM (
 def frontier_fetch_batch(spark, sf_dir):
     """Global fetch-batch order: top-40 by (priority desc, url) with seq —
     the deterministic crawl-order statement (O3 + total-order tie-break)."""
-    _ensure_workers(spark)
-    from cord19_crawler_spark.functions.urls import canonicalize_url
+    from cord19_crawler_spark.functions.urls import canonicalize_url_sql
 
     m = _messy_urls(spark, sf_dir)
-    canon = m.select(canonicalize_url(F.col("raw_url")).alias("url"), "priority")
+    canon = m.select(
+        canonicalize_url_sql(F.col("raw_url")).alias("url"), "priority"
+    )
     batch = canon.orderBy(F.desc("priority"), F.asc("url")).limit(40)
     # seq window runs AFTER the limit → bounded at any scale; the partition
     # key is a column-derived constant (a bare lit would be folded away,
@@ -3988,10 +3986,12 @@ def frontier_robots_filter(spark, sf_dir):
     from pyspark.sql import Row
 
     from cord19_crawler_spark.frontier.robots import filter_robots
-    from cord19_crawler_spark.functions.urls import canonicalize_url
+    from cord19_crawler_spark.functions.urls import canonicalize_url_sql
 
     m = _messy_urls(spark, sf_dir)
-    canon = m.select(canonicalize_url(F.col("raw_url")).alias("url"), "host")
+    canon = m.select(
+        canonicalize_url_sql(F.col("raw_url")).alias("url"), "host"
+    )
     robots = spark.createDataFrame(
         [
             Row(host="host0.example.com",

@@ -73,13 +73,29 @@ def url_shape_signals(
         has_query.cast("int").alias("q"),
         is_loop.cast("int").alias("loop"),
     ).filter(F.col("host") != "")
-    agg = shaped.groupBy("host").agg(
-        F.count(F.lit(1)).alias("n_urls"),
-        F.countDistinct("path").alias("n_paths"),
-        F.round(F.avg("depth"), 6).alias("avg_depth"),
-        F.max("depth").alias("max_depth"),
-        F.round(F.avg("q"), 6).alias("frac_query"),
-        F.sum("loop").alias("n_loop_urls"),
+    # two-level aggregation instead of groupBy(host) + countDistinct(path):
+    # a single countDistinct plans an Expand (2x every URL row through the
+    # exchange); rolling up to (host, path) first dedups map-side — depth
+    # and loop are functions of the path, so they ride the per-path row —
+    # and the host-level pass then counts rows for n_paths.  All host
+    # signals are exact-integer reconstructions (sum(depth*n)/sum(n) ==
+    # avg over URLs), so results are bit-identical.
+    per_path = shaped.groupBy("host", "path").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("q").alias("_q"),
+        F.first("depth").alias("_depth"),
+        F.first("loop").alias("_loop"),
+    )
+    n_urls = F.sum("_n")
+    agg = per_path.groupBy("host").agg(
+        n_urls.alias("n_urls"),
+        F.count(F.lit(1)).alias("n_paths"),
+        F.round(
+            F.sum(F.col("_depth") * F.col("_n")).cast("double") / n_urls, 6
+        ).alias("avg_depth"),
+        F.max("_depth").alias("max_depth"),
+        F.round(F.sum("_q").cast("double") / n_urls, 6).alias("frac_query"),
+        F.sum(F.col("_loop") * F.col("_n")).alias("n_loop_urls"),
     )
     return agg.withColumn(
         "is_suspect",

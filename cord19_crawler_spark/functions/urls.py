@@ -241,10 +241,13 @@ def url_id(col: Column | str) -> Column:
 
 def canonicalize_url_sql(col: Column) -> Column:
     """A pure-Catalyst (JVM, codegen'd) canonicalizer for the common case:
-    lowercase scheme+host, strip fragment, sort query params. Used when the
-    URL grammar is known to be simple (no ports, no encoded chars) — the
+    lowercase scheme+host, strip fragment, strip default/normalize numeric
+    ports, sort query params. Used when the URL grammar is known to be
+    simple (no userinfo, no encoded chars, no trailing host dots) — the
     pandas UDF is the general-purpose kernel, this is the fast path that
-    stays inside WholeStageCodegen.
+    stays inside WholeStageCodegen.  Batch equality with the Python
+    kernel on this grammar (including ports) is pinned by
+    tests/test_urls.py.
     """
     no_frag = F.regexp_replace(col, r"#.*$", "")
     base = F.regexp_extract(no_frag, r"^([^?]*)", 1)
@@ -276,10 +279,25 @@ def canonicalize_url_sql(col: Column) -> Column:
         ),
         "&",
     )
+    # port: parse numerically ('0443' == 443, urlsplit semantics), strip
+    # the scheme default, keep others re-emitted from the numeric value;
+    # a non-numeric ':...' tail falls through unchanged (out of grammar)
+    authority = F.lower(hostpath)
+    host_only = F.substring_index(authority, ":", 1)
+    port_str = F.regexp_extract(authority, r"^[^:]*:(\d{1,5})$", 1)
+    port_num = F.when(port_str != "", port_str.cast("long"))
+    is_default = ((scheme == "http") & (port_num == 80)) | (
+        (scheme == "https") & (port_num == 443)
+    )
+    netloc = (
+        F.when(port_num.isNull(), authority)
+        .when(is_default, host_only)
+        .otherwise(F.concat(host_only, F.lit(":"), port_num.cast("string")))
+    )
     return F.concat(
         scheme,
         F.lit("://"),
-        F.lower(hostpath),
+        netloc,
         F.when(path == "", F.lit("/")).otherwise(path),
         F.when(F.size(params) == 0, F.lit("")).otherwise(
             F.concat(F.lit("?"), sorted_q)

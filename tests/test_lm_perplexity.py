@@ -118,12 +118,17 @@ def test_ppl_scored_corpus_never_shuffled(spark):
     docs = spark.createDataFrame(_ROWS, "doc_id long, text string")
     out = lm_perplexity_scores(docs, _train())
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # the model arrives broadcast; the scored corpus branch (everything
-    # above the first BroadcastExchange in the printed tree) is scan+filter
-    # +project only — no hash exchange of the corpus on the scored path.
-    assert "BroadcastExchange" in plan
-    scored_side = plan.split("BroadcastExchange")[0]
-    assert "Exchange hashpartitioning(doc_id" not in scored_side
+    # r6 layout: the model tables arrive as BROADCAST HASH JOIN relations
+    # (O(1) probes per token — the r5 single-row MapType model paid a
+    # LINEAR GetMapValue scan per lookup), and the per-doc re-aggregation
+    # is partial (map-side) before its exchange, so the only shuffle over
+    # scored data carries one narrow (doc_id, sum) row per doc per task —
+    # the corpus token stream itself never crosses an exchange.
+    assert "BroadcastHashJoin" in plan
+    assert "map_from_entries" not in plan
+    assert "partial_sum" in plan
+    # exactly one hash exchange keyed by doc (the partial-sum one)
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
 
 
 def test_ppl_validation(spark):

@@ -224,13 +224,17 @@ def test_dsir_no_corpus_shuffle(spark):
     )
     out = dsir_importance_weights(docs, F.col("doc_id") == 0, num_buckets=64)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # scoring side: log-ratio map arrives via BroadcastNestedLoopJoin /
-    # BroadcastExchange; the raw corpus itself is never hash-exchanged on
-    # the scored path (the only hashpartitioning is the tiny bucket-count
-    # aggregate feeding the broadcast).
-    assert "BroadcastExchange" in plan
-    scored_side = plan.split("BroadcastExchange")[0]
-    assert "Exchange hashpartitioning(doc_id" not in scored_side
+    # r6 layout: the B-row log-ratio table arrives as a BROADCAST HASH
+    # JOIN relation (O(1) probes per gram — the r5 single-row MapType
+    # model paid a LINEAR GetMapValue scan per lookup), and the per-doc
+    # re-aggregation is partial (map-side) before its exchange, so the
+    # only shuffle over scored data carries one narrow (doc_id, count,
+    # sum) row per doc per task — the corpus gram stream itself never
+    # crosses an exchange.
+    assert "BroadcastHashJoin" in plan
+    assert "map_from_entries" not in plan
+    assert "partial_sum" in plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
 
 
 def test_dsir_empty_docs_scored_zero(spark):

@@ -71,8 +71,8 @@ def test_url_host(spark):
 
 def test_catalyst_fast_path_matches_python_kernel(spark):
     """canonicalize_url_sql (pure Catalyst, codegen'd) must agree with the
-    general pandas kernel on the simple URL grammar it supports (no ports,
-    no percent-encoding, no trailing host dots)."""
+    general pandas kernel on the simple URL grammar it supports (numeric
+    ports allowed; no percent-encoding, no trailing host dots)."""
     from pyspark.sql import functions as F
 
     from cord19_crawler_spark.functions.urls import canonicalize_url_sql
@@ -83,6 +83,15 @@ def test_catalyst_fast_path_matches_python_kernel(spark):
         "http://example.com/p?b=2&a=1",
         "http://example.com",
         "https://x.org/a/b?z=9&y=8&a=1#frag",
+        # ports: scheme default strips, non-default keeps, numeric value
+        # re-emits ('0443' == 443 — urlsplit semantics), frontier messy
+        # grammar (':443' + uppercase host) covered
+        "https://host2.example.com:443/doc/9",
+        "HTTPS://HOST2.EXAMPLE.COM:443/doc/9#frag",
+        "http://example.com:80/a",
+        "https://example.com:80/a",
+        "http://example.com:8080/a?b=2&a=1",
+        "https://example.com:0443/a",
         # key-prefix hazard: raw-string sort would put "page2=x" before
         # "page=y" ('2' < '='); both paths must sort by (key, value) tuples
         "http://a.com/p?page2=x&page=y",
