@@ -55,8 +55,60 @@ def _ensure_workers(spark: SparkSession) -> None:
     spark.sparkContext.addPyFile(_PKG_ZIP)
 
 
+# Input-skew guard (optimization guide §2.5 "input skew"): the sf* test
+# tables are SINGLE-ROW-GROUP parquet files, and a parquet row group is the
+# scan's split unit — so however small spark.sql.files.maxPartitionBytes is
+# set, every row lands in ONE scan task and all scan-side work (tokenizer
+# regexes, gram explodes, Arrow kernels, map-side partial aggregation) runs
+# single-core.  Spread the big fact tables by their unique key right after
+# the scan whenever the file layout offers fewer parallel scan units than
+# cores; the exchange moves only the tiny test input (~MBs), and on
+# production inputs (many files / row groups >= cores) this is a no-op, so
+# nothing is tuned to local[32].  Deterministic: hash of a unique id, no
+# round-robin, no rand().
+_SPREAD_KEY = {
+    "documents": "doc_id",
+    "orders": "o_orderkey",
+    "events": "event_id",
+}
+
+
+def _scan_units(path: str) -> int:
+    """Parallelizable scan units in a parquet file/dir (= row groups)."""
+    global _SCAN_UNITS_CACHE
+    try:
+        cache = _SCAN_UNITS_CACHE
+    except NameError:
+        cache = _SCAN_UNITS_CACHE = {}
+    if path not in cache:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            units = 0
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        units += pq.ParquetFile(
+                            os.path.join(root, fn)
+                        ).metadata.num_row_groups
+                    if units >= 4096:  # plenty — stop footer-reading
+                        break
+        else:
+            units = pq.ParquetFile(path).metadata.num_row_groups
+        cache[path] = units
+    return cache[path]
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    key = _SPREAD_KEY.get(name)
+    if key is None:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    if _scan_units(path) >= cores:
+        return df
+    return df.repartition(cores, F.col(key))
 
 
 # ---------------------------------------------------------------------------
@@ -5851,7 +5903,7 @@ def text_blocks_q(spark, sf_dir):
     pages = d.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         html.alias("html"),
-    ).repartition(32)
+    )
     return text_blocks(pages).orderBy("url", "block_pos")
 
 
@@ -5995,7 +6047,7 @@ def discovery_pipeline_q(spark, sf_dir):
         F.lit('<a href="#top">n</a><a href="mailto:u@x.com">m</a>'
               "</body></html>"),
     )
-    pages = o.select(page.alias("url"), html.alias("html")).repartition(32)
+    pages = o.select(page.alias("url"), html.alias("html"))
     seen = (
         o.filter(k % 4 == 0)
         .select(
@@ -6202,10 +6254,10 @@ def html_outlinks_q(spark, sf_dir):
         F.lit('<img src="/img/i'), (k % 5).cast("string"),
         F.lit('.png"></body></html>'),
     )
-    # repartition: the sf parquet reads as one split, which would run the
-    # (codegen-fallback, HOF-bearing) resolver single-task; real fetch
-    # tables arrive many-partitioned
-    pages = o.select(page.alias("url"), html.alias("html")).repartition(32)
+    # _t already spreads the single-row-group sf parquet across cores, so
+    # the (codegen-fallback, HOF-bearing) resolver parallelizes without an
+    # extra exchange of the built HTML
+    pages = o.select(page.alias("url"), html.alias("html"))
     return extract_outlinks(pages).orderBy("url", "kind", "ref")
 
 
@@ -6659,7 +6711,7 @@ def html_canonical_meta_q(spark, sf_dir):
         meta_tag,
         F.lit('</head><body><a href="other.html">o</a></body></html>'),
     )
-    pages = o.select(page.alias("url"), html.alias("html")).repartition(32)
+    pages = o.select(page.alias("url"), html.alias("html"))
     return canonical_meta(pages).orderBy("url")
 
 

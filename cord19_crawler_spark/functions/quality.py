@@ -72,6 +72,36 @@ def word_ngrams(array_col: str, n: int) -> Column:
     )
 
 
+def ngram_positions(array_col: str, n: int) -> Column:
+    """1-based start positions of the word ``n``-grams of an array<string>
+    column — [] when the doc is shorter than ``n`` (explicit guard:
+    Spark's ``sequence`` counts DOWN when start > stop).
+
+    Explode THIS (a cheap int sequence) and build each gram with
+    ``array_join(slice(a, i, n), ' ')`` on the exploded row, keeping the
+    token array a materialized pass-through column of the Generate.
+    Exploding the :func:`word_ngrams` array itself makes Catalyst inline
+    the whole array-builder into the Generate and re-evaluate it per
+    OUTPUT element — measured 25-50s vs 0.6s for the position form on a
+    2.7M-gram corpus (optimization round 6; see OPTIMIZATION_r06.md).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    a = array_col
+    return F.expr(
+        f"CASE WHEN size({a}) >= {n} "
+        f"THEN sequence(1, size({a}) - {n} + 1) ELSE array() END"
+    )
+
+
+def ngram_at(array_col: str, pos_col: str, n: int) -> Column:
+    """The space-joined ``n``-gram of ``array_col`` starting at the 1-based
+    position in ``pos_col`` — the per-row companion of
+    :func:`ngram_positions` (identical gram text to :func:`word_ngrams`).
+    NULL when ``pos_col`` is NULL (explode_outer's empty-doc row)."""
+    return F.expr(f"array_join(slice({array_col}, {pos_col}, {n}), ' ')")
+
+
 def distinct_frac(array_col: str) -> Column:
     """distinct/total element fraction of an array column; 1.0 for empty
     (an empty doc has no repetition)."""

@@ -66,12 +66,17 @@ _LINES = (
     "filter(transform(split({c}, '{d}'), "
     "l -> regexp_replace(l, '^\\\\s+|\\\\s+$', '')), l -> l != '')"
 )
-_GRAMS = """
-flatten(transform(sequence(2, 10), n ->
-  CASE WHEN size(_lw) >= n THEN
-    transform(sequence(1, size(_lw) - n + 1), i ->
-      struct(n AS n, array_join(slice(_lw, i, n), ' ') AS g))
-  ELSE array() END))
+# n-gram stream via POSITION explodes (r6): explode n = 2..10, then the
+# 1-based start positions for that n, and build each gram with ONE
+# array_join(slice(...)) on the exploded row.  The r5 shape exploded a
+# pre-built flatten(transform(...)) array of (n, g) structs, which makes
+# Catalyst inline the whole array builder into the Generate and re-evaluate
+# it per OUTPUT element — the dominant cost of the curation pipeline
+# (measured: gopher 75s -> ~8s at sf1.0; see functions/quality.py
+# ngram_positions and OPTIMIZATION_r06.md).
+_GRAM_POS = """
+CASE WHEN size(_lw) >= n THEN sequence(1, size(_lw) - n + 1)
+ELSE array() END
 """
 
 
@@ -135,7 +140,16 @@ def gopher_quality_signals(
         ).alias("_ell"),
     )
 
-    lines = d.select("doc_id", F.explode("_l").alias("line"))
+    # position explode (not explode(_l)): keeps the line-splitting chain
+    # out of the Generate so it runs once per document, not per line
+    lines = d.select(
+        "doc_id",
+        "_l",
+        F.explode(
+            F.expr("CASE WHEN size(_l) >= 1 THEN sequence(1, size(_l)) "
+                   "ELSE array() END")
+        ).alias("_li"),
+    ).select("doc_id", F.expr("element_at(_l, _li)").alias("line"))
     la = (
         lines.groupBy("doc_id", "line")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -147,22 +161,50 @@ def gopher_quality_signals(
         )
     )
 
-    grams = d.select("doc_id", F.explode(F.expr(_GRAMS)).alias("s"))
+    grams = (
+        d.select("doc_id", "_lw", F.explode(F.expr("sequence(2, 10)")).alias("n"))
+        .select(
+            "doc_id", "_lw", "n", F.explode(F.expr(_GRAM_POS)).alias("_gi")
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.expr("array_join(slice(_lw, _gi, n), ' ')").alias("g"),
+        )
+    )
+    # top-gram selection packs (c, cov) into ONE bigint so the aggregate
+    # stays a HashAggregate: max(struct(c, cov)) is not hash-aggregable
+    # (struct buffer), which forced a SortAggregate — i.e. a full sort of
+    # the gram stream on (doc_id, n) before AND after its exchange.  The
+    # pack is exact for c < 2^29 gram occurrences and cov < 2^34 chars of
+    # per-gram mass per document (a >2^29-occurrence gram needs a >2^30-
+    # char document — beyond Spark's row limit); out-of-bound docs fail
+    # loud rather than mis-rank, mirroring global_row_number's INT_MAX
+    # guard.
+    cov = F.col("c") * F.length("g").cast("long")
+    packed = F.when(
+        (F.col("c") < F.lit(1 << 29)) & (cov < F.lit(1 << 34)),
+        F.col("c") * F.lit(1 << 34) + cov,
+    ).otherwise(
+        F.expr(
+            "CAST(raise_error('gopher_quality_signals: per-doc gram mass "
+            "exceeds the (2^29 occurrences, 2^34 chars) packing bound') "
+            "AS BIGINT)"
+        )
+    )
     gn = (
-        grams.select("doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
-        .groupBy("doc_id", "n", "g")
+        grams.groupBy("doc_id", "n", "g")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id", "n")
         .agg(
-            F.max(
-                F.struct(
-                    F.col("c").alias("c"),
-                    (F.col("c") * F.length("g")).alias("cov"),
-                )
-            )["cov"].alias("_top"),
-            F.sum(
-                F.when(F.col("c") >= 2, F.col("c") * F.length("g")).otherwise(0)
-            ).alias("_dup"),
+            F.max(packed).alias("_packed"),
+            F.sum(F.when(F.col("c") >= 2, cov).otherwise(0)).alias("_dup"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            (F.col("_packed") % F.lit(1 << 34)).alias("_top"),
+            "_dup",
         )
     )
     gp = gn.groupBy("doc_id").agg(

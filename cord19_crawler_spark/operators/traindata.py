@@ -266,29 +266,30 @@ def dsir_importance_weights(
     bucket was counted (raw occurrences include it), so the join cannot
     miss; the unseen-bucket constant guards it anyway.
     """
-    from ..functions.quality import word_ngrams
+    from ..functions.quality import ngram_at, ngram_positions
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if num_buckets < 1:
         raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
     toks = F.expr(_TOKS.format(c=text_col))
-    d = (
-        docs.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            target_pred.alias("_is_target"),
-            toks.alias("_toks"),
-        )
-        .withColumn("_grams", word_ngrams("_toks", n))
-        .withColumn(
-            "_buckets",
-            F.expr(
-                "transform(_grams, g -> CAST(conv(substring(md5(g), 1, 14), 16, 10)"
-                f" AS BIGINT) % {num_buckets})"
-            ),
-        )
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        target_pred.alias("_is_target"),
+        toks.alias("_toks"),
     )
-    occ = d.select("_is_target", F.explode("_buckets").alias("bucket"))
+    # gram stream via POSITION explode: the gram is built and md5-hashed
+    # once per output row; exploding a pre-built gram/bucket array makes
+    # Catalyst re-evaluate the array builder per output element (measured
+    # 29.5s vs 1.2s at sf1.0 — see ngram_positions)
+    _bucket = (
+        F.conv(F.substring(F.md5(ngram_at("_toks", "_i", n)), 1, 14), 16, 10)
+        .cast("long")
+        % num_buckets
+    )
+    occ = d.select(
+        "_is_target", "_toks", F.explode(ngram_positions("_toks", n)).alias("_i")
+    ).select("_is_target", _bucket.alias("bucket"))
     counts = occ.groupBy("bucket").agg(
         F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("tc"),
         F.sum(F.when(~F.col("_is_target"), 1).otherwise(0)).alias("rc"),
@@ -317,11 +318,16 @@ def dsir_importance_weights(
             - F.log((F.col("tt") + num_buckets).cast("double"))
         ).alias("_lr0")
     )
-    # explode_outer keeps zero-gram docs (one NULL-bucket row) so they
+    # explode_outer keeps zero-gram docs (one NULL-position row) so they
     # still surface with n_feats=0, log_w=0.0 — the map-mode semantics
     scored = (
         d.filter(~F.col("_is_target"))
-        .select("doc_id", F.explode_outer("_buckets").alias("_bk"))
+        .select(
+            "doc_id",
+            "_toks",
+            F.explode_outer(ngram_positions("_toks", n)).alias("_i"),
+        )
+        .select("doc_id", _bucket.alias("_bk"))
         .join(F.broadcast(lr_j), F.col("_bk") == F.col("_b"), "left")
         .crossJoin(F.broadcast(lr0_row))
         .groupBy("doc_id")

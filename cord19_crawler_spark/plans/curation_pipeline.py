@@ -164,7 +164,14 @@ def curation_report(
             survivor.alias("kept"),
         )
     # budget over survivors only — NARROW rows (id, quality, n_tokens)
-    # through the range exchange; everything else left-joins back by id
+    # through the range exchange; everything else left-joins back by id.
+    # rep is consumed TWICE below (the running-sum branch and the final
+    # join-back), so pin it with a localCheckpoint — one narrow row per
+    # document — instead of recomputing the whole gopher/C4/dedup subtree
+    # for each consumer (measured: 2x the full stage tree, ~15s of the
+    # 30s curation wall at sf1.0).  global_running_sum already eagerly
+    # checkpoints its own input, so this materializes exactly once.
+    rep = rep.localCheckpoint(eager=False)
     ranked = global_running_sum(
         rep.filter(survivor).select("doc_id", "quality", "n_tokens"),
         order_by=[F.desc("quality"), F.asc("doc_id")],
