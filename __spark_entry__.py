@@ -99,11 +99,20 @@ def _scan_units(path: str) -> int:
     return cache[path]
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
+    """``spread=False`` opts a query out of the input-skew guard: for
+    narrow-key aggregate shapes (a handful of grouping keys, trivial
+    per-row work) the map-side partial aggregate already collapses the
+    scan output, and exchanging the full rows first costs more than the
+    single-task scan saves — measured +0.2..1.0s per light query at
+    sf1.0.  Queries with heavy scan-side kernels (regex tokenizers, gram
+    builders, JSON/HTML parsing) keep the default."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     key = _SPREAD_KEY.get(name)
-    if key is None:
+    if key is None or not spread:
         return df
     cores = spark.sparkContext.defaultParallelism
     if _scan_units(path) >= cores:
@@ -340,7 +349,7 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 def window_topk_orders_per_customer(spark, sf_dir):
     """W3/O3: top-3 orders per customer (custkey<100) by totalprice."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    o = _t(spark, sf_dir, "orders", spread=False).filter(F.col("o_custkey") < 100)
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         o.withColumn("rank", F.row_number().over(w))
@@ -498,7 +507,7 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 def events_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min idle gap): lag + cumulative sum —
     the window-in-disguise pattern (W-class) on the events stream table."""
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events", spread=False)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
     with_gap = e.withColumn(
@@ -3367,7 +3376,7 @@ def length_quantiles_q(spark, sf_dir):
     cross-checked."""
     from cord19_crawler_spark.operators.traindata import exact_quantiles
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=False)
     return exact_quantiles(
         d, "n_chars", [0.25, 0.5, 0.9, 0.99], group_col="lang"
     )
@@ -4605,7 +4614,7 @@ def mixture_temperature_sample_q(spark, sf_dir):
     ITSELF (not just its size) is reproducible and oracle-checked."""
     from cord19_crawler_spark.operators.traindata import temperature_mixture_sample
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=False)
     return temperature_mixture_sample(d, alpha=0.5, target_frac=0.5)
 
 
@@ -4636,7 +4645,7 @@ def sequence_packing_q(spark, sf_dir):
     (which doc lands in which sequence), not just counts, is checked."""
     from cord19_crawler_spark.operators.traindata import pack_sequences
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    d = _t(spark, sf_dir, "documents", spread=False).filter(F.col("doc_id") < 2000)
     return pack_sequences(d, budget=256, num_shards=8)
 
 
@@ -5522,7 +5531,7 @@ def anchor_text_topk_q(spark, sf_dir):
     order in DuckDB."""
     from cord19_crawler_spark.operators.graph import anchor_text_index
 
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders", spread=False)
     edges = o.select(
         (F.col("o_custkey") % 200).alias("src"),
         (F.col("o_orderkey") % 97).alias("dst"),
@@ -6021,6 +6030,7 @@ def discovery_pipeline_q(spark, sf_dir):
     top-3. The oracle composes the SAME stages from the arithmetic:
     expected link rows built directly, set-subtract for seen, the rule
     table as CASE, and the (n_src_pages DESC, n_refs DESC, url) window."""
+    _ensure_workers(spark)
     from pyspark.sql import Row
 
     from cord19_crawler_spark.plans.discovery_pipeline import (
@@ -6215,6 +6225,7 @@ def html_outlinks_q(spark, sf_dir):
     extraction regexes and the Catalyst dot-segment fold. The RFC's own
     §5.4 vectors are pinned in pytest; this row oracles the e2e
     extract→effective-base→resolve→filter pipeline at corpus scale."""
+    _ensure_workers(spark)
     from cord19_crawler_spark.functions.html import extract_outlinks
 
     o = _t(spark, sf_dir, "orders")
@@ -6651,6 +6662,7 @@ def html_canonical_meta_q(spark, sf_dir):
     RFC 3986 resolver (functions/html.py:canonical_meta), while the
     oracle derives the EXPECTED per-page row directly from the same key
     arithmetic — independent of the regexes and the resolver."""
+    _ensure_workers(spark)
     from cord19_crawler_spark.functions.html import canonical_meta
 
     o = _t(spark, sf_dir, "orders")
@@ -7543,7 +7555,7 @@ def redirect_resolution_q(spark, sf_dir):
     one hop at a time under the same cap."""
     from cord19_crawler_spark.frontier.redirects import resolve_redirects
 
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders", spread=False)
     n = F.col("o_orderkey") % 500
     dst_n = (
         F.when((n >= 100) & (n <= 104), F.lit(100) + ((n - 99) % 5))

@@ -8,9 +8,12 @@ fetch URL), and hand absolute URLs to canonicalization
 (``functions/urls.py``) and the frontier merge.  Everything here is a
 scan-side projection — regexp extraction for the markup, and the RFC's
 reference-resolution algorithm (§5.2.2 transform, §5.2.3 merge, §5.2.4
-remove_dot_segments) as one nested Catalyst expression whose only
-iteration is an ``aggregate`` fold over the path segments.  No UDF, no
-shuffle; at fetch-log scale the plan is embarrassingly parallel.
+remove_dot_segments) available both as a nested Catalyst expression
+(``resolve_reference_expr`` — reference semantics, but CodegenFallback
+and therefore interpreted) and as the Arrow-batched twin the operators
+use (``resolve_reference_udf`` — ~100x cheaper per row, equality
+test-pinned).  No shuffle; at fetch-log scale the plan is
+embarrassingly parallel.
 
 Pinned semantics:
 
@@ -38,8 +41,13 @@ ecosystem.
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from ..frontier.sitemaps import xml_unescape_expr
 
@@ -47,6 +55,8 @@ __all__ = [
     "split_url_expr",
     "remove_dot_segments_expr",
     "resolve_reference_expr",
+    "resolve_reference_one",
+    "resolve_reference_udf",
     "extract_refs_expr",
     "extract_outlinks",
     "canonical_meta",
@@ -173,6 +183,95 @@ def resolve_reference_expr(base: Column, ref: Column) -> Column:
     ).otherwise(resolved)
 
 
+# ---------------------------------------------------------------------------
+# Arrow-batched resolver twin (r6). resolve_reference_expr is a ~500-node
+# Catalyst tree whose HOF fold (remove_dot_segments) makes it CodegenFallback:
+# it is evaluated INTERPRETED, node by node, per row — measured ~34s for the
+# 3.75M-link discovery stream at sf1.0 for a single evaluation, and any
+# downstream expression referencing `resolved` multiplies it.  The batch twin
+# below implements the SAME RFC 3986 §5.2 algorithm per row in Python behind
+# one Arrow exchange (~1-2us/row) and doubles as a hard optimizer barrier: a
+# column produced by ArrowEvalPython can never be re-inlined downstream.
+# Equality with resolve_reference_expr is pinned by tests/test_html.py over
+# the full RFC vector battery.
+# ---------------------------------------------------------------------------
+
+_URL_RE_PY = re.compile(r"^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?")
+_FRAG_RE_PY = re.compile(r"#.*$")
+_LAST_SEG_RE_PY = re.compile(r"[^/]*$")
+
+
+def _split_url_py(u: str) -> tuple[str, str, str, str]:
+    m = _URL_RE_PY.match(u)
+    return (
+        m.group(2) or "",
+        m.group(4) or "",
+        m.group(5) or "",
+        m.group(7) or "",
+    )
+
+
+def _remove_dot_segments_py(path: str) -> str:
+    if path == "":
+        return ""
+    ends_dir = (
+        path.endswith("/") or path.endswith("/.") or path.endswith("/..")
+    )
+    work = path.split("/")[1:]
+    if path.endswith("/"):
+        work = work[:-1]
+    out: list[str] = []
+    for s in work:
+        if s == ".":
+            continue
+        if s == "..":
+            if out:
+                out.pop()
+        else:
+            out.append(s)
+    return "/" + "/".join(out) + ("/" if ends_dir and out else "")
+
+
+def _rebuild_py(scheme: str, authority: str, path: str, query: str) -> str:
+    return (
+        (scheme + ":" if scheme else "")
+        + ("//" + authority if authority else "")
+        + path
+        + ("?" + query if query else "")
+    )
+
+
+def resolve_reference_one(base: str | None, ref: str | None) -> str | None:
+    """Per-row twin of :func:`resolve_reference_expr` (RFC 3986 §5.2.2)."""
+    if ref is None or base is None:
+        return None
+    ref_nf = _FRAG_RE_PY.sub("", ref)
+    if ref_nf == "" and ref.startswith("#"):
+        return None
+    bs, ba, bp, bq = _split_url_py(_FRAG_RE_PY.sub("", base))
+    rs, ra, rp, rq = _split_url_py(ref_nf)
+    rds = _remove_dot_segments_py
+    if rs != "":
+        return _rebuild_py(rs, ra, rds(rp) if rp.startswith("/") else rp, rq)
+    if ra != "":
+        return _rebuild_py(bs, ra, rds(rp), rq)
+    if rp.startswith("/"):
+        return _rebuild_py(bs, ba, rds(rp), rq)
+    if rp == "":
+        return _rebuild_py(bs, ba, bp, rq if rq != "" else bq)
+    base_dir = "/" if bp == "" else _LAST_SEG_RE_PY.sub("", bp)
+    return _rebuild_py(bs, ba, rds(base_dir + rp), rq)
+
+
+@pandas_udf(T.StringType())
+def resolve_reference_udf(bases: pd.Series, refs: pd.Series) -> pd.Series:
+    """Arrow-batched RFC 3986 reference resolution (see block comment)."""
+    return pd.Series(
+        [resolve_reference_one(b, r) for b, r in zip(bases, refs)],
+        dtype="object",
+    )
+
+
 _HREF_TAGS = "(?:a|area|link)"
 _SRC_TAGS = "(?:img|script|iframe|frame|embed|source)"
 
@@ -228,9 +327,13 @@ def extract_outlinks(
     """
     page = F.col(url_col)
     html = F.col(html_col)
+    # Arrow-batched resolver (resolve_reference_udf): the Catalyst tree is
+    # CodegenFallback and costs ~100x more per row interpreted (r6); the
+    # UDF result is also a hard barrier, so downstream consumers of
+    # `resolved` can never re-inline the resolution tree.
     eff_base = F.when(
         base_href_expr(html) != "",
-        resolve_reference_expr(page, base_href_expr(html)),
+        resolve_reference_udf(page, base_href_expr(html)),
     ).otherwise(page)
     refs = F.concat(
         F.transform(
@@ -242,8 +345,29 @@ def extract_outlinks(
             lambda s: F.struct(F.lit("src").alias("kind"), s.alias("ref")),
         ),
     )
-    exploded = df.select(
-        page.alias("url"), eff_base.alias("_base"), F.explode(refs).alias("_r")
+    # position explode with the ref array carried through as a REAL
+    # column: exploding the HOF-built struct array directly makes
+    # Catalyst inline the whole href/src extraction into the Generate and
+    # re-evaluate it per OUTPUT link (r6; see functions/quality.py
+    # ngram_positions for the measured pattern)
+    exploded = (
+        df.select(
+            page.alias("url"), eff_base.alias("_base"), refs.alias("_refs")
+        )
+        .select(
+            "url",
+            "_base",
+            "_refs",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_refs) >= 1 THEN "
+                    "sequence(1, size(_refs)) ELSE array() END"
+                )
+            ).alias("_ri"),
+        )
+        .select(
+            "url", "_base", F.expr("element_at(_refs, _ri)").alias("_r")
+        )
     )
     # Filter on the RAW reference, before resolution: the resolver's NULL
     # cases (NULL / pure-fragment refs) and the scheme policy are both
@@ -258,11 +382,17 @@ def extract_outlinks(
     if http_only:
         scheme = F.lower(F.regexp_extract(raw, r"^([^:/?#]+):", 1))
         keep = keep & scheme.isin("", "http", "https")
-    return exploded.filter(keep).select(
+    # coalesce makes the predicate null-TOLERANT (same rows: a NULL ref
+    # yields false either way), so InferFiltersFromConstraints cannot
+    # derive an isnotnull(...) on the ref chain — which it would push
+    # below the Generate as a scan-level Filter carrying the ENTIRE
+    # inlined extraction chain, re-evaluating every regex per input row
+    # (measured: 24.4s vs 3.2s for the filtered explode at sf1.0, r6).
+    return exploded.filter(F.coalesce(keep, F.lit(False))).select(
         "url",
         F.col("_r.kind").alias("kind"),
         raw.alias("ref"),
-        resolve_reference_expr(F.col("_base"), raw).alias("resolved"),
+        resolve_reference_udf(F.col("_base"), raw).alias("resolved"),
     )
 
 
@@ -362,7 +492,7 @@ def canonical_meta(
         "_rc",
         F.when(
             F.col("_bh") != "",
-            resolve_reference_expr(F.col("url"), F.col("_bh")),
+            resolve_reference_udf(F.col("url"), F.col("_bh")),
         )
         .otherwise(F.col("url"))
         .alias("_base"),
@@ -375,7 +505,7 @@ def canonical_meta(
         ref.alias("canonical_ref"),
         F.when(
             ref.isNotNull() & (ref != "") & ~ref.startswith("#"),
-            resolve_reference_expr(F.col("_base"), ref),
+            resolve_reference_udf(F.col("_base"), ref),
         ).alias("canonical_url"),
         F.coalesce(
             _robots_token(F.col("_rc"), "noindex") | none_tok, F.lit(False)

@@ -119,16 +119,18 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
         ).alias("w"),
     )
     # docs with fewer than n tokens contribute no shingles (guard: an
-    # unclamped sequence(0, size-n) would go negative and crash slice())
+    # unclamped sequence(0, size-n) would go negative and crash slice()).
+    # Position explode: each shingle string is built once per output row
+    # (exploding the transform-built array re-evaluates the builder per
+    # element — r6).
     has_enough = toks.filter(F.size("w") >= n)
     grams = has_enough.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - n),
-                lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
-            )
-        ).alias("shingle"),
+        "w",
+        F.explode(F.sequence(F.lit(0), F.size("w") - n)).alias("_i"),
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("w", F.col("_i") + 1, n)).alias("shingle"),
     )
     return grams.filter(F.size(F.split(F.col("shingle"), " ")) == n).distinct()
 
@@ -589,14 +591,19 @@ def duplicated_ngram_coverage(
     (functions/text.py, reference src/multiwordSearch.py:46-52), so this
     agrees with repetition_metrics and the search index on word identity.
     """
-    from ..functions.quality import word_ngrams
+    from ..functions.quality import ngram_at, ngram_positions
 
     toks = F.expr(
         f"regexp_extract_all(lower({text_col}), '[a-z0-9]{{2,}}', 0)"
     )
     per_doc_gram = (
         docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
-        .select("doc_id", F.explode(word_ngrams("_toks", n)).alias("gram"))
+        .select(
+            "doc_id",
+            "_toks",
+            F.explode(ngram_positions("_toks", n)).alias("_i"),
+        )
+        .select("doc_id", ngram_at("_toks", "_i", n).alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -680,14 +687,19 @@ def duplicate_substring_spans(
     d = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), toks.alias("_toks")
     ).filter(F.size("_toks") >= k)
+    # position explode: hash each window once per output row (exploding a
+    # transform-built hash array re-evaluates the whole builder per
+    # element — O(n_windows^2) hashing per doc; r6)
+    from ..functions.quality import ngram_at, ngram_positions
+
     grams = d.select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(_toks) - {k} + 1), "
-                f"i -> xxhash64(array_join(slice(_toks, i, {k}), ' ')))"
-            )
-        ).alias("p0", "gh"),
+        "_toks",
+        F.explode(ngram_positions("_toks", k)).alias("_i"),
+    ).select(
+        "doc_id",
+        (F.col("_i") - 1).alias("p0"),
+        F.xxhash64(ngram_at("_toks", "_i", k)).alias("gh"),
     )
     if gram_storage == "localCheckpoint":
         grams = grams.localCheckpoint(eager=False)

@@ -244,12 +244,19 @@ def shared_gram_star_edges(
     Returns distinct (src, dst) with src = hub doc, dst = other doc.
     Tokenization is the engine-wide [a-z0-9]{2,} tokenizer.
     """
-    from ..functions.quality import word_ngrams
+    from ..functions.quality import ngram_at, ngram_positions
 
     toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]{{2,}}', 0)")
+    # position explode: build each gram once per output row (exploding the
+    # HOF-built gram array re-evaluates the builder per element — r6)
     doc_gram = (
         docs.select(F.col(id_col).cast("long").alias("doc_id"), toks.alias("_toks"))
-        .select("doc_id", F.explode(word_ngrams("_toks", n)).alias("gram"))
+        .select(
+            "doc_id",
+            "_toks",
+            F.explode(ngram_positions("_toks", n)).alias("_i"),
+        )
+        .select("doc_id", ngram_at("_toks", "_i", n).alias("gram"))
         .distinct()
     )
     hubs = (

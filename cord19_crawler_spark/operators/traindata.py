@@ -54,13 +54,22 @@ _TOKS = "regexp_extract_all(lower({c}), '[a-z0-9]{{2,}}', 0)"
 
 
 def _doc_grams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Distinct (doc_id, gram) pairs of word n-grams per document."""
-    from ..functions.quality import word_ngrams
+    """Distinct (doc_id, gram) pairs of word n-grams per document.
+
+    Position explode (see functions/quality.py ngram_positions): the gram
+    is built once per output row instead of Catalyst re-evaluating the
+    whole gram-array builder per exploded element."""
+    from ..functions.quality import ngram_at, ngram_positions
 
     toks = F.expr(_TOKS.format(c=text_col))
     return (
         docs.select(F.col(id_col).cast("long").alias("doc_id"), toks.alias("_toks"))
-        .select("doc_id", F.explode(word_ngrams("_toks", n)).alias("gram"))
+        .select(
+            "doc_id",
+            "_toks",
+            F.explode(ngram_positions("_toks", n)).alias("_i"),
+        )
+        .select("doc_id", ngram_at("_toks", "_i", n).alias("gram"))
         .distinct()
     )
 
@@ -495,17 +504,17 @@ def lm_perplexity_scores(
         # OOV unigram: ln(1 / (N + V + 1)).
         (-F.log((F.col("n") + F.col("v") + 1).cast("double"))).alias("lp0"),
     )
+    from ..functions.quality import ngram_positions
+
     bi = (
         train.select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(_toks) - 1), "
-                    "i -> struct(element_at(_toks, i) AS u, "
-                    "element_at(_toks, i + 1) AS w))"
-                )
-            ).alias("s")
+            "_toks", F.explode(ngram_positions("_toks", 2)).alias("_i")
         )
-        .groupBy("s.u", "s.w")
+        .select(
+            F.expr("element_at(_toks, _i)").alias("u"),
+            F.expr("element_at(_toks, _i + 1)").alias("w"),
+        )
+        .groupBy("u", "w")
         .agg(F.count(F.lit(1)).alias("cuv"))
         .filter(F.col("cuv") >= min_bigram_count)
     )
@@ -520,22 +529,27 @@ def lm_perplexity_scores(
         (-F.log((F.col("n") + F.col("v") + 1).cast("double"))).alias("_lp0")
     )
     lnb = float(__import__("math").log(backoff))
-    # one row per scored token position (i, cur, prev) — prev NULL at i=1
+    # one row per scored token position (i, cur, prev) — prev NULL at i=1.
+    # Position explode (cheap int sequence; d already filters empty docs):
+    # cur/prev are element_at lookups once per output row.
     terms = (
         d.filter(~F.col("_is_train"))
         .select(
             "doc_id",
             F.size("_toks").cast("long").alias("n_tokens"),
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(_toks)), i -> struct("
-                    "i AS i, element_at(_toks, i) AS cur, "
-                    "CASE WHEN i = 1 THEN NULL "
-                    "ELSE element_at(_toks, i - 1) END AS prev))"
-                )
-            ).alias("_s"),
+            "_toks",
+            F.explode(F.expr("sequence(1, size(_toks))")).alias("i"),
         )
-        .select("doc_id", "n_tokens", "_s.i", "_s.cur", "_s.prev")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "i",
+            F.expr("element_at(_toks, i)").alias("cur"),
+            F.expr(
+                "CASE WHEN i = 1 THEN NULL "
+                "ELSE element_at(_toks, i - 1) END"
+            ).alias("prev"),
+        )
     )
     uni_j = uni_lp.select(
         F.col("w").alias("_uw"), F.col("lp").alias("_ulp")

@@ -76,9 +76,13 @@ def discovery_pipeline(
     """
     if per_host_k < 1:
         raise ValueError(f"per_host_k must be >= 1, got {per_host_k}")
+    # null-tolerant predicate (kind is never NULL): a bare equality lets
+    # InferFiltersFromConstraints derive isnotnull(kind) and push the
+    # whole inlined extraction chain to the scan as a redundant Filter
+    # (see extract_outlinks, r6)
     links = extract_outlinks(
         pages, url_col=url_col, html_col=html_col, http_only=True
-    ).filter(F.col("kind") == "href")
+    ).filter(F.coalesce(F.col("kind") == "href", F.lit(False)))
     canon = links.select(
         F.col("url").alias("_src"),
         canonicalize_url_sql(F.col("resolved")).alias("url"),

@@ -87,6 +87,37 @@ def test_rfc3986_abnormal_vectors(spark):
         assert got[ref] == want, (ref, got[ref], want)
 
 
+def test_resolver_udf_matches_expr(spark):
+    """The Arrow-batched resolver twin (resolve_reference_udf — the one
+    the operators run, r6) must agree with the Catalyst reference
+    implementation on the full RFC battery plus the NULL/fragment/edge
+    grammar."""
+    from cord19_crawler_spark.functions.html import resolve_reference_udf
+
+    extra = [
+        "", "#", "#frag", "g?y", "?y", "//g", "//g/x/../y", "http:g",
+        "mailto:u@x.com", "javascript:void(0)", "g#s", "./", "..", ".",
+        "a?", "a?&", "/x//../y", "data:text/plain,hi", "g;p=1?y#s",
+    ]
+    refs = [r for r, _ in NORMAL + ABNORMAL] + extra
+    rows = [(BASE, r) for r in refs] + [
+        ("http://a/b/c/d;p?q#bfrag", "g"),   # base with fragment
+        ("http://h", "g"),                    # base with empty path
+        ("http://h/x/", ""),
+        (BASE, None),
+    ]
+    df = spark.createDataFrame(rows, "base string, ref string")
+    both = df.select(
+        "base",
+        "ref",
+        resolve_reference_expr(F.col("base"), F.col("ref")).alias("e"),
+        resolve_reference_udf(F.col("base"), F.col("ref")).alias("u"),
+    ).collect()
+    diffs = [(r["base"], r["ref"], r["e"], r["u"]) for r in both
+             if r["e"] != r["u"]]
+    assert not diffs, diffs[:5]
+
+
 def test_remove_dot_segments_edges(spark):
     cases = [
         ("/a/b/c/./../../g", "/a/g"),       # RFC §5.2.4's own example
