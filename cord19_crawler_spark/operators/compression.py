@@ -197,13 +197,13 @@ def elias_fano_encode_df(postings: DataFrame) -> DataFrame:
         postings.join(nl, "word")
         .crossJoin(F.broadcast(u))
         .withColumn(
+            # integer division (div), matching the DuckDB oracle's u // n
+            # and the docstring's integer-only pin: float division +
+            # truncation can round a quotient near the 2^53 double
+            # boundary UP and drift l by 1 cross-engine (r5 ADVICE; same
+            # precedent as plan_compaction's `div`)
             "_l",
-            (
-                F.length(
-                    F.bin((F.col("_u") / F.col("_n")).cast("long"))
-                )
-                - 1
-            ).cast("int"),
+            (F.length(F.bin(F.expr("_u div _n"))) - 1).cast("int"),
         )
         .withColumn(
             "_pow", F.expr("shiftleft(CAST(1 AS BIGINT), _l)")

@@ -341,8 +341,33 @@ def search(
                 total_tokens += float(
                     delta_p.agg(F.sum("tf")).collect()[0][0] or 0
                 )
-        else:  # pre-doclens index layout: correct, one extra corpus scan
-            doclens, total_tokens = None, None
+        else:
+            # pre-doclens index layout: derive the stats from the FULL
+            # (unpruned) postings — one extra corpus scan.  Passing None
+            # here made bm25_search fall back to the barrel-PRUNED frame,
+            # so doclen/avgdl/token mass covered only the query words'
+            # barrels — wrong BM25 length normalization (r5 ADVICE).
+            doclens = postings.groupBy("doc_id").agg(
+                F.sum("tf").alias("doclen")
+            )
+            total_tokens = float(
+                postings.agg(F.sum("tf")).collect()[0][0] or 0
+            )
+            if delta_p is not None:
+                d_lens = delta_p.groupBy("doc_id").agg(
+                    F.sum("tf").alias("doclen")
+                )
+                if dict(doclens.dtypes)["doc_id"] != dict(d_lens.dtypes)["doc_id"]:
+                    doclens = doclens.withColumn(
+                        "doc_id", F.col("doc_id").cast("string")
+                    )
+                    d_lens = d_lens.withColumn(
+                        "doc_id", F.col("doc_id").cast("string")
+                    )
+                doclens = doclens.unionByName(d_lens)
+                total_tokens += float(
+                    delta_p.agg(F.sum("tf")).collect()[0][0] or 0
+                )
         results = bm25_search(
             pruned, terms, total_docs, k=k,
             doclens=doclens, total_tokens=total_tokens,

@@ -103,3 +103,35 @@ def test_index_statistics_sink(index_dir):
     # tiny 5-doc build registers non-zero minutes and a sane papers/sec
     assert stats["processing_time_minutes"] > 0
     assert 0 < stats["papers_per_second"] < 1000
+
+
+def test_bm25_pre_doclens_fallback_full_corpus_stats(
+    spark, index_dir, tmp_path
+):
+    """A pre-doclens index layout (no doclens dir, no total_tokens meta)
+    must fall back to corpus-wide doclen/token-mass statistics — NOT the
+    barrel-pruned postings, which cover only the query words' barrels
+    and skew BM25 length normalization (r5 ADVICE finding)."""
+    import shutil
+
+    legacy = str(tmp_path / "legacy_idx")
+    shutil.copytree(index_dir, legacy)
+    shutil.rmtree(os.path.join(legacy, "doclens"))
+    meta_path = os.path.join(legacy, "_INDEX.json")
+    meta = json.load(open(meta_path))
+    del meta["total_tokens"]
+    json.dump(meta, open(meta_path, "w"))
+
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in search(
+            spark, index_dir, "covid vaccine", k=None, ranker="bm25"
+        ).collect()
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in search(
+            spark, legacy, "covid vaccine", k=None, ranker="bm25"
+        ).collect()
+    ]
+    assert got == want
