@@ -218,6 +218,14 @@ def minhash_near_duplicates(
       CacheManager pin; one distributed write (see operators/iterutil.py).
     * ``"none"``: no reuse; recomputes shingles per consumer.
     """
+    # input-skew guard (opt guide §2.5): a docs frame with fewer scan
+    # partitions than cores (e.g. a single-row-group test parquet) would
+    # build and hash every shingle in ONE task; spread by the unique id
+    # first.  getNumPartitions is driver-side plan metadata (no job);
+    # production inputs have >= cores partitions and skip this entirely.
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism, F.col(id_col))
     sh = shingles(docs, id_col, text_col, ngram)
     if shingle_storage == "localCheckpoint":
         sh = sh.localCheckpoint(eager=False)
