@@ -197,7 +197,7 @@ def q5_revenue_by_nation(spark, sf_dir):
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders", spread=False)
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -4789,7 +4789,7 @@ def link_pagerank_q(spark, sf_dir):
     the principled upgrade of the frontier's indegree priority lever."""
     from cord19_crawler_spark.operators.graph import pagerank
 
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders", spread=False)
     edges = o.select(
         (F.col("o_custkey") % 200).alias("src"),
         (F.col("o_orderkey") % 237).alias("dst"),
@@ -5577,7 +5577,7 @@ def recrawl_staleness_q(spark, sf_dir):
     -ln((n-X+.5)/(n+.5))/mean_interval and the staleness curve exactly."""
     from cord19_crawler_spark.frontier.recrawl import change_rate_estimates
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", spread=False)
     hist = ev.select(
         F.concat(
             F.lit("https://h"),
@@ -7616,7 +7616,7 @@ def crawl_diff_summary_q(spark, sf_dir):
         crawl_diff_summary,
     )
 
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders", spread=False)
     url = F.concat(
         F.lit("https://h"),
         (F.col("o_custkey") % 15).cast("string"),
