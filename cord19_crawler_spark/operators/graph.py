@@ -150,6 +150,11 @@ def connected_components(
     survival of executor preemption — the right setting on spot
     clusters for a 20-round job over 10^10 edges.
     """
+    # NOTE (r6): a lazy localCheckpoint here (letting the convergence
+    # checksum materialize each round's blocks in one job) was A/B
+    # measured SLOWER than the eager two-job-per-round shape (7.5/13.8s
+    # vs 6.3/10.7s at sf1.0) — the checksum then aggregates through the
+    # full round plan while racing block writes; keep eager.
     _ckpt = lineage_truncator(checkpoint_dir)
     e = _ckpt(_canon_edges(edges, src, dst))
     if algorithm == "two-phase":
